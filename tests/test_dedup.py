@@ -1,0 +1,112 @@
+"""Dedup family semantics on planted near-duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from information_retrieval_images_ray.functions.tokenizer import tokenize_simple
+from information_retrieval_images_ray.pipelines import dedup
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor"
+).split()
+
+
+def _mk_docs():
+    """40 base docs + planted exact dups + near dups (1-2 word edits)."""
+    rng = np.random.default_rng(123)
+    rows = []
+    for i in range(40):
+        toks = [WORDS[j] for j in rng.integers(0, len(WORDS), size=60)]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    rows.append({"doc_id": 100, "text": rows[3]["text"]})            # exact dup of 3
+    near = rows[7]["text"].split()
+    near[5] = "zzz"
+    rows.append({"doc_id": 101, "text": " ".join(near)})             # near dup of 7
+    near2 = rows[11]["text"].split()
+    near2[0], near2[30] = "yyy", "xxx"
+    rows.append({"doc_id": 102, "text": " ".join(near2)})            # near dup of 11
+    return rows
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return _mk_docs()
+
+
+@pytest.fixture(scope="module")
+def ds(docs):
+    return ray.data.from_items(docs)
+
+
+def _exact_jaccard(a: str, b: str, n=3) -> float:
+    sa = dedup._shingles(tokenize_simple(a), n)
+    sb = dedup._shingles(tokenize_simple(b), n)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_groups(ds, docs):
+    out = dedup.exact_dedup_groups(ds).to_pandas()
+    assert len(out) == len(docs) - 1  # one exact dup collapses
+    dup = out[out["dup_count"] > 1]
+    assert len(dup) == 1
+    assert int(dup["keep_doc_id"].iloc[0]) == 3  # deterministic first
+
+
+def test_exact_dedup_rows(ds, docs):
+    out = dedup.exact_dedup(ds).to_pandas()
+    assert len(out) == len(docs) - 1
+    assert 100 not in set(out["doc_id"])
+    assert 3 in set(out["doc_id"])
+
+
+def test_minhash_finds_planted_near_dups(ds, docs):
+    out = dedup.minhash_near_dups(ds, threshold=0.5, num_perm=64, bands=16)
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (3, 100) in pairs   # exact dup -> jaccard 1
+    assert (7, 101) in pairs   # near dup
+    assert (11, 102) in pairs
+    # verified jaccard values are exact (no LSH false positives)
+    bytext = {d["doc_id"]: d["text"] for d in docs}
+    for _, r in out.iterrows():
+        want = _exact_jaccard(bytext[r["doc_a"]], bytext[r["doc_b"]])
+        assert abs(r["jaccard_e6"] / 1e6 - want) < 2e-6
+        assert want >= 0.5
+
+
+def test_simhash_finds_planted_near_dups(ds):
+    out = dedup.simhash_near_dups(ds, max_hamming=3)
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (3, 100) in pairs  # identical text -> hamming 0
+    ham = dict(zip(zip(out["doc_a"], out["doc_b"]), out["hamming"]))
+    assert ham[(3, 100)] == 0
+    assert (out["hamming"] <= 3).all()
+
+
+def test_ngram_jaccard_pairs_match_bruteforce(ds, docs):
+    out = dedup.ngram_jaccard_pairs(ds, n=3, threshold=0.4)
+    bytext = {d["doc_id"]: d["text"] for d in docs}
+    # brute force over all pairs
+    ids = sorted(bytext)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = _exact_jaccard(bytext[a], bytext[b])
+            if j >= 0.4:
+                want[(a, b)] = j
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard_e6"] / 1e6 for _, r in out.iterrows()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 2e-6
+
+
+def test_frequent_shingle_cutoff():
+    """max_group drops pairs from hot shingles (the skew guard)."""
+    rows = [{"doc_id": i, "text": "same same same same same"} for i in range(10)]
+    ds = ray.data.from_items(rows)
+    full = dedup.ngram_jaccard_pairs(ds, n=3)
+    capped = dedup.ngram_jaccard_pairs(ds, n=3, max_group=5)
+    assert len(full) == 45  # all pairs (identical docs)
+    assert len(capped) == 0

@@ -1,0 +1,88 @@
+"""Similarity-search semantics: brute-force exactness, IVF recall,
+embedding near-dup, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from information_retrieval_images_ray.pipelines import multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def emb_rows():
+    rng = np.random.default_rng(42)
+    # 8 clusters of 25 vectors each, dim 16 -> clear neighborhood structure
+    rows = []
+    vid = 0
+    for c in range(8):
+        center = rng.normal(size=16)
+        center /= np.linalg.norm(center)
+        for _ in range(25):
+            v = center + 0.25 * rng.normal(size=16)
+            rows.append({"vec_id": vid, "embedding": v.astype(np.float32).tolist(), "label": c})
+            vid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb_ds(emb_rows):
+    return ray.data.from_items(emb_rows)
+
+
+def _brute(emb_rows, q, k):
+    m = np.stack([np.asarray(r["embedding"], np.float64) for r in emb_rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = m @ qn
+    ids = np.array([r["vec_id"] for r in emb_rows])
+    order = np.lexsort((ids, -sims))[:k]
+    return [int(ids[i]) for i in order]
+
+
+def test_knn_bruteforce_exact(emb_ds, emb_rows):
+    q = np.asarray(emb_rows[0]["embedding"], np.float64)
+    out = similarity.knn_bruteforce(emb_ds, q[None, :], k=10)
+    got = list(out.sort_values("rank")["vec_id"])
+    assert got == _brute(emb_rows, q, 10)
+    assert out["sim_e6"].iloc[0] == 1_000_000  # self-match first
+
+
+def test_ivf_recall(emb_ds, emb_rows):
+    qs = np.stack([np.asarray(emb_rows[i]["embedding"], np.float64) for i in (0, 50, 120)])
+    exact = similarity.knn_bruteforce(emb_ds, qs, k=10)
+    approx = similarity.ivf_knn(emb_ds, qs, k=10, nlist=8, nprobe=3)
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact["qid"] == qi]["vec_id"])
+        a = set(approx[approx["qid"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8  # clustered data, 3/8 probes
+
+
+def test_embedding_near_dups_blocked(emb_ds):
+    out = similarity.embedding_near_dups(emb_ds, threshold=0.9, block_col="label")
+    assert len(out) > 0
+    assert (out["sim_e6"] >= 900_000 - 1).all()
+    assert (out["doc_a"] < out["doc_b"]).all()
+
+
+def test_multimodal_decode_and_features():
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": "x" * (10 + i * 37)} for i in range(20)]
+    )
+    blobs = multimodal.make_binary_corpus(docs)
+    decoded = multimodal.decode_pipeline(blobs).to_pandas()
+    assert len(decoded) == 20
+    assert (decoded["n_bytes"] == 10 + decoded["doc_id"] * 37).all()
+    assert (decoded["width"] == decoded["n_bytes"] % 97 + 16).all()
+    feats = multimodal.feature_pipeline(blobs).to_pandas()
+    assert len(feats) == 20
+    assert all(len(f) == 8 for f in feats["feature"])
+    # 'x' payload -> every histogram moment is ord('x')
+    assert all(abs(v - ord("x")) < 1e-9 for v in feats["feature"].iloc[0])
+
+
+def test_multimodal_real_decode_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeStage(decode="real")
