@@ -1,0 +1,259 @@
+#!/usr/bin/env python
+"""Benchmark driver for the Ray-Data inverted-index / BM25 engine.
+
+Default mode (what the per-round driver runs): one fresh Ray session at
+``$RAY_GRAFT_CPUS`` (default 32) CPUs, then
+
+  1. **code-corpus headline** (BASELINE.json metric): deterministic
+     synthetic source-code corpus (``$IRI_BENCH_DOCS`` files, default
+     40_000; generation is cached and untimed) -> dense doc_id
+     assignment (one range-partitioned sort) -> full index build
+     (tokenize -> explode -> df -> per-shard posting segments) ->
+     query battery: p50/p99 single-query latency (driver-side reader,
+     state loaded once) + batch throughput via the QueryScorer actor
+     pool.
+  2. **documents flagship** over ``$GRAFT_SF_DIR`` (default
+     /root/testdata/sf0.1): fresh build of the documents-table index +
+     the frozen 8-query battery through the actor pool.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {phase: sec, ...}, "sf": ..., "num_cpus": N,
+   "files_per_sec": ..., "query_p50_ms": ..., "query_p99_ms": ...}
+
+``--scaling``: runs the code-corpus headline twice in FRESH child
+processes (``ray.init(num_cpus=8)`` then ``num_cpus=32``) on identical
+input and reports throughput at both plus scaling efficiency
+(= (thr_32/thr_8) / (32/8); north_rule target >= 0.8). Results are
+recorded in BASELINE.md.
+
+Only this script owns a Ray session (ray.init/ray.shutdown); the
+library never initialises Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("IRI_BENCH_DOCS", "40000"))
+BENCH_ROOT = "/tmp/iri_bench"
+N_LATENCY_QUERIES = 200
+
+
+def make_query_battery(n: int, seed: int = 7) -> list[dict]:
+    """Deterministic 1-3 term queries drawn from the corpus stem vocab
+    (Zipf-weighted like the corpus itself: hot + rare terms both hit)."""
+    import numpy as np
+
+    from information_retrieval_images_ray.corpus import _STEMS, _zipf_p
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for qid in range(n):
+        k = int(rng.integers(1, 4))
+        terms = [
+            _STEMS[int(i)]
+            for i in rng.choice(len(_STEMS), size=k, p=_zipf_p(len(_STEMS)))
+        ]
+        out.append({"qid": qid, "query": " ".join(terms)})
+    return out
+
+
+def bench_code_corpus(num_cpus: int, n_docs: int) -> dict:
+    """The north-star pipeline: build + query on the synthetic code
+    corpus. Returns phase timings + derived rates. Ray must already be
+    initialised."""
+    import numpy as np
+    import ray.data
+
+    from information_retrieval_images_ray.corpus import write_corpus
+    from information_retrieval_images_ray.pipelines.build import build_index
+    from information_retrieval_images_ray.pipelines.query import IndexReader, QueryScorer
+    from information_retrieval_images_ray.sources.corpus_source import (
+        assign_dense_doc_ids,
+        corpus_files,
+        read_code_corpus,
+    )
+
+    corpus_dir = os.path.join(BENCH_ROOT, f"corpus_{n_docs}")
+    write_corpus(corpus_dir, n_docs, seed=42, rows_per_file=2000)  # cached, untimed
+
+    run_dir = os.path.join(BENCH_ROOT, f"run_cpu{num_cpus}")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    ids_dir = os.path.join(run_dir, "corpus_ids")
+    index_dir = os.path.join(run_dir, "index")
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    ds = read_code_corpus(corpus_dir)
+    assign_dense_doc_ids(ds).write_parquet(ids_dir)
+    timings["assign_ids"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    build_index(
+        ray.data.read_parquet(ids_dir),
+        index_dir,
+        source_files=corpus_files(corpus_dir),
+        tokenizer="code",
+        num_shards=max(4, num_cpus // 2),
+        hot_df_threshold=max(1000, n_docs // 4),
+        salt_factor=8,
+        keep_staged=False,
+    )
+    timings["index_build"] = time.perf_counter() - t0
+
+    battery = make_query_battery(N_LATENCY_QUERIES)
+
+    # single-query latency: reader state loaded once, then per-query wall
+    t0 = time.perf_counter()
+    reader = IndexReader(index_dir)
+    timings["reader_load"] = time.perf_counter() - t0
+    lat = []
+    for q in battery:
+        tq = time.perf_counter()
+        reader.search_bmw(q["query"], k=10)
+        lat.append(time.perf_counter() - tq)
+    lat_arr = np.array(lat)
+    timings["query_battery_serial"] = float(lat_arr.sum())
+
+    # batch throughput through the actor pool
+    t0 = time.perf_counter()
+    n_hits = (
+        ray.data.from_items(battery)
+        .map_batches(
+            QueryScorer,
+            fn_constructor_kwargs={"index_dir": index_dir, "k": 10, "algo": "bmw"},
+            batch_format="pandas",
+            batch_size=32,
+            concurrency=max(2, num_cpus // 4),
+        )
+        .count()
+    )
+    timings["query_battery_pool"] = time.perf_counter() - t0
+
+    build_sec = timings["assign_ids"] + timings["index_build"]
+    return {
+        "timings": timings,
+        "n_docs": n_docs,
+        "n_hits": n_hits,
+        "files_per_sec": n_docs / build_sec,
+        "build_sec": build_sec,
+        "query_p50_ms": float(np.percentile(lat_arr, 50) * 1e3),
+        "query_p99_ms": float(np.percentile(lat_arr, 99) * 1e3),
+        "query_qps_pool": len(battery) / timings["query_battery_pool"],
+    }
+
+
+def bench_documents_flagship(sf_dir: str) -> dict:
+    """Fresh build + query of the driver's documents table (the shared
+    cross-round comparable)."""
+    from information_retrieval_images_ray.pipelines.flagship import (
+        documents_index_dir,
+        run_bm25_queries,
+    )
+
+    shutil.rmtree(documents_index_dir(sf_dir), ignore_errors=True)
+    t0 = time.perf_counter()
+    hits = run_bm25_queries(sf_dir, k=10, algo="bmw")
+    return {"documents_build_query": time.perf_counter() - t0, "rows": len(hits)}
+
+
+def run_once(num_cpus: int, sf_dir: str, n_docs: int, code_only: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    try:
+        code = bench_code_corpus(num_cpus, n_docs)
+        queries = {f"code_{k}": round(v, 4) for k, v in code["timings"].items()}
+        total = sum(code["timings"].values())
+        if not code_only:
+            docs = bench_documents_flagship(sf_dir)
+            queries["documents_build_query"] = round(docs["documents_build_query"], 4)
+            total += docs["documents_build_query"]
+        return {
+            "metric": "index-build files/sec + BM25 query p50/p99 (code corpus) "
+            "+ documents flagship build+query",
+            "value": round(total, 4),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "n_docs": n_docs,
+            "files_per_sec": round(code["files_per_sec"], 2),
+            "build_sec": round(code["build_sec"], 4),
+            "query_p50_ms": round(code["query_p50_ms"], 3),
+            "query_p99_ms": round(code["query_p99_ms"], 3),
+            "query_qps_pool": round(code["query_qps_pool"], 2),
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(sf_dir: str, n_docs: int, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    """North-rule scaling evidence: same job, fresh processes, N vs 4N
+    CPUs (sandbox stand-in for N vs 4N nodes)."""
+    results = {}
+    for cpus in (cpus_lo, cpus_hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), IRI_BENCH_DOCS=str(n_docs))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--code-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr_lo = results[cpus_lo]["files_per_sec"]
+    thr_hi = results[cpus_hi]["files_per_sec"]
+    eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)
+    return {
+        "metric": "scaling efficiency (files/sec, fresh ray sessions)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "sf": sf_dir,
+        "n_docs": n_docs,
+        "cpus": [cpus_lo, cpus_hi],
+        "files_per_sec": {str(cpus_lo): thr_lo, str(cpus_hi): thr_hi},
+        "speedup": round(thr_hi / thr_lo, 3),
+        "build_sec": {
+            str(cpus_lo): results[cpus_lo]["build_sec"],
+            str(cpus_hi): results[cpus_hi]["build_sec"],
+        },
+        "query_p50_ms": results[cpus_hi]["query_p50_ms"],
+        "query_p99_ms": results[cpus_hi]["query_p99_ms"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--code-only", action="store_true")
+    ap.add_argument("--n-docs", type=int, default=N_DOCS)
+    ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    args = ap.parse_args()
+
+    if args.scaling:
+        out = run_scaling(args.sf_dir, args.n_docs)
+    else:
+        out = run_once(args.num_cpus, args.sf_dir, args.n_docs, code_only=args.code_only)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,11 +49,17 @@ from ..functions.bm25 import BM25Params
 from ..stages.postings import (
     BLOCK_SIZE,
     encode_sub,
-    make_encode_final,
+    make_encode_bucket,
     make_merge_salted,
-)
+)  # (make_encode_final remains available in stages.postings for tests)
 from ..stages.tokenize import TokenizeStage, explode_postings
 from ..state.manifest import Manifest, fingerprint_files
+
+
+def segment_shard_dir(index_dir: str, shard: int) -> str:
+    """Hive-partitioned per-shard segment directory (the resumable
+    partition unit)."""
+    return os.path.join(index_dir, "segments", f"shard={shard}")
 
 
 def shard_bounds(n_docs_span: int, num_shards: int) -> list[int]:
@@ -76,6 +82,7 @@ class IndexBuildConfig(dict):
         block_size=BLOCK_SIZE,
         hot_df_threshold=1 << 30,  # effectively off unless set
         salt_factor=8,
+        num_buckets=64,  # term-hash buckets per encode group
         keep_staged=True,
     )
 
@@ -114,12 +121,15 @@ def build_index(
     # ---- phase: docterms (tokenize + content hash + stage) ------------------
     if not man.is_done("docterms", fp):
         _clean(docterms_dir)
+        # actor pool sized to the cluster so tokenize (the CPU-bound
+        # stage) never caps below available parallelism
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         source.map_batches(
             TokenizeStage,
             fn_constructor_kwargs={"tokenizer": cfg["tokenizer"]},
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, 8),
+            concurrency=(1, max(2, ncpu)),
         ).write_parquet(docterms_dir)
         rows = ray.data.read_parquet(docterms_dir).count()
         man.mark_done("docterms", input_fingerprint=fp, rows=rows)
@@ -205,43 +215,84 @@ def build_index(
     with open(hot_path) as f:
         hot_terms = set(json.load(f))
 
-    # ---- phase: per-shard posting segments ----------------------------------
+    # ---- phase: posting segments (ONE pipeline over pending shards) ---------
+    # All pending shards are encoded by a single streaming pipeline:
+    # groupby (shard, term-hash-bucket) -> per-bucket batch encode ->
+    # hive-partitioned write. One all-to-all exchange total, no
+    # per-shard sequential pipelines; resume granularity stays
+    # per-shard via the manifest + partitioned output dirs.
     avgdl = stats["avgdl"]
     salt_factor = cfg["salt_factor"]
+    nbuckets = cfg["num_buckets"]
     pending = [s for s in range(nsh) if not man.is_done(f"segment:{s}", fp)]
-    for s in pending:
-        seg_dir = os.path.join(segments_dir, f"shard_{s}")
-        _clean(seg_dir)
-        base = ray.data.read_parquet(
-            os.path.join(staged_dir, f"shard={s}"),
-            columns=["term", "doc_id", "tf", "dl"],
-        ).map_batches(
-            _add_shard_const(s), batch_format="pyarrow"
-        )
+    if pending:
+        os.makedirs(segments_dir, exist_ok=True)
+        for s in pending:
+            _clean(segment_shard_dir(index_dir, s))
+        if len(pending) == nsh:
+            st = ray.data.read_parquet(staged_dir)  # hive: shard column restored
+        else:
+            parts = [
+                ray.data.read_parquet(
+                    os.path.join(staged_dir, f"shard={s}"),
+                    columns=["term", "doc_id", "tf", "dl"],
+                ).map_batches(_add_shard_const(s), batch_format="pyarrow")
+                for s in pending
+            ]
+            st = parts[0]
+            for p in parts[1:]:
+                st = st.union(p)
+
+        import pandas as pd  # local: only for the stable vectorized hash
+
+        def tag_bucket(batch: pa.Table) -> pa.Table:
+            shard = batch["shard"].combine_chunks()
+            if pa.types.is_dictionary(shard.type):
+                shard = shard.dictionary_decode()
+            shard = shard.cast(pa.int32())
+            terms = batch["term"].to_pandas()
+            bucket = (
+                pd.util.hash_pandas_object(terms, index=False).to_numpy()
+                % np.uint64(nbuckets)
+            ).astype(np.int32)
+            return pa.table(
+                {
+                    "term": batch["term"],
+                    "doc_id": batch["doc_id"],
+                    "tf": batch["tf"],
+                    "dl": batch["dl"],
+                    "shard": shard,
+                    "bucket": pa.array(bucket, pa.int32()),
+                }
+            )
+
+        base = st.map_batches(tag_bucket, batch_format="pyarrow")
         if hot_terms:
-            hot_ref = hot_terms  # closure-captured; small stopword-like set
+            import pyarrow.compute as pc
 
-            def split_hot(batch: pa.Table, _hot=hot_ref):
-                mask = np.asarray(
-                    [t in _hot for t in batch["term"].to_pylist()], dtype=bool
+            hot_arr = pa.array(sorted(hot_terms), pa.string())
+
+            def cold_part(b: pa.Table) -> pa.Table:
+                return b.filter(pc.invert(pc.is_in(b["term"], value_set=hot_arr)))
+
+            def hot_part(b: pa.Table) -> pa.Table:
+                return _with_salt(
+                    b.filter(pc.is_in(b["term"], value_set=hot_arr)), salt_factor
                 )
-                return mask
 
-            cold = base.map_batches(
-                lambda b: b.filter(pa.array(~split_hot(b))), batch_format="pyarrow"
-            )
-            hot_ds = base.map_batches(
-                lambda b: _with_salt(b.filter(pa.array(split_hot(b))), salt_factor),
-                batch_format="pyarrow",
-            )
-            cold_seg = cold.groupby("term").map_groups(
-                make_encode_final(avgdl, params, cfg["block_size"]),
-                batch_format="pandas",
+            cold_seg = (
+                base.map_batches(cold_part, batch_format="pyarrow")
+                .groupby(["shard", "bucket"])
+                .map_groups(
+                    make_encode_bucket(avgdl, params, cfg["block_size"]),
+                    batch_format="pandas",
+                )
             )
             hot_seg = (
-                hot_ds.groupby(["term", "salt"])
+                base.map_batches(hot_part, batch_format="pyarrow")
+                .groupby(["shard", "term", "salt"])
                 .map_groups(encode_sub, batch_format="pandas")
-                .groupby("term")
+                .groupby(["shard", "term"])
                 .map_groups(
                     make_merge_salted(avgdl, params, cfg["block_size"]),
                     batch_format="pandas",
@@ -249,13 +300,23 @@ def build_index(
             )
             seg = cold_seg.union(hot_seg)
         else:
-            seg = base.groupby("term").map_groups(
-                make_encode_final(avgdl, params, cfg["block_size"]),
+            seg = base.groupby(["shard", "bucket"]).map_groups(
+                make_encode_bucket(avgdl, params, cfg["block_size"]),
                 batch_format="pandas",
             )
-        seg.write_parquet(seg_dir)
-        nterms = ray.data.read_parquet(seg_dir, columns=["term"]).count()
-        man.mark_done(f"segment:{s}", input_fingerprint=fp, terms=nterms)
+        seg.write_parquet(segments_dir, partition_cols=["shard"])
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        for s in pending:
+            nterms = sum(
+                pq.read_metadata(f).num_rows
+                for f in _glob.glob(
+                    os.path.join(segment_shard_dir(index_dir, s), "*.parquet")
+                )
+            )
+            man.mark_done(f"segment:{s}", input_fingerprint=fp, terms=nterms)
 
     # ---- phase: docmeta -----------------------------------------------------
     if not man.is_done("docmeta", fp):

@@ -90,13 +90,7 @@ def segment_summary(sf_dir: str) -> pd.DataFrame:
     reader = IndexReader(index_dir)
     rows = []
     for s, sh in enumerate(reader.shards):
-        rows.append(
-            (
-                s,
-                len(sh.terms),
-                int(sum(r["df_local"] for r in sh.terms.values())),
-            )
-        )
+        rows.append((s, sh.n_terms, sh.df_local_sum))
     return pd.DataFrame(rows, columns=["shard", "n_terms", "n_postings"]).astype("int64")
 
 

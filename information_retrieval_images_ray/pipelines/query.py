@@ -43,27 +43,60 @@ from ..functions.tokenizer import get_tokenizer
 
 
 class _ShardIndex:
-    """One doc-range shard: term -> posting row, plus local doc_lens."""
+    """One doc-range shard: lazy term -> posting-row access.
+
+    The segment table stays columnar (Arrow buffers; list columns held
+    as flat numpy values + offsets, zero-copy). Per-term row dicts are
+    materialized only for terms a query actually touches — at web
+    scale a query hits a handful of terms out of a vocab of millions,
+    so eager per-term dict building is both O(vocab) startup time and
+    O(vocab) python-object heap.
+    """
 
     def __init__(self, seg_dir: str, lo: int, hi: int):
         self.lo, self.hi = lo, hi
-        self.terms: dict[str, dict] = {}
+        self._idx: dict[str, int] = {}
         files = sorted(glob.glob(os.path.join(seg_dir, "*.parquet")))
         if not files:
+            self.n_terms = 0
+            self.df_local_sum = 0
             return
-        t = pa.concat_tables([pq.read_table(f) for f in files])
-        cols = {name: t[name].to_pylist() for name in t.column_names}
-        for i in range(t.num_rows):
-            self.terms[cols["term"][i]] = {
-                "df_local": cols["df_local"][i],
-                "docs": cols["docs"][i],
-                "tfs": cols["tfs"][i],
-                "block_last_doc": np.asarray(cols["block_last_doc"][i], dtype=np.uint64),
-                "block_doc_off": np.asarray(cols["block_doc_off"][i], dtype=np.int64),
-                "block_tf_off": np.asarray(cols["block_tf_off"][i], dtype=np.int64),
-                "block_max_partial": np.asarray(cols["block_max_partial"][i], dtype=np.float64),
-                "max_partial": float(cols["max_partial"][i]),
-            }
+        t = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+        self._idx = {term: i for i, term in enumerate(t["term"].to_pylist())}
+        self._df_local = t["df_local"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self._docs = t["docs"].combine_chunks()
+        self._tfs = t["tfs"].combine_chunks()
+        self._lists = {}
+        for name, dtype in (
+            ("block_last_doc", np.uint64),
+            ("block_doc_off", np.int64),
+            ("block_tf_off", np.int64),
+            ("block_max_partial", np.float64),
+        ):
+            col = t[name].combine_chunks()
+            self._lists[name] = (
+                col.values.to_numpy(zero_copy_only=False).astype(dtype),
+                col.offsets.to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        self._max_partial = t["max_partial"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        self.n_terms = len(self._idx)
+        self.df_local_sum = int(self._df_local.sum())
+
+    def get(self, term: str) -> dict | None:
+        i = self._idx.get(term)
+        if i is None:
+            return None
+        row = {
+            "df_local": int(self._df_local[i]),
+            "docs": self._docs[i].as_py(),
+            "tfs": self._tfs[i].as_py(),
+            "max_partial": float(self._max_partial[i]),
+        }
+        for name, (flat, offs) in self._lists.items():
+            row[name] = flat[offs[i]: offs[i + 1]]
+        return row
 
 
 class IndexReader:
@@ -102,11 +135,10 @@ class IndexReader:
             ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             self.doc_len[ids] = t["doc_len"].to_numpy(zero_copy_only=False)
 
+        from .build import segment_shard_dir
+
         self.shards = [
-            _ShardIndex(
-                os.path.join(index_dir, "segments", f"shard_{s}"),
-                bounds[s], bounds[s + 1],
-            )
+            _ShardIndex(segment_shard_dir(index_dir, s), bounds[s], bounds[s + 1])
             for s in range(self.num_shards)
         ]
 
@@ -138,7 +170,7 @@ class IndexReader:
                 continue
             w = idf_fn(self.n_docs, df)
             for s, sh in enumerate(self.shards):
-                row = sh.terms.get(t)
+                row = sh.get(t)
                 if row is None:
                     continue
                 ids, tfs = self._decode_full(row)
@@ -173,7 +205,7 @@ class IndexReader:
         cursors = []
         for t in terms:
             df = self.df.get(t)
-            row = sh.terms.get(t)
+            row = sh.get(t)
             if not df or row is None:
                 continue
             w = idf_fn(self.n_docs, df)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..functions.bm25 import BM25Params
 from ..functions.codec import (
@@ -109,45 +110,135 @@ def decode_posting_blocks(docs: bytes, df: int, block_doc_off: np.ndarray,
 
 # ---- groupby callables ------------------------------------------------------
 
+# Explicit Arrow schema for final segment rows: plain list columns, so
+# every written Parquet file has an identical, portable schema (letting
+# Ray infer from pandas ndarray cells yields per-block tensor extension
+# types whose flavor depends on whether the arrays in that block happen
+# to share a shape — non-concatenable across files).
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("shard", pa.int32()),
+        ("df_local", pa.uint32()),
+        ("docs", pa.binary()),
+        ("tfs", pa.binary()),
+        ("block_last_doc", pa.list_(pa.uint64())),
+        ("block_doc_off", pa.list_(pa.uint32())),
+        ("block_tf_off", pa.list_(pa.uint32())),
+        ("block_max_partial", pa.list_(pa.float32())),
+        ("max_partial", pa.float32()),
+    ]
+)
+
+SUB_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("shard", pa.int32()),
+        ("n", pa.uint32()),
+        ("docs_sub", pa.binary()),
+        ("tfs_sub", pa.binary()),
+        ("dls_sub", pa.binary()),
+    ]
+)
+
+
+def _segment_table(term: str, shard: int, row: dict) -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "term": [term],
+            "shard": [shard],
+            "df_local": [int(row["df_local"])],
+            "docs": [row["docs"]],
+            "tfs": [row["tfs"]],
+            "block_last_doc": [row["block_last_doc"].tolist()],
+            "block_doc_off": [row["block_doc_off"].tolist()],
+            "block_tf_off": [row["block_tf_off"].tolist()],
+            "block_max_partial": [row["block_max_partial"].tolist()],
+            "max_partial": [float(row["max_partial"])],
+        },
+        schema=SEGMENT_SCHEMA,
+    )
+
+
 def make_encode_final(avgdl: float, params: BM25Params, block_size: int = BLOCK_SIZE):
     """map_groups fn for UNSALTED (term) groups -> final segment row."""
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
+    def fn(g: pd.DataFrame) -> pa.Table:
         row = encode_posting(
             g["doc_id"].to_numpy(np.uint64),
             g["tf"].to_numpy(np.uint64),
             g["dl"].to_numpy(np.uint64),
             avgdl, params, block_size,
         )
-        return pd.DataFrame([{"term": g["term"].iloc[0], "shard": np.int32(g["shard"].iloc[0]), **row}])
+        return _segment_table(g["term"].iloc[0], int(g["shard"].iloc[0]), row)
 
     return fn
 
 
-def encode_sub(g: pd.DataFrame) -> pd.DataFrame:
+def make_encode_bucket(avgdl: float, params: BM25Params, block_size: int = BLOCK_SIZE):
+    """map_groups fn for a (shard, bucket) group holding MANY terms.
+
+    Bucketing amortizes Ray's per-group dispatch over ~vocab/num_buckets
+    terms: one task sorts the bucket once by term and encodes each
+    term's slice in a tight loop. Output rows are identical to the
+    per-term ``make_encode_final`` path (same encode_posting), just
+    batched into one Arrow table.
+    """
+
+    def fn(g: pd.DataFrame) -> pa.Table:
+        shard = int(g["shard"].iloc[0])
+        terms = g["term"].to_numpy()
+        order = np.argsort(terms, kind="stable")
+        terms = terms[order]
+        doc_ids = g["doc_id"].to_numpy(np.uint64)[order]
+        tfs = g["tf"].to_numpy(np.uint64)[order]
+        dls = g["dl"].to_numpy(np.uint64)[order]
+        uniq, starts = np.unique(terms, return_index=True)
+        bounds = np.append(starts, len(terms))
+        out: dict[str, list] = {name: [] for name in SEGMENT_SCHEMA.names}
+        for i in range(len(uniq)):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            row = encode_posting(
+                doc_ids[s:e], tfs[s:e], dls[s:e], avgdl, params, block_size
+            )
+            out["term"].append(uniq[i])
+            out["shard"].append(shard)
+            out["df_local"].append(int(row["df_local"]))
+            out["docs"].append(row["docs"])
+            out["tfs"].append(row["tfs"])
+            out["block_last_doc"].append(row["block_last_doc"].tolist())
+            out["block_doc_off"].append(row["block_doc_off"].tolist())
+            out["block_tf_off"].append(row["block_tf_off"].tolist())
+            out["block_max_partial"].append(row["block_max_partial"].tolist())
+            out["max_partial"].append(float(row["max_partial"]))
+        return pa.Table.from_pydict(out, schema=SEGMENT_SCHEMA)
+
+    return fn
+
+
+def encode_sub(g: pd.DataFrame) -> pa.Table:
     """map_groups fn for SALTED (term, salt) groups -> sub-posting row."""
     order = np.argsort(g["doc_id"].to_numpy(np.uint64), kind="stable")
     ids = g["doc_id"].to_numpy(np.uint64)[order]
     tfs = g["tf"].to_numpy(np.uint64)[order]
     dls = g["dl"].to_numpy(np.uint64)[order]
-    return pd.DataFrame(
-        [
-            {
-                "term": g["term"].iloc[0],
-                "shard": np.int32(g["shard"].iloc[0]),
-                "n": np.uint32(len(ids)),
-                "docs_sub": encode_varbyte(delta_encode(ids)),
-                "tfs_sub": encode_varbyte(tfs),
-                "dls_sub": encode_varbyte(dls),
-            }
-        ]
+    return pa.Table.from_pydict(
+        {
+            "term": [g["term"].iloc[0]],
+            "shard": [int(g["shard"].iloc[0])],
+            "n": [len(ids)],
+            "docs_sub": [encode_varbyte(delta_encode(ids))],
+            "tfs_sub": [encode_varbyte(tfs)],
+            "dls_sub": [encode_varbyte(dls)],
+        },
+        schema=SUB_SCHEMA,
     )
 
 
 def make_merge_salted(avgdl: float, params: BM25Params, block_size: int = BLOCK_SIZE):
     """map_groups fn merging a term's salted sub-postings -> final row."""
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
+    def fn(g: pd.DataFrame) -> pa.Table:
         ids = np.concatenate(
             [delta_decode(decode_varbyte(buf, int(n)))
              for buf, n in zip(g["docs_sub"], g["n"])]
@@ -159,6 +250,6 @@ def make_merge_salted(avgdl: float, params: BM25Params, block_size: int = BLOCK_
             [decode_varbyte(buf, int(n)) for buf, n in zip(g["dls_sub"], g["n"])]
         )
         row = encode_posting(ids, tfs, dls, avgdl, params, block_size)
-        return pd.DataFrame([{"term": g["term"].iloc[0], "shard": np.int32(g["shard"].iloc[0]), **row}])
+        return _segment_table(g["term"].iloc[0], int(g["shard"].iloc[0]), row)
 
     return fn

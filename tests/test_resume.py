@@ -27,7 +27,7 @@ def _segment_content(index_dir, shard):
     import pyarrow.parquet as pq
 
     rows = {}
-    for f in sorted(glob.glob(os.path.join(index_dir, "segments", f"shard_{shard}", "*.parquet"))):
+    for f in sorted(glob.glob(os.path.join(index_dir, "segments", f"shard={shard}", "*.parquet"))):
         t = pq.read_table(f).to_pandas()
         for _, r in t.iterrows():
             rows[r["term"]] = (
@@ -59,7 +59,7 @@ def test_resume_recomputes_only_missing_shards(tmp_path):
     assert man["entries"]["segment:1"]["status"] == "done"
 
     # simulate a kill after shard 0 finished: drop shard 1's entry+files
-    shutil.rmtree(os.path.join(index_dir, "segments", "shard_1"))
+    shutil.rmtree(os.path.join(index_dir, "segments", "shard=1"))
     m = Manifest(path=man_path)
     with open(man_path) as f:
         m.data = json.load(f)
@@ -68,7 +68,7 @@ def test_resume_recomputes_only_missing_shards(tmp_path):
     mtimes_before = {
         f: os.path.getmtime(f)
         for s in (0, 2)
-        for f in glob.glob(os.path.join(index_dir, "segments", f"shard_{s}", "*.parquet"))
+        for f in glob.glob(os.path.join(index_dir, "segments", f"shard={s}", "*.parquet"))
     }
     _build(corpus_dir, index_dir)
 
