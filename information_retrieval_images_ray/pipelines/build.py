@@ -174,9 +174,9 @@ def build_index(
         dt = ray.data.read_parquet(
             docterms_dir, columns=["doc_id", "doc_len", "terms", "tfs"]
         )
-        dt.map_batches(explode_postings(shard_of), batch_format="pyarrow").write_parquet(
-            staged_dir, partition_cols=["shard"]
-        )
+        dt.map_batches(
+            explode_postings(shard_of), batch_format="pyarrow", batch_size=None
+        ).write_parquet(staged_dir, partition_cols=["shard"])
         man.mark_done("staged", input_fingerprint=fp)
 
     # ---- phase: termstats (global df) + hot-term set ------------------------
@@ -192,7 +192,7 @@ def build_index(
             return pa.table({"term": counts["term"], "n": counts["term_count"]})
 
         (
-            st.map_batches(partial_df, batch_format="pyarrow")
+            st.map_batches(partial_df, batch_format="pyarrow", batch_size=None)
             .groupby("term")
             .aggregate(Sum("n", alias_name="df"))
             .write_parquet(termstats_dir)
@@ -266,7 +266,7 @@ def build_index(
                 }
             )
 
-        base = st.map_batches(tag_bucket, batch_format="pyarrow")
+        base = st.map_batches(tag_bucket, batch_format="pyarrow", batch_size=None)
         if hot_terms:
             import pyarrow.compute as pc
 

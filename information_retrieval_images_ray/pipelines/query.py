@@ -191,8 +191,17 @@ class IndexReader:
             return []
         return rank_topk(np.concatenate(all_ids), np.concatenate(all_scores), k)
 
-    # -- block-max WAND -------------------------------------------------------
+    # -- block-max WAND (vectorized block-at-a-time variant) ------------------
     def search_bmw(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Block-max top-k (Ding & Suel BMW, windowed variant): the doc
+        space is swept in windows ending at the nearest block boundary
+        (skip pointer) among the live terms; a window whose summed
+        block-max upper bound cannot beat the heap threshold is skipped
+        WITHOUT decoding any postings; a surviving window is decoded and
+        scored fully-vectorized (numpy over <= block_size postings per
+        term), accumulating each doc's terms in sorted-term float64
+        order — bit-identical to search_taat, hence rank-identical to
+        the brute-force oracle."""
         terms = self._query_terms(query)
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
         for sh in self.shards:
@@ -202,149 +211,136 @@ class IndexReader:
 
     def _bmw_shard(self, sh: _ShardIndex, terms: list[str], k: int,
                    heap: list[tuple[float, int]]) -> None:
-        cursors = []
-        for t in terms:
-            df = self.df.get(t)
-            row = sh.get(t)
-            if not df or row is None:
-                continue
-            w = idf_fn(self.n_docs, df)
-            cursors.append(_Cursor(t, w, row, self.block_size))
+        cursors = [
+            _BlockCursor(t, idf_fn(self.n_docs, self.df[t]), row, self.block_size)
+            for t in terms
+            if self.df.get(t) and (row := sh.get(t)) is not None
+        ]  # `terms` is sorted -> cursors stay in sorted-term order
         if not cursors:
             return
         k1, b = self.params.k1, self.params.b
+        avgdl = self.avgdl
+        doc_len = self.doc_len
 
         while True:
             live = [c for c in cursors if not c.exhausted]
             if not live:
                 return
-            live.sort(key=lambda c: c.cur_doc)
             theta = heap[0][0] if len(heap) >= k else -np.inf
-            # pivot: first prefix whose summed term upper bounds beat theta
-            acc = 0.0
-            pivot = -1
-            for i, c in enumerate(live):
-                acc += c.max_score
-                if acc > theta:
-                    pivot = i
-                    break
-            if pivot == -1:
-                return  # no doc can beat theta in this shard
-            pivot_doc = live[pivot].cur_doc
-            # block-max refinement
-            ub = 0.0
-            for c in live[: pivot + 1]:
-                ub += c.block_max_score(pivot_doc)
+            if sum(c.max_score for c in live) <= theta:
+                return  # no remaining doc in this shard can beat theta
+            window_end = min(c.cur_block_last() for c in live)
+            ub = sum(c.cur_block_max() for c in live)
             if ub <= theta:
-                # safe skip: jump past the smallest block boundary
-                boundary = min(c.block_last(pivot_doc) for c in live[: pivot + 1])
-                target = max(boundary + 1, pivot_doc + 1)
-                # advance the cursor with the largest term bound (fewest
-                # postings moved is also fine; largest bound shrinks ub most)
-                live[0].next_geq(target)
+                # skip: nothing in (floor, window_end] can make top-k
+                for c in live:
+                    c.skip_to(window_end)
                 continue
-            if live[0].cur_doc == pivot_doc:
-                # all cursors up to pivot aligned -> full score, in
-                # sorted-term float64 order for TAAT bit-parity
-                aligned = [c for c in live if c.cur_doc == pivot_doc]
-                aligned.sort(key=lambda c: c.term)
-                score = 0.0
-                dl = self.doc_len[pivot_doc]
-                for c in aligned:
-                    tf = float(c.cur_tf())
-                    score += c.weight * (
-                        tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+            # score the window: decode each live term's slice, then
+            # accumulate per-doc in sorted-term order (== TAAT order)
+            slices = []
+            for c in live:
+                ids, tfs = c.take_upto(window_end)
+                if len(ids):
+                    slices.append((c.weight, ids, tfs))
+            if slices:
+                all_ids = (
+                    slices[0][1]
+                    if len(slices) == 1
+                    else np.unique(np.concatenate([s[1] for s in slices]))
+                )
+                scores = np.zeros(len(all_ids), dtype=np.float64)
+                for w, ids, tfs in slices:
+                    idx = np.searchsorted(all_ids, ids)
+                    tfs_f = tfs.astype(np.float64)
+                    dl = doc_len[ids.astype(np.int64)]
+                    scores[idx] += w * (
+                        tfs_f * (k1 + 1.0)
+                        / (tfs_f + k1 * (1.0 - b + b * dl / avgdl))
                     )
-                for c in aligned:
-                    c.advance()
-                entry = (score, -int(pivot_doc))
-                if len(heap) < k:
-                    heapq.heappush(heap, entry)
-                elif entry > heap[0]:
-                    heapq.heapreplace(heap, entry)
-            else:
-                live[0].next_geq(pivot_doc)
+                if len(heap) >= k:  # vectorized pre-filter vs current theta
+                    sel = scores > heap[0][0]
+                    all_ids, scores = all_ids[sel], scores[sel]
+                for doc, score in zip(all_ids, scores):
+                    entry = (float(score), -int(doc))
+                    if len(heap) < k:
+                        heapq.heappush(heap, entry)
+                    elif entry > heap[0]:
+                        heapq.heapreplace(heap, entry)
 
 
-class _Cursor:
-    """Posting cursor with lazy per-block decode + skip pointers."""
+class _BlockCursor:
+    """Block-granular posting cursor: lazy per-block decode, skip
+    pointers (block_last_doc), per-block score upper bounds."""
 
-    __slots__ = ("term", "weight", "row", "bs", "nblocks", "bi", "pos",
-                 "ids", "tfs", "exhausted", "max_score")
+    __slots__ = ("term", "weight", "row", "nblocks", "bi", "pos",
+                 "ids", "tfs", "floor", "exhausted", "max_score")
 
     def __init__(self, term: str, weight: float, row: dict, block_size: int):
         self.term = term
         self.weight = weight
         self.row = row
-        self.bs = block_size
         self.nblocks = len(row["block_last_doc"])
-        self.bi = -1
-        self.exhausted = False
-        self.max_score = weight * row["max_partial"]
-        self._load_block(0)
-
-    def _load_block(self, bi: int) -> None:
-        if bi >= self.nblocks:
-            self.exhausted = True
-            self.ids = None
-            return
-        self.bi = bi
-        row = self.row
-        doc_off = row["block_doc_off"]
-        tf_off = row["block_tf_off"]
-        gaps = decode_varbyte(row["docs"][doc_off[bi]: doc_off[bi + 1]])
-        self.ids = np.cumsum(gaps, dtype=np.uint64)
-        self.tfs = decode_varbyte(row["tfs"][tf_off[bi]: tf_off[bi + 1]])
+        self.bi = 0
+        self.ids = None  # decoded current block (lazy)
+        self.tfs = None
         self.pos = 0
+        self.floor = -1  # docs <= floor are pruned/consumed
+        self.exhausted = self.nblocks == 0
+        self.max_score = weight * row["max_partial"]
 
-    @property
-    def cur_doc(self) -> int:
-        if self.exhausted:
-            return 1 << 62
-        return int(self.ids[self.pos])
-
-    def cur_tf(self) -> int:
-        return int(self.tfs[self.pos])
-
-    def advance(self) -> None:
-        self.pos += 1
-        if self.pos >= len(self.ids):
-            self._load_block(self.bi + 1)
-
-    def next_geq(self, target: int) -> None:
-        if self.exhausted:
-            return
-        last = self.row["block_last_doc"]
-        if last[self.bi] < target:
-            nbi = int(np.searchsorted(last, np.uint64(target), side="left"))
-            self._load_block(nbi)
-            if self.exhausted:
-                return
-        self.pos = int(np.searchsorted(self.ids, np.uint64(target), side="left"))
-        if self.pos >= len(self.ids):  # defensive; block_last guarantees not
-            self._load_block(self.bi + 1)
-
-    def block_last(self, _doc: int) -> int:
-        """Last doc_id of the current block (skip boundary)."""
-        if self.exhausted:
-            return 1 << 62
+    def cur_block_last(self) -> int:
         return int(self.row["block_last_doc"][self.bi])
 
-    def block_max_score(self, doc: int) -> float:
-        """Upper-bound score of this term for docs <= its block covering
-        ``doc`` (cursor is positioned at the first doc >= previous
-        targets; the block containing candidates for ``doc`` is the
-        current block when cur_doc >= doc... conservative: use the block
-        that would contain ``doc``)."""
-        if self.exhausted:
-            return 0.0
-        last = self.row["block_last_doc"]
+    def cur_block_max(self) -> float:
+        return self.weight * float(self.row["block_max_partial"][self.bi])
+
+    def _advance_block(self) -> None:
+        self.bi += 1
+        self.ids = None
+        self.tfs = None
+        self.pos = 0
+        if self.bi >= self.nblocks:
+            self.exhausted = True
+
+    def skip_to(self, boundary: int) -> None:
+        """Prune all docs <= boundary (no decode needed)."""
+        self.floor = max(self.floor, boundary)
+        while not self.exhausted and self.cur_block_last() <= self.floor:
+            self._advance_block()
+
+    def _decode(self) -> None:
+        row = self.row
         bi = self.bi
-        if last[bi] < doc:
-            bi = int(np.searchsorted(last, np.uint64(doc), side="left"))
-            if bi >= self.nblocks:
-                return 0.0
-        return self.weight * float(self.row["block_max_partial"][bi])
+        doc_off = row["block_doc_off"]
+        tf_off = row["block_tf_off"]
+        gaps = decode_varbyte(row["docs"][int(doc_off[bi]): int(doc_off[bi + 1])])
+        self.ids = np.cumsum(gaps, dtype=np.uint64)
+        self.tfs = decode_varbyte(row["tfs"][int(tf_off[bi]): int(tf_off[bi + 1])])
+        self.pos = 0
+
+    def take_upto(self, boundary: int) -> tuple[np.ndarray, np.ndarray]:
+        """Consume and return (ids, tfs) with floor < doc <= boundary
+        from the current block; advances past the block if drained."""
+        if self.exhausted:
+            return _EMPTY_U64, _EMPTY_U64
+        if self.ids is None:
+            self._decode()
+        start = self.pos
+        if self.floor >= 0 and start < len(self.ids):
+            start = max(
+                start,
+                int(np.searchsorted(self.ids, np.uint64(self.floor), side="right")),
+            )
+        end = int(np.searchsorted(self.ids, np.uint64(boundary), side="right"))
+        out = (self.ids[start:end], self.tfs[start:end])
+        self.pos = end
+        if end >= len(self.ids):
+            self._advance_block()
+        return out
+
+
+_EMPTY_U64 = np.empty(0, dtype=np.uint64)
 
 
 class QueryScorer:

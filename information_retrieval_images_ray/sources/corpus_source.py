@@ -92,16 +92,23 @@ def assign_dense_doc_ids(
     # C-string semantics and silently truncates at \x00.
     sep = "\x01"
 
+    import pyarrow.compute as pc
+
     def make_key(batch: pa.Table) -> pa.Table:
-        cols = [batch[c].to_pylist() for c in key_cols]
-        keys = [sep.join("" if v is None else str(v) for v in row) for row in zip(*cols)]
-        return batch.append_column("_sort_key", pa.array(keys, pa.string()))
+        parts = [
+            pc.coalesce(batch[c].cast(pa.string()), pa.scalar("", pa.string()))
+            for c in key_cols
+        ]
+        keys = pc.binary_join_element_wise(*parts, sep)
+        return batch.append_column("_sort_key", keys)
 
-    keyed = ds.map_batches(make_key, batch_format="pyarrow")
-
-    # 1. boundaries from a sample (deterministic seed)
-    sample = keyed.select_columns(["_sort_key"]).random_sample(
-        min(1.0, 20_000 / max(1, ds.count())), seed=42
+    # 1. boundaries from a sample — key columns ONLY (content never read
+    #    here), deterministic seed
+    sample = (
+        ds.select_columns(list(key_cols))
+        .map_batches(make_key, batch_format="pyarrow", batch_size=None)
+        .select_columns(["_sort_key"])
+        .random_sample(min(1.0, 20_000 / max(1, ds.count())), seed=42)
     )
     keys = sorted(r["_sort_key"] for r in sample.take_all())
     if not keys:
@@ -114,11 +121,16 @@ def assign_dense_doc_ids(
     bounds_arr = np.array(bounds, dtype=object)
 
     def tag(batch: pa.Table) -> pa.Table:
+        batch = make_key(batch)
         k = np.array(batch["_sort_key"].to_pylist(), dtype=object)
         pid = np.searchsorted(bounds_arr, k, side="right").astype(np.int32)
         return batch.append_column("_pid", pa.array(pid, pa.int32()))
 
-    tagged = keyed.map_batches(tag, batch_format="pyarrow")
+    # 2. one full pass: tag rows and pin the tagged corpus in the object
+    #    store (spillable) so sizing + the rank shuffle don't re-read and
+    #    re-key the source — one storage read total for the whole
+    #    assignment, matching what a distributed sort materializes anyway
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None).materialize()
 
     # 3. partition sizes via per-batch partials (pre-aggregated combiner)
     def partial_counts(batch: pa.Table) -> pa.Table:
@@ -128,7 +140,8 @@ def assign_dense_doc_ids(
     from ray.data.aggregate import Sum
 
     sizes = (
-        tagged.map_batches(partial_counts, batch_format="pyarrow")
+        tagged.select_columns(["_pid"])
+        .map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
         .groupby("_pid")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
