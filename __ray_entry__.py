@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from information_retrieval_images_ray.pipelines import (
         analysis,
         dedup,
+        evaluation,
         flagship,
         multimodal,
         relational,
@@ -99,6 +100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_multimodal_features": lambda sf: multimodal.feature_pipeline(
             multimodal.make_binary_corpus(docs(sf))
         ),
+        # -- evaluation harness (G2-G5: P/R/F1, MAP, overlap@k) --------------
+        "q_token_prf": lambda sf: evaluation.token_prf_documents(sf),
+        "q_map_at_k": lambda sf: evaluation.map_at_k_documents(sf, k=10),
+        "q_overlap_topk": lambda sf: evaluation.overlap_documents(sf, k=10),
         # -- relational shapes (J1-J4, G1-G7, T1-T2, §2.9 windows) -----------
         "q_top_orders": lambda sf: relational.top_orders_hydrated(sf),
         "q_customers_without_orders": lambda sf: relational.customers_without_big_orders(sf),
@@ -113,7 +118,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL
 
 
-def _bm25_sql() -> str:
+def _bm25_cte_body() -> str:
+    """Shared WITH-body: frozen query battery -> tokenized corpus ->
+    tf/df/dl/stats -> BM25 ``scored`` -> ``ranked``. Reused by the
+    top-k, MAP and overlap oracles."""
     from information_retrieval_images_ray.functions.tokenizer import tokenize_simple
     from information_retrieval_images_ray.pipelines.flagship import BM25_QUERIES
 
@@ -122,8 +130,7 @@ def _bm25_sql() -> str:
         for t in sorted(set(tokenize_simple(q["query"]))):
             vals.append(f"({q['qid']}, '{t}')")
     values = ", ".join(vals)
-    return f"""
-WITH queries(qid, term) AS (VALUES {values}),
+    return f"""queries(qid, term) AS (VALUES {values}),
 tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
 tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, CAST(len({TOK_SQL}) AS DOUBLE) AS dl FROM documents),
@@ -141,7 +148,12 @@ scored AS (
   GROUP BY 1, 2),
 ranked AS (SELECT qid, doc_id, score,
                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
-           FROM scored)
+           FROM scored)"""
+
+
+def _bm25_sql() -> str:
+    return f"""
+WITH {_bm25_cte_body()}
 SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
        CAST(doc_id AS BIGINT) AS doc_id,
        CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS score_e6
@@ -149,10 +161,89 @@ FROM ranked WHERE rnk <= 10
 """
 
 
+def _map_at_k_sql() -> str:
+    """AP@10 per query: relevance = docs containing ALL query terms;
+    precision accumulated at each relevant rank; denominator
+    min(n_rel, 10) (reference MAP.py:1-18 semantics)."""
+    return f"""
+WITH {_bm25_cte_body()},
+nq AS (SELECT qid, count(DISTINCT term) AS nt FROM queries GROUP BY 1),
+relc AS (SELECT q.qid, tf.doc_id, count(DISTINCT tf.term) AS c
+         FROM queries q JOIN tf ON tf.term = q.term GROUP BY 1, 2),
+rel AS (SELECT relc.qid, relc.doc_id FROM relc JOIN nq ON nq.qid = relc.qid
+        WHERE relc.c = nq.nt),
+nrel AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY 1),
+hits AS (SELECT qid, rnk, doc_id FROM ranked WHERE rnk <= 10),
+flag AS (SELECT h.qid, h.rnk,
+                CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+         FROM hits h LEFT JOIN rel r ON r.qid = h.qid AND r.doc_id = h.doc_id),
+prec AS (SELECT qid, rnk, is_rel,
+                sum(is_rel) OVER (PARTITION BY qid ORDER BY rnk) * 1.0 / rnk AS p_at
+         FROM flag),
+ap AS (SELECT qid, sum(CASE WHEN is_rel = 1 THEN p_at ELSE 0 END) AS ap_sum
+       FROM prec GROUP BY 1),
+allq AS (SELECT DISTINCT qid FROM queries)
+SELECT CAST(allq.qid AS BIGINT) AS qid,
+       CAST(coalesce(nrel.n_rel, 0) AS BIGINT) AS n_rel,
+       CAST(FLOOR((CASE WHEN coalesce(least(nrel.n_rel, 10), 0) > 0
+             THEN coalesce(ap.ap_sum, 0) / least(nrel.n_rel, 10)
+             ELSE 0.0 END) * 1000000 + 0.5) AS BIGINT) AS ap_e6
+FROM allq
+LEFT JOIN nrel ON nrel.qid = allq.qid
+LEFT JOIN ap ON ap.qid = allq.qid
+"""
+
+
+def _overlap_topk_sql() -> str:
+    """overlap@10 between the BM25 ranking and a tf-only ranking
+    (reference evaluate_top_n_similarity, post_test_score.py:34-79)."""
+    return f"""
+WITH {_bm25_cte_body()},
+tfq AS (SELECT q.qid, tf.doc_id, sum(tf.tf) AS tfsum
+        FROM queries q JOIN tf ON tf.term = q.term GROUP BY 1, 2),
+tfr AS (SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY tfsum DESC, doc_id) AS rnk
+        FROM tfq),
+a AS (SELECT qid, doc_id FROM ranked WHERE rnk <= 10),
+b AS (SELECT qid, doc_id FROM tfr WHERE rnk <= 10),
+c AS (SELECT a.qid, count(*) AS common
+      FROM a JOIN b ON a.qid = b.qid AND a.doc_id = b.doc_id GROUP BY 1),
+allq AS (SELECT DISTINCT qid FROM queries)
+SELECT CAST(allq.qid AS BIGINT) AS qid,
+       CAST(coalesce(c.common, 0) AS BIGINT) AS common,
+       CAST(FLOOR(coalesce(c.common, 0) * 1.0 / 10 * 1000000 + 0.5) AS BIGINT) AS overlap_e6
+FROM allq LEFT JOIN c ON c.qid = allq.qid
+"""
+
+
+def _token_prf_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id,
+    list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ref,
+    list_distinct(regexp_extract_all(lower(substr(text, 1, length(text) // 2)), '[a-z0-9]+')) AS cand
+  FROM documents),
+m AS (SELECT doc_id, len(ref) AS nref, len(cand) AS ncand,
+             len(list_filter(cand, x -> list_contains(ref, x))) AS tp FROM t),
+pr AS (SELECT doc_id,
+              CASE WHEN ncand = 0 THEN 0.0 ELSE tp * 1.0 / ncand END AS p,
+              CASE WHEN nref = 0 THEN 0.0 ELSE tp * 1.0 / nref END AS r
+       FROM m)
+SELECT doc_id,
+       CAST(FLOOR(p * 1000000 + 0.5) AS BIGINT) AS precision_e6,
+       CAST(FLOOR(r * 1000000 + 0.5) AS BIGINT) AS recall_e6,
+       CAST(FLOOR((CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END)
+            * 1000000 + 0.5) AS BIGINT) AS f1_e6
+FROM pr
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     return {
         "q_bm25_topk": _bm25_sql(),
+        "q_map_at_k": _map_at_k_sql(),
+        "q_overlap_topk": _overlap_topk_sql(),
+        "q_token_prf": _token_prf_sql(),
         "q_index_segments": f"""
 WITH pairs AS (SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term FROM documents),
 spans AS (SELECT max(doc_id) + 1 AS span FROM documents)

@@ -249,7 +249,12 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.scaling:
-        out = run_scaling(args.sf_dir, args.n_docs)
+        # scaling runs use a larger corpus so parallel work dominates
+        # fixed pipeline-startup overhead (unless --n-docs was given)
+        n = args.n_docs if args.n_docs != N_DOCS else int(
+            os.environ.get("IRI_SCALING_DOCS", "100000")
+        )
+        out = run_scaling(args.sf_dir, n)
     else:
         out = run_once(args.num_cpus, args.sf_dir, args.n_docs, code_only=args.code_only)
     print(json.dumps(out))

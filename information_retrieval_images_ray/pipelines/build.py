@@ -131,7 +131,7 @@ def build_index(
             zero_copy_batch=True,
             concurrency=(1, max(2, ncpu)),
         ).write_parquet(docterms_dir)
-        rows = ray.data.read_parquet(docterms_dir).count()
+        rows = _parquet_rows(docterms_dir)  # metadata-only, no Ray execution
         man.mark_done("docterms", input_fingerprint=fp, rows=rows)
 
     # ---- phase: stats -------------------------------------------------------
@@ -197,14 +197,20 @@ def build_index(
             .aggregate(Sum("n", alias_name="df"))
             .write_parquet(termstats_dir)
         )
-        tdf = ray.data.read_parquet(termstats_dir)
-        vocab = tdf.count()
-        hot = [
-            r["term"]
-            for r in tdf.filter(
-                expr=f"df > {int(cfg['hot_df_threshold'])}"
-            ).take_all()
-        ]
+        # Hot-term extraction: driver-side filtered read of the term
+        # stats we just wrote. The filter pushes down to parquet row
+        # groups; at 10^12-file scale this becomes a distributed
+        # ds.filter(df > thr).take_all() — the hot set itself is tiny
+        # (stopword-like terms) either way.
+        import pyarrow.dataset as pads
+
+        tds = pads.dataset(termstats_dir, format="parquet")
+        vocab = tds.count_rows()
+        hot_tbl = tds.to_table(
+            columns=["term"],
+            filter=pads.field("df") > int(cfg["hot_df_threshold"]),
+        )
+        hot = hot_tbl["term"].to_pylist()
         with open(hot_path, "w") as f:
             json.dump(sorted(hot), f)
         stats["vocab_size"] = vocab
@@ -345,6 +351,18 @@ def build_index(
 def _clean(path: str) -> None:
     if os.path.exists(path):
         shutil.rmtree(path)
+
+
+def _parquet_rows(path: str) -> int:
+    """Total row count from parquet footers (no data read)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
 
 
 def _add_shard_const(s: int):

@@ -1,0 +1,218 @@
+"""Evaluation-harness pipelines: the Ray-native re-expression of the
+reference's metric scripts (SURVEY.md §2.5 G2-G5):
+
+- token-set precision/recall/F1  (/root/reference/caption_generator_post.py:11-27)
+- average precision + MAP        (/root/reference/MAP.py:1-31)
+- overlap@k of two ranked lists  (/root/reference/post_test_score.py:34-79)
+
+The reference compares two caption models' outputs; our engine compares
+two *retrieval configurations* over the same corpus — BM25 top-k vs a
+tf-only ranking — and token sets of a truncated candidate vs the full
+document. Everything is deterministic and (apart from the index build)
+SQL-expressible, so each op has a DuckDB oracle in __ray_entry__.py.
+
+Scale notes: per-doc metrics are embarrassingly parallel map_batches;
+ranked-list evaluation touches only qids x k rows (driver-side merge is
+O(k) like the reference's per-query loop, post_test_score.py:43-66);
+the tf-only ranking uses per-batch partial top-k + tiny driver merge —
+no global sort of scores.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.tokenizer import get_tokenizer
+from .analysis import e6
+
+
+# ---------------------------------------------------------------------------
+def token_prf(ds: ray.data.Dataset, tokenizer: str = "simple") -> ray.data.Dataset:
+    """Per-doc token-set precision/recall/F1 of a truncated candidate
+    (first half of the text, by characters) against the full text
+    (reference: calculate_precision_recall over gemini-vs-reference
+    token sets, caption_generator_post.py:11-27)."""
+    tok = get_tokenizer(tokenizer)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        prec, rec, f1 = [], [], []
+        for text in batch["text"].to_pylist():
+            text = text or ""
+            ref = set(tok(text))
+            cand = set(tok(text[: len(text) // 2]))
+            tp = len(cand & ref)
+            p = tp / len(cand) if cand else 0.0
+            r = tp / len(ref) if ref else 0.0
+            f = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+            prec.append(p)
+            rec.append(r)
+            f1.append(f)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "precision_e6": pa.array(e6(np.array(prec)), pa.int64()),
+                "recall_e6": pa.array(e6(np.array(rec)), pa.int64()),
+                "f1_e6": pa.array(e6(np.array(f1)), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+def _query_term_sets(queries, tokenizer: str) -> dict[int, list[str]]:
+    tok = get_tokenizer(tokenizer)
+    return {q["qid"]: sorted(set(tok(q["query"]))) for q in queries}
+
+
+def conjunctive_matches(
+    ds: ray.data.Dataset, qterms: dict[int, list[str]], tokenizer: str = "simple"
+) -> pd.DataFrame:
+    """(qid, doc_id) for docs containing ALL of a query's terms — the
+    relevance oracle for rank-aware metrics. Distributed containment
+    scan; only matching pairs leave the map task."""
+    tok = get_tokenizer(tokenizer)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        qids, dids = [], []
+        doc_ids = batch["doc_id"].to_pylist()
+        for i, text in enumerate(batch["text"].to_pylist()):
+            toks = set(tok(text or ""))
+            for qid, terms in qterms.items():
+                if terms and all(t in toks for t in terms):
+                    qids.append(qid)
+                    dids.append(doc_ids[i])
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    return out
+
+
+def average_precision_at_k(
+    hits: pd.DataFrame, rel: pd.DataFrame, qids: list[int], k: int = 10
+) -> pd.DataFrame:
+    """Per-query (qid, n_rel, ap_e6): AP@k with precision accumulated at
+    each relevant rank (reference calculate_average_precision,
+    MAP.py:1-18), denominator min(n_rel, k)."""
+    rel_sets = {qid: set(g["doc_id"]) for qid, g in rel.groupby("qid")}
+    rows = []
+    for qid in qids:
+        rset = rel_sets.get(qid, set())
+        n_rel = len(rset)
+        ranked = hits[hits["qid"] == qid].sort_values("rank")
+        cum = 0
+        ap = 0.0
+        for r, doc in enumerate(ranked["doc_id"], start=1):
+            if doc in rset:
+                cum += 1
+                ap += cum / r
+        denom = min(n_rel, k)
+        ap = ap / denom if denom else 0.0
+        rows.append((qid, n_rel, int(e6(np.array([ap]))[0])))
+    return pd.DataFrame(rows, columns=["qid", "n_rel", "ap_e6"]).astype("int64")
+
+
+def tf_only_topk(
+    ds: ray.data.Dataset,
+    qterms: dict[int, list[str]],
+    k: int = 10,
+    tokenizer: str = "simple",
+) -> pd.DataFrame:
+    """Per-query top-k by summed raw tf, tie-break (tfsum desc, doc_id
+    asc). Per-batch partial top-k; the driver merges qids x k rows."""
+    tok = get_tokenizer(tokenizer)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        counters = [Counter(tok(t or "")) for t in batch["text"].to_pylist()]
+        qq, dd, ss = [], [], []
+        for qid, terms in qterms.items():
+            scored = []
+            for i, c in enumerate(counters):
+                s = sum(c[t] for t in terms)
+                if s > 0:
+                    scored.append((s, -doc_ids[i]))
+            for s, negd in heapq.nlargest(k, scored):
+                qq.append(qid)
+                dd.append(-negd)
+                ss.append(s)
+        return pa.table(
+            {
+                "qid": pa.array(qq, pa.int64()),
+                "doc_id": pa.array(dd, pa.int64()),
+                "tfsum": pa.array(ss, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    out = []
+    for qid in qterms:
+        g = parts[parts["qid"] == qid].sort_values(
+            ["tfsum", "doc_id"], ascending=[False, True]
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        out.append(g)
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["qid", "doc_id", "tfsum", "rank"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# sf_dir-level wrappers over the driver `documents` table
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def token_prf_documents(sf_dir: str) -> ray.data.Dataset:
+    return token_prf(_docs(sf_dir))
+
+
+def map_at_k_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """(qid, n_rel, ap_e6) for the frozen BM25 battery, relevance =
+    conjunctive term containment."""
+    from .flagship import BM25_QUERIES, run_bm25_queries
+
+    qterms = _query_term_sets(BM25_QUERIES, "simple")
+    hits = run_bm25_queries(sf_dir, k=k)[["qid", "rank", "doc_id"]]
+    rel = conjunctive_matches(_docs(sf_dir), qterms)
+    return average_precision_at_k(hits, rel, [q["qid"] for q in BM25_QUERIES], k)
+
+
+def overlap_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """(qid, common, overlap_e6) between BM25 top-k and tf-only top-k."""
+    from .flagship import BM25_QUERIES, run_bm25_queries
+
+    qterms = _query_term_sets(BM25_QUERIES, "simple")
+    bm = run_bm25_queries(sf_dir, k=k)
+    tf = tf_only_topk(_docs(sf_dir), qterms, k)
+    return overlap_topk(bm, tf, [q["qid"] for q in BM25_QUERIES], k)
+
+
+def overlap_topk(
+    bm25_hits: pd.DataFrame, tf_hits: pd.DataFrame, qids: list[int], k: int = 10
+) -> pd.DataFrame:
+    """Per-query overlap@k between the BM25 and tf-only rankings
+    (reference evaluate_top_n_similarity, post_test_score.py:34-79;
+    doc ids are unique per list so multiset pop == set intersect)."""
+    rows = []
+    for qid in qids:
+        a = set(bm25_hits[bm25_hits["qid"] == qid]["doc_id"])
+        b = set(tf_hits[tf_hits["qid"] == qid]["doc_id"])
+        common = len(a & b)
+        rows.append((qid, common, int(e6(np.array([common / k]))[0])))
+    return pd.DataFrame(rows, columns=["qid", "common", "overlap_e6"]).astype("int64")

@@ -1,0 +1,61 @@
+"""Unit semantics of the evaluation-harness metrics (reference
+MAP.py:1-31, post_test_score.py:34-79, caption_generator_post.py:11-27):
+AP rank-awareness, overlap counting, and edge cases (no relevant docs,
+empty rankings)."""
+
+import pandas as pd
+
+from information_retrieval_images_ray.pipelines.evaluation import (
+    average_precision_at_k,
+    overlap_topk,
+)
+
+
+def _hits(rows):
+    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id"])
+
+
+def test_ap_perfect_ranking():
+    hits = _hits([(1, 1, 10), (1, 2, 11), (1, 3, 12)])
+    rel = pd.DataFrame({"qid": [1, 1, 1], "doc_id": [10, 11, 12]})
+    out = average_precision_at_k(hits, rel, [1], k=10)
+    assert out.loc[0, "ap_e6"] == 1_000_000
+    assert out.loc[0, "n_rel"] == 3
+
+
+def test_ap_rank_position_matters():
+    rel = pd.DataFrame({"qid": [1], "doc_id": [10]})
+    first = average_precision_at_k(_hits([(1, 1, 10), (1, 2, 99)]), rel, [1])
+    last = average_precision_at_k(_hits([(1, 1, 99), (1, 2, 10)]), rel, [1])
+    assert first.loc[0, "ap_e6"] == 1_000_000  # prec@1 = 1
+    assert last.loc[0, "ap_e6"] == 500_000  # prec@2 = 1/2
+
+
+def test_ap_no_relevant_docs_is_zero():
+    out = average_precision_at_k(
+        _hits([(6, 1, 5)]), pd.DataFrame(columns=["qid", "doc_id"]), [6]
+    )
+    assert out.loc[0, "ap_e6"] == 0 and out.loc[0, "n_rel"] == 0
+
+
+def test_ap_denominator_capped_at_k():
+    # 20 relevant docs, k=10, all 10 hits relevant -> AP = 1.0, not 0.5
+    hits = _hits([(1, r, 100 + r) for r in range(1, 11)])
+    rel = pd.DataFrame({"qid": [1] * 20, "doc_id": list(range(101, 121))})
+    out = average_precision_at_k(hits, rel, [1], k=10)
+    assert out.loc[0, "n_rel"] == 20
+    assert out.loc[0, "ap_e6"] == 1_000_000
+
+
+def test_overlap_counts_shared_docs():
+    a = pd.DataFrame({"qid": [1] * 3, "doc_id": [1, 2, 3]})
+    b = pd.DataFrame({"qid": [1] * 3, "doc_id": [2, 3, 4]})
+    out = overlap_topk(a, b, [1], k=10)
+    assert out.loc[0, "common"] == 2
+    assert out.loc[0, "overlap_e6"] == 200_000
+
+
+def test_overlap_empty_lists():
+    empty = pd.DataFrame(columns=["qid", "doc_id"])
+    out = overlap_topk(empty, empty, [6], k=10)
+    assert out.loc[0, "common"] == 0 and out.loc[0, "overlap_e6"] == 0
