@@ -103,7 +103,9 @@ def bench_code_corpus(num_cpus: int, n_docs: int) -> dict:
         index_dir,
         source_files=corpus_files(corpus_dir),
         tokenizer="code",
-        num_shards=max(4, num_cpus // 2),
+        num_shards=16,  # FIXED across parallelism levels: the scaling
+        # comparison must build the identical index (shard count is an
+        # index-layout property, not a cluster property)
         hot_df_threshold=max(1000, n_docs // 4),
         salt_factor=8,
         keep_staged=False,
@@ -206,18 +208,28 @@ def run_once(num_cpus: int, sf_dir: str, n_docs: int, code_only: bool = False) -
 def run_scaling(sf_dir: str, n_docs: int, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
     """North-rule scaling evidence: same job, fresh processes, N vs 4N
     CPUs (sandbox stand-in for N vs 4N nodes)."""
+    import time
+
     results = {}
     for cpus in (cpus_lo, cpus_hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), IRI_BENCH_DOCS=str(n_docs))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--code-only"],
-            capture_output=True,
-            text=True,
-            env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
+        os.makedirs(BENCH_ROOT, exist_ok=True)
+        with open(os.path.join(BENCH_ROOT, f"scaling_cpu{cpus}.err"), "w") as errf:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--code-only"],
+                stdout=subprocess.PIPE,
+                stderr=errf,
+                text=True,
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
+        # full teardown between children: the prior session's raylet /
+        # plasma store lingers briefly after ray.shutdown() and skews
+        # the next measurement
+        subprocess.run(["ray", "stop", "--force"], capture_output=True)
+        time.sleep(10)
     thr_lo = results[cpus_lo]["files_per_sec"]
     thr_hi = results[cpus_hi]["files_per_sec"]
     eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)

@@ -121,15 +121,16 @@ def build_index(
     # ---- phase: docterms (tokenize + content hash + stage) ------------------
     if not man.is_done("docterms", fp):
         _clean(docterms_dir)
-        # actor pool sized to the cluster so tokenize (the CPU-bound
-        # stage) never caps below available parallelism
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        # STATELESS task pool: the tokenizer is module-level compiled
+        # regex, so tasks scale elastically with the cluster (an
+        # autoscaling actor pool with min=1 never ramps up for short
+        # stages; actor pools are reserved for stages with expensive
+        # per-worker state, e.g. the QueryScorer's index shards)
+        stage = TokenizeStage(tokenizer=cfg["tokenizer"])
         source.map_batches(
-            TokenizeStage,
-            fn_constructor_kwargs={"tokenizer": cfg["tokenizer"]},
+            stage,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, max(2, ncpu)),
         ).write_parquet(docterms_dir)
         rows = _parquet_rows(docterms_dir)  # metadata-only, no Ray execution
         man.mark_done("docterms", input_fingerprint=fp, rows=rows)
@@ -184,17 +185,41 @@ def build_index(
         _clean(termstats_dir)
         st = ray.data.read_parquet(staged_dir, columns=["term"])
 
+        import pandas as _pd
+
         def partial_df(batch: pa.Table) -> pa.Table:
-            arr = batch["term"]
-            counts = pa.TableGroupBy(pa.table({"term": arr}), "term").aggregate(
+            # per-block partial counts + int32 hash bucket, so the
+            # reduce exchange shuffles (vocab x blocks) rows keyed by a
+            # small int instead of sorting the full term-string stream
+            counts = pa.TableGroupBy(pa.table({"term": batch["term"]}), "term").aggregate(
                 [("term", "count")]
             )
-            return pa.table({"term": counts["term"], "n": counts["term_count"]})
+            terms = counts["term"].to_pandas()
+            pid = (
+                _pd.util.hash_pandas_object(terms, index=False).to_numpy()
+                % np.uint64(64)
+            ).astype(np.int32)
+            return pa.table(
+                {
+                    "term": counts["term"],
+                    "n": counts["term_count"],
+                    "pid": pa.array(pid, pa.int32()),
+                }
+            )
+
+        def reduce_df(g: _pd.DataFrame) -> pa.Table:
+            agg = g.groupby("term", sort=False)["n"].sum()
+            return pa.table(
+                {
+                    "term": pa.array(agg.index.to_numpy(), pa.string()),
+                    "df": pa.array(agg.to_numpy(np.int64), pa.int64()),
+                }
+            )
 
         (
             st.map_batches(partial_df, batch_format="pyarrow", batch_size=None)
-            .groupby("term")
-            .aggregate(Sum("n", alias_name="df"))
+            .groupby("pid")
+            .map_groups(reduce_df, batch_format="pandas")
             .write_parquet(termstats_dir)
         )
         # Hot-term extraction: driver-side filtered read of the term
