@@ -42,6 +42,35 @@ from ..functions.codec import decode_varbyte
 from ..functions.tokenizer import get_tokenizer
 
 
+def decode_all_blocks(row: dict, block_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a term's full (doc_ids, tfs) in O(1) numpy passes.
+
+    The doc stream is delta-encoded with a restart at every block (the
+    first value of each block is an absolute doc_id), so a single
+    cumsum over the whole gap stream over-counts every element of block
+    b by the gap total of all earlier blocks — which is exactly
+    ``cumsum[block_start - 1]``. That error is constant within each
+    block, so one vectorized subtraction fixes all blocks at once (no
+    per-block python loop; ~100x fewer numpy calls than per-block
+    decode on long postings)."""
+    df = int(row["df_local"])
+    gaps = decode_varbyte(row["docs"], df)
+    raw = np.cumsum(gaps, dtype=np.uint64)
+    n = len(raw)
+    if n > block_size:
+        starts = np.arange(block_size, n, block_size)
+        corr_vals = raw[starts - 1]
+        lens = np.diff(np.append(starts, n))
+        corr = np.concatenate(
+            [np.zeros(block_size, dtype=np.uint64), np.repeat(corr_vals, lens)]
+        )
+        ids = raw - corr
+    else:
+        ids = raw
+    tfs = decode_varbyte(row["tfs"], df)
+    return ids, tfs
+
+
 class _ShardIndex:
     """One doc-range shard: lazy term -> posting-row access.
 
@@ -54,15 +83,21 @@ class _ShardIndex:
     """
 
     def __init__(self, seg_dir: str, lo: int, hi: int):
+        import pyarrow.compute as pc
+
         self.lo, self.hi = lo, hi
-        self._idx: dict[str, int] = {}
         files = sorted(glob.glob(os.path.join(seg_dir, "*.parquet")))
         if not files:
             self.n_terms = 0
             self.df_local_sum = 0
+            self._terms = None
             return
-        t = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
-        self._idx = {term: i for i, term in enumerate(t["term"].to_pylist())}
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        # sort rows by term ONCE (C-speed); lookups are then O(log V)
+        # binary searches touching ~17 strings — no vocab-sized python
+        # dict is ever built, so reader/actor startup is O(bytes read)
+        t = t.take(pc.sort_indices(t["term"])).combine_chunks()
+        self._terms = t["term"].combine_chunks()
         self._df_local = t["df_local"].to_numpy(zero_copy_only=False).astype(np.int64)
         self._docs = t["docs"].combine_chunks()
         self._tfs = t["tfs"].combine_chunks()
@@ -81,22 +116,43 @@ class _ShardIndex:
         self._max_partial = t["max_partial"].to_numpy(zero_copy_only=False).astype(
             np.float64
         )
-        self.n_terms = len(self._idx)
+        self.n_terms = len(self._terms)
         self.df_local_sum = int(self._df_local.sum())
 
-    def get(self, term: str) -> dict | None:
-        i = self._idx.get(term)
-        if i is None:
+    def find(self, term: str) -> int | None:
+        """Binary search the sorted term column; row index or None."""
+        arr = self._terms
+        if arr is None:
             return None
-        row = {
+        lo, hi = 0, len(arr)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            v = arr[mid].as_py()
+            if v < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(arr) and arr[lo].as_py() == term:
+            return lo
+        return None
+
+    def df_local_at(self, i: int) -> int:
+        return int(self._df_local[i])
+
+    def row(self, i: int) -> dict:
+        out = {
             "df_local": int(self._df_local[i]),
             "docs": self._docs[i].as_py(),
             "tfs": self._tfs[i].as_py(),
             "max_partial": float(self._max_partial[i]),
         }
         for name, (flat, offs) in self._lists.items():
-            row[name] = flat[offs[i]: offs[i + 1]]
-        return row
+            out[name] = flat[offs[i]: offs[i + 1]]
+        return out
+
+    def get(self, term: str) -> dict | None:
+        i = self.find(term)
+        return None if i is None else self.row(i)
 
 
 class IndexReader:
@@ -117,17 +173,14 @@ class IndexReader:
         bounds = self.stats["shard_bounds"]
         self.num_shards = self.stats["num_shards"]
 
-        # global df dictionary (vocab-sized; pushdown-per-term at scale)
-        tdir = os.path.join(index_dir, "termstats")
-        tstats = pa.concat_tables(
-            [pq.read_table(f) for f in sorted(glob.glob(f"{tdir}/*.parquet"))]
-        )
-        self.df = dict(zip(tstats["term"].to_pylist(), tstats["df"].to_pylist()))
+        # NB: no global df table is loaded — exact global df(term) is
+        # the sum of per-shard df_local over this reader's shards (the
+        # shards partition the doc space), so startup cost stays
+        # O(index bytes), not O(vocab) python objects.
 
         # doc_len array, dense over the doc_id span
         span = self.stats["doc_id_span"]
         self.doc_len = np.zeros(span, dtype=np.float64)
-        self.sha = {}
         for f in sorted(
             glob.glob(os.path.join(index_dir, "docmeta", "**", "*.parquet"), recursive=True)
         ):
@@ -145,34 +198,37 @@ class IndexReader:
     # -- helpers --------------------------------------------------------------
     def _decode_full(self, row: dict) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, tfs) fully decoded for one term in one shard."""
-        df = int(row["df_local"])
-        ids = decode_varbyte(row["docs"], df)
-        bs = self.block_size
-        out = np.empty(df, dtype=np.uint64)
-        for i in range(len(row["block_doc_off"]) - 1):
-            s = i * bs
-            e = min(df, s + bs)
-            out[s:e] = np.cumsum(ids[s:e], dtype=np.uint64)
-        tfs = decode_varbyte(row["tfs"], df)
-        return out, tfs
+        return decode_all_blocks(row, self.block_size)
 
     def _query_terms(self, query: str) -> list[str]:
         return sorted(set(self.tokenize(query)))
+
+    def _term_infos(self, terms: list[str]) -> list[tuple[str, float, list[tuple[int, int]]]]:
+        """Per term: (term, idf weight, [(shard_idx, row_idx), ...]).
+        Global df = sum of per-shard df_local (exact; shards partition
+        the doc space). One binary-search probe per (term, shard)."""
+        infos = []
+        for t in terms:
+            locs = []
+            df = 0
+            for s, sh in enumerate(self.shards):
+                i = sh.find(t)
+                if i is not None:
+                    locs.append((s, i))
+                    df += sh.df_local_at(i)
+            if df:
+                infos.append((t, idf_fn(self.n_docs, df), locs))
+        return infos
 
     # -- exhaustive TAAT ------------------------------------------------------
     def search_taat(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         terms = self._query_terms(query)
         acc: dict[int, np.ndarray] = {}  # shard -> local score array
         k1, b = self.params.k1, self.params.b
-        for t in terms:
-            df = self.df.get(t)
-            if not df:
-                continue
-            w = idf_fn(self.n_docs, df)
-            for s, sh in enumerate(self.shards):
-                row = sh.get(t)
-                if row is None:
-                    continue
+        for t, w, locs in self._term_infos(terms):
+            for s, i in locs:
+                sh = self.shards[s]
+                row = sh.row(i)
                 ids, tfs = self._decode_full(row)
                 dl = self.doc_len[ids.astype(np.int64)]
                 tfs_f = tfs.astype(np.float64)
@@ -203,25 +259,37 @@ class IndexReader:
         order — bit-identical to search_taat, hence rank-identical to
         the brute-force oracle."""
         terms = self._query_terms(query)
+        infos = self._term_infos(terms)
+        if len(infos) <= 1:
+            # single-term: no WAND pruning exists (one cursor), and on
+            # flat tf distributions block-max skipping degenerates to a
+            # per-block python loop — the canonical fast path is one
+            # vectorized exhaustive scan (bitwise-identical scores)
+            return self.search_taat(query, k)
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-        for sh in self.shards:
-            self._bmw_shard(sh, terms, k, heap)
+        for s, sh in enumerate(self.shards):
+            cursors = [
+                _BlockCursor(t, w, sh.row(i), self.block_size)
+                for (t, w, locs) in infos
+                for (ss, i) in locs
+                if ss == s
+            ]  # infos follow sorted `terms` -> cursors stay term-sorted
+            self._bmw_shard(sh, cursors, k, heap)
         out = sorted(heap, key=lambda e: (-e[0], -e[1]))[:k]
         return [(-negid, score) for score, negid in out]
 
-    def _bmw_shard(self, sh: _ShardIndex, terms: list[str], k: int,
+    def _bmw_shard(self, sh: _ShardIndex, cursors: list["_BlockCursor"], k: int,
                    heap: list[tuple[float, int]]) -> None:
-        cursors = [
-            _BlockCursor(t, idf_fn(self.n_docs, self.df[t]), row, self.block_size)
-            for t in terms
-            if self.df.get(t) and (row := sh.get(t)) is not None
-        ]  # `terms` is sorted -> cursors stay in sorted-term order
         if not cursors:
             return
         k1, b = self.params.k1, self.params.b
         avgdl = self.avgdl
         doc_len = self.doc_len
 
+        stride = 1  # adaptive window width in blocks of the min cursor:
+        # doubles while windows keep being scored (pruning ineffective ->
+        # amortize the python loop), resets to 1 after a skip (pruning
+        # effective -> keep block-granular skipping)
         while True:
             live = [c for c in cursors if not c.exhausted]
             if not live:
@@ -229,13 +297,17 @@ class IndexReader:
             theta = heap[0][0] if len(heap) >= k else -np.inf
             if sum(c.max_score for c in live) <= theta:
                 return  # no remaining doc in this shard can beat theta
-            window_end = min(c.cur_block_last() for c in live)
-            ub = sum(c.cur_block_max() for c in live)
+            cmin = min(live, key=lambda c: c.cur_block_last())
+            j = min(cmin.bi + stride - 1, cmin.nblocks - 1)
+            window_end = int(cmin.block_last[j])
+            ub = sum(c.window_max(window_end) for c in live)
             if ub <= theta:
                 # skip: nothing in (floor, window_end] can make top-k
                 for c in live:
                     c.skip_to(window_end)
+                stride = 1
                 continue
+            stride = min(stride * 2, 64)
             # score the window: decode each live term's slice, then
             # accumulate per-doc in sorted-term order (== TAAT order)
             slices = []
@@ -270,73 +342,85 @@ class IndexReader:
 
 
 class _BlockCursor:
-    """Block-granular posting cursor: lazy per-block decode, skip
-    pointers (block_last_doc), per-block score upper bounds."""
+    """Posting cursor over one term's blocks: skip pointers + per-block
+    score bounds come from the block metadata (no decode needed to
+    skip); the posting payload is bulk-decoded lazily in one vectorized
+    pass on first contact (decode_all_blocks), after which window
+    slices are searchsorted views."""
 
-    __slots__ = ("term", "weight", "row", "nblocks", "bi", "pos",
-                 "ids", "tfs", "floor", "exhausted", "max_score")
+    __slots__ = ("term", "weight", "row", "block_last", "bmax", "nblocks",
+                 "bi", "floor", "pos", "ids", "tfs", "bs", "max_score")
 
     def __init__(self, term: str, weight: float, row: dict, block_size: int):
         self.term = term
         self.weight = weight
         self.row = row
-        self.nblocks = len(row["block_last_doc"])
-        self.bi = 0
-        self.ids = None  # decoded current block (lazy)
-        self.tfs = None
-        self.pos = 0
+        self.bs = block_size
+        self.block_last = np.asarray(row["block_last_doc"], dtype=np.uint64)
+        self.bmax = np.asarray(row["block_max_partial"], dtype=np.float64)
+        self.nblocks = len(self.block_last)
+        self.bi = 0  # first block whose last doc exceeds `floor`
         self.floor = -1  # docs <= floor are pruned/consumed
-        self.exhausted = self.nblocks == 0
-        self.max_score = weight * row["max_partial"]
-
-    def cur_block_last(self) -> int:
-        return int(self.row["block_last_doc"][self.bi])
-
-    def cur_block_max(self) -> float:
-        return self.weight * float(self.row["block_max_partial"][self.bi])
-
-    def _advance_block(self) -> None:
-        self.bi += 1
+        self.pos = 0  # decoded-array position (valid once decoded)
         self.ids = None
         self.tfs = None
-        self.pos = 0
-        if self.bi >= self.nblocks:
-            self.exhausted = True
+        self.max_score = weight * row["max_partial"]
+
+    @property
+    def exhausted(self) -> bool:
+        return self.bi >= self.nblocks
+
+    def cur_block_last(self) -> int:
+        return int(self.block_last[self.bi])
+
+    def cur_block_max(self) -> float:
+        return self.weight * float(self.bmax[self.bi])
+
+    def window_max(self, window_end: int) -> float:
+        """Upper bound of this term's partial over docs in
+        (floor, window_end] — max block_max over the touched blocks
+        (conservatively includes the current block even when it only
+        partially overlaps)."""
+        if self.exhausted:
+            return 0.0
+        bl = self.block_last
+        bi = self.bi
+        if bl[bi] >= window_end:
+            return self.weight * float(self.bmax[bi])
+        j = int(np.searchsorted(bl, np.uint64(window_end), side="left"))
+        j = min(j, self.nblocks - 1)
+        return self.weight * float(self.bmax[bi: j + 1].max())
 
     def skip_to(self, boundary: int) -> None:
-        """Prune all docs <= boundary (no decode needed)."""
-        self.floor = max(self.floor, boundary)
-        while not self.exhausted and self.cur_block_last() <= self.floor:
-            self._advance_block()
-
-    def _decode(self) -> None:
-        row = self.row
-        bi = self.bi
-        doc_off = row["block_doc_off"]
-        tf_off = row["block_tf_off"]
-        gaps = decode_varbyte(row["docs"][int(doc_off[bi]): int(doc_off[bi + 1])])
-        self.ids = np.cumsum(gaps, dtype=np.uint64)
-        self.tfs = decode_varbyte(row["tfs"][int(tf_off[bi]): int(tf_off[bi + 1])])
-        self.pos = 0
+        """Prune all docs <= boundary — block-metadata only, O(log nb),
+        the payload of fully-skipped cursors is never decoded."""
+        if boundary > self.floor:
+            self.floor = boundary
+            if self.ids is not None:
+                self.pos = max(
+                    self.pos,
+                    int(np.searchsorted(self.ids, np.uint64(boundary), side="right")),
+                )
+            if not self.exhausted and self.block_last[self.bi] <= boundary:
+                self.bi = int(
+                    np.searchsorted(self.block_last, np.uint64(boundary), side="right")
+                )
 
     def take_upto(self, boundary: int) -> tuple[np.ndarray, np.ndarray]:
-        """Consume and return (ids, tfs) with floor < doc <= boundary
-        from the current block; advances past the block if drained."""
+        """Consume and return (ids, tfs) views with floor < doc <=
+        boundary."""
         if self.exhausted:
             return _EMPTY_U64, _EMPTY_U64
         if self.ids is None:
-            self._decode()
+            self.ids, self.tfs = decode_all_blocks(self.row, self.bs)
+            self.pos = int(
+                np.searchsorted(self.ids, np.uint64(max(self.floor, 0)), side="right")
+            ) if self.floor >= 0 else 0
         start = self.pos
-        if self.floor >= 0 and start < len(self.ids):
-            start = max(
-                start,
-                int(np.searchsorted(self.ids, np.uint64(self.floor), side="right")),
-            )
         end = int(np.searchsorted(self.ids, np.uint64(boundary), side="right"))
         out = (self.ids[start:end], self.tfs[start:end])
         self.pos = end
-        if end >= len(self.ids):
-            self._advance_block()
+        self.skip_to(boundary)
         return out
 
 
