@@ -1,0 +1,149 @@
+"""CLI verbs — the user-facing surface of the engine.
+
+Mirrors the reference's argparse verb set (/root/reference/main.py:12-76:
+--create-label/--embed-text/--search/--show-db/--reset) reshaped for the
+index engine:
+
+  python -m information_retrieval_images_ray build  --corpus DIR --index DIR
+  python -m information_retrieval_images_ray query  --index DIR QUERY [-k K]
+  python -m information_retrieval_images_ray show   --index DIR
+  python -m information_retrieval_images_ray reset  --index DIR --yes
+
+The CLI owns the Ray session (guarded init, shutdown on exit); the
+library never calls ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False)
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def cmd_build(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .pipelines.build import build_index
+    from .sources.corpus_source import (
+        assign_dense_doc_ids,
+        corpus_files,
+        read_code_corpus,
+    )
+
+    ds = read_code_corpus(args.corpus)
+    if args.assign_ids:
+        ds = assign_dense_doc_ids(ds)
+    stats = build_index(
+        ds,
+        args.index,
+        source_files=corpus_files(args.corpus),
+        tokenizer=args.tokenizer,
+        num_shards=args.shards,
+        hot_df_threshold=args.hot_df_threshold,
+        salt_factor=args.salt_factor,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .pipelines.query import IndexReader, hydrate_hits
+
+    reader = IndexReader(args.index)
+    hits = getattr(reader, f"search_{args.algo}")(args.query, args.k)
+    if args.hydrate:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"doc_id": [d for d, _ in hits], "score": [s for _, s in hits]}
+        )
+        out = hydrate_hits(df, args.index)
+        print(out.to_json(orient="records"))
+    else:
+        print(json.dumps([{"doc_id": int(d), "score": s} for d, s in hits]))
+    return 0
+
+
+def cmd_show(args) -> int:
+    """Index inspection (reference --show-db / db_contents.py)."""
+    from .pipelines.query import IndexReader
+
+    reader = IndexReader(args.index)
+    summary = {
+        "stats": reader.stats,
+        "shards": [
+            {"shard": s, "n_terms": sh.n_terms, "n_postings": sh.df_local_sum}
+            for s, sh in enumerate(reader.shards)
+        ],
+    }
+    print(json.dumps(summary, indent=1))
+    return 0
+
+
+def cmd_reset(args) -> int:
+    """Destructive index removal — explicit --yes required (the
+    reference prompts interactively, main.py:246-249)."""
+    if not args.yes:
+        print("refusing: pass --yes to delete the index directory", file=sys.stderr)
+        return 2
+    shutil.rmtree(args.index, ignore_errors=True)
+    print(json.dumps({"removed": args.index}))
+    return 0
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="information_retrieval_images_ray")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index from a parquet corpus")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    b.add_argument("--shards", type=int, default=16)
+    b.add_argument("--hot-df-threshold", type=int, default=1 << 30)
+    b.add_argument("--salt-factor", type=int, default=8)
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.add_argument(
+        "--no-assign-ids",
+        dest="assign_ids",
+        action="store_false",
+        help="corpus already carries dense uint64 doc_id",
+    )
+    b.set_defaults(func=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q.add_argument("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--algo", default="bmw", choices=["bmw", "taat"])
+    q.add_argument("--hydrate", action="store_true")
+    q.set_defaults(func=cmd_query)
+
+    s = sub.add_parser("show", help="index stats + per-shard summary")
+    s.add_argument("--index", required=True)
+    s.set_defaults(func=cmd_show)
+
+    r = sub.add_parser("reset", help="delete an index directory")
+    r.add_argument("--index", required=True)
+    r.add_argument("--yes", action="store_true")
+    r.set_defaults(func=cmd_reset)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = make_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

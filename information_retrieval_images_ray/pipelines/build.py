@@ -7,8 +7,7 @@ and main.py:190-228):
   read Parquet corpus
     -> map_batches(TokenizeStage)                 [phase docterms]
     -> Mean/Sum aggregates                        [phase stats]
-    -> map_batches(explode (term,doc,tf,dl))      [phase staged]
-    -> partial-count combiner + groupby(term)     [phase termstats: df]
+    -> partial-count combiner + groupby(bucket)   [phase termstats: df]
     -> per doc-shard: groupby(term[, salt])
          .map_groups(encode) (+ salted merge)     [phase segment:k]
     -> docmeta projection                         [phase docmeta]
@@ -83,7 +82,6 @@ class IndexBuildConfig(dict):
         hot_df_threshold=1 << 30,  # effectively off unless set
         salt_factor=8,
         num_buckets=64,  # term-hash buckets per encode group
-        keep_staged=True,
     )
 
     def __init__(self, **kw):
@@ -111,7 +109,6 @@ def build_index(
     fp = fingerprint_files(source_files) if source_files else ""
 
     docterms_dir = os.path.join(index_dir, "docterms")
-    staged_dir = os.path.join(index_dir, "staged")
     segments_dir = os.path.join(index_dir, "segments")
     docmeta_dir = os.path.join(index_dir, "docmeta")
     stats_path = os.path.join(index_dir, "stats.json")
@@ -169,29 +166,28 @@ def build_index(
     def shard_of(doc_ids: np.ndarray) -> np.ndarray:
         return ((doc_ids.astype(np.uint64) * np.uint64(nsh)) // np.uint64(span)).astype(np.int32)
 
-    # ---- phase: staged exploded postings ------------------------------------
-    if not man.is_done("staged", fp):
-        _clean(staged_dir)
-        dt = ray.data.read_parquet(
-            docterms_dir, columns=["doc_id", "doc_len", "terms", "tfs"]
-        )
-        dt.map_batches(
-            explode_postings(shard_of), batch_format="pyarrow", batch_size=None
-        ).write_parquet(staged_dir, partition_cols=["shard"])
-        man.mark_done("staged", input_fingerprint=fp)
+    # NB: there is deliberately NO persisted "staged" exploded-postings
+    # table. Exploding (term, doc, tf, dl) multiplies the corpus into
+    # its largest intermediate (~one row per posting); persisting it
+    # doubles the job's disk traffic for a recompute that is pure CPU
+    # over docterms. Both consumers below re-derive it in-stream from
+    # the docterms checkpoint (flatten is zero-copy Arrow).
 
     # ---- phase: termstats (global df) + hot-term set ------------------------
     if not man.is_done("termstats", fp):
         _clean(termstats_dir)
-        st = ray.data.read_parquet(staged_dir, columns=["term"])
+        st = ray.data.read_parquet(docterms_dir, columns=["terms"])
 
         import pandas as _pd
 
         def partial_df(batch: pa.Table) -> pa.Table:
-            # per-block partial counts + int32 hash bucket, so the
+            # terms lists are unique per doc, so the flattened stream
+            # has one entry per (doc, term): counting it IS df.
+            # Per-block partial counts + int32 hash bucket, so the
             # reduce exchange shuffles (vocab x blocks) rows keyed by a
             # small int instead of sorting the full term-string stream
-            counts = pa.TableGroupBy(pa.table({"term": batch["term"]}), "term").aggregate(
+            flat = batch["terms"].combine_chunks().flatten()
+            counts = pa.TableGroupBy(pa.table({"term": flat}), "term").aggregate(
                 [("term", "count")]
             )
             terms = counts["term"].to_pandas()
@@ -260,27 +256,22 @@ def build_index(
         os.makedirs(segments_dir, exist_ok=True)
         for s in pending:
             _clean(segment_shard_dir(index_dir, s))
-        if len(pending) == nsh:
-            st = ray.data.read_parquet(staged_dir)  # hive: shard column restored
-        else:
-            parts = [
-                ray.data.read_parquet(
-                    os.path.join(staged_dir, f"shard={s}"),
-                    columns=["term", "doc_id", "tf", "dl"],
-                ).map_batches(_add_shard_const(s), batch_format="pyarrow")
-                for s in pending
-            ]
-            st = parts[0]
-            for p in parts[1:]:
-                st = st.union(p)
+        st = ray.data.read_parquet(
+            docterms_dir, columns=["doc_id", "doc_len", "terms", "tfs"]
+        ).map_batches(explode_postings(shard_of), batch_format="pyarrow", batch_size=None)
+        if len(pending) < nsh:
+            pending_arr = np.array(sorted(pending), dtype=np.int32)
+
+            def only_pending(b: pa.Table) -> pa.Table:
+                mask = np.isin(b["shard"].to_numpy(zero_copy_only=False), pending_arr)
+                return b.filter(pa.array(mask))
+
+            st = st.map_batches(only_pending, batch_format="pyarrow")
 
         import pandas as pd  # local: only for the stable vectorized hash
 
         def tag_bucket(batch: pa.Table) -> pa.Table:
-            shard = batch["shard"].combine_chunks()
-            if pa.types.is_dictionary(shard.type):
-                shard = shard.dictionary_decode()
-            shard = shard.cast(pa.int32())
+            shard = batch["shard"].combine_chunks().cast(pa.int32())
             terms = batch["term"].to_pandas()
             bucket = (
                 pd.util.hash_pandas_object(terms, index=False).to_numpy()
@@ -368,8 +359,6 @@ def build_index(
         )
         man.mark_done("docmeta", input_fingerprint=fp)
 
-    if not cfg["keep_staged"]:
-        _clean(staged_dir)
     return stats
 
 
@@ -388,15 +377,6 @@ def _parquet_rows(path: str) -> int:
         pq.read_metadata(f).num_rows
         for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )
-
-
-def _add_shard_const(s: int):
-    def fn(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "shard", pa.array(np.full(batch.num_rows, s, dtype=np.int32))
-        )
-
-    return fn
 
 
 def _with_salt(batch: pa.Table, salt_factor: int) -> pa.Table:

@@ -63,7 +63,7 @@ def read_documents_table(sf_dir: str) -> ray.data.Dataset:
 def assign_dense_doc_ids(
     ds: ray.data.Dataset,
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
-    num_partitions: int = 16,
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Assign dense uint64 ``doc_id`` = global rank under sort by key.
 

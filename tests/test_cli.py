@@ -1,0 +1,61 @@
+"""CLI verb coverage (reference main.py:12-76 verb surface): build,
+query, show, reset — driven in-session via cli.main(argv)."""
+
+import json
+import os
+
+import pytest
+
+from information_retrieval_images_ray.cli import main
+from information_retrieval_images_ray.corpus import write_corpus
+
+
+@pytest.fixture(scope="module")
+def cli_index(tmp_path_factory):
+    corpus = str(tmp_path_factory.mktemp("cli_corpus"))
+    index = str(tmp_path_factory.mktemp("cli_index"))
+    write_corpus(corpus, 120, seed=21, rows_per_file=60)
+    rc = main(["build", "--corpus", corpus, "--index", index, "--shards", "2"])
+    assert rc == 0
+    return index
+
+
+def test_build_creates_index(cli_index, capsys):
+    assert os.path.exists(os.path.join(cli_index, "stats.json"))
+    assert os.path.exists(os.path.join(cli_index, "manifest.json"))
+
+
+def test_query_returns_ranked_hits(cli_index, capsys):
+    rc = main(["query", "getUserName", "--index", cli_index, "-k", "5"])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits and all({"doc_id", "score"} <= set(h) for h in hits)
+    scores = [h["score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_query_hydrated(cli_index, capsys):
+    rc = main(["query", "merge", "--index", cli_index, "-k", "3", "--hydrate"])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rows and {"doc_id", "score", "repo", "path", "content_sha256"} <= set(rows[0])
+
+
+def test_show_summarizes(cli_index, capsys):
+    rc = main(["show", "--index", cli_index])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["stats"]["n_docs"] == 120
+    assert len(out["shards"]) == 2
+
+
+def test_reset_requires_yes(cli_index):
+    assert main(["reset", "--index", cli_index]) == 2
+    assert os.path.exists(cli_index)
+
+
+def test_reset_with_yes(tmp_path, capsys):
+    d = str(tmp_path / "gone")
+    os.makedirs(d)
+    assert main(["reset", "--index", d, "--yes"]) == 0
+    assert not os.path.exists(d)
