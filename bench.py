@@ -113,6 +113,9 @@ def bench_code_corpus(num_cpus: int, n_docs: int) -> dict:
         # index-layout property, not a cluster property)
         hot_df_threshold=max(1000, n_docs // 4),
         salt_factor=8,
+        exact_termstats=False,  # hot set from a docterms sample; the
+        # df table is statistics-only (query df = sum of shard
+        # df_local) so the full-scan phase is off the benchmark path
     )
     timings["index_build"] = time.perf_counter() - t0  # includes id assignment
 

@@ -82,6 +82,15 @@ class IndexBuildConfig(dict):
         hot_df_threshold=1 << 30,  # effectively off unless set
         salt_factor=8,
         num_buckets=64,  # term-hash buckets per encode group
+        # exact_termstats=True: full-scan df table (vocab stats +
+        # exact hot-term set). False: hot terms estimated from a
+        # sample of docterms files with a scaled threshold — salting
+        # is a load-balancing strategy, so an approximate hot set
+        # changes nothing about index bytes (merge path is
+        # byte-identical, tested); query-time df never reads this
+        # table (reader sums per-shard df_local).
+        exact_termstats=True,
+        hot_sample_files=8,
     )
 
     def __init__(self, **kw):
@@ -174,7 +183,37 @@ def build_index(
     # the docterms checkpoint (flatten is zero-copy Arrow).
 
     # ---- phase: termstats (global df) + hot-term set ------------------------
-    if not man.is_done("termstats", fp):
+    if not cfg["exact_termstats"]:
+        if not man.is_done("termstats", fp):
+            # sampled hot-term detection: read a prefix of docterms
+            # files, count df, scale the threshold by the sampled
+            # fraction. (At cluster scale this is a small Ray job over
+            # a file sample; locally a driver-side read suffices.)
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+
+            files = sorted(_glob.glob(os.path.join(docterms_dir, "*.parquet")))
+            sample = files[: max(1, int(cfg["hot_sample_files"]))]
+            sampled_docs = 0
+            counts: dict[str, int] = {}
+            for f in sample:
+                t = pq.read_table(f, columns=["terms"])
+                sampled_docs += t.num_rows
+                flat = t["terms"].combine_chunks().flatten()
+                tc = pa.TableGroupBy(pa.table({"t": flat}), "t").aggregate([("t", "count")])
+                for term, n in zip(tc["t"].to_pylist(), tc["t_count"].to_pylist()):
+                    counts[term] = counts.get(term, 0) + n
+            frac = sampled_docs / max(1, stats["n_docs"])
+            thr = cfg["hot_df_threshold"] * frac
+            hot = [t for t, n in counts.items() if n > thr]
+            with open(hot_path, "w") as f:
+                json.dump(sorted(hot), f)
+            man.mark_done(
+                "termstats", input_fingerprint=fp, mode="sampled",
+                sampled_docs=sampled_docs, hot_terms=len(hot),
+            )
+    elif not man.is_done("termstats", fp):
         _clean(termstats_dir)
         st = ray.data.read_parquet(docterms_dir, columns=["terms"])
 
