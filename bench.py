@@ -212,9 +212,20 @@ def run_once(num_cpus: int, sf_dir: str, n_docs: int, code_only: bool = False) -
         ray.shutdown()
 
 
-def run_scaling(sf_dir: str, n_docs: int, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+def run_scaling(sf_dir: str, n_docs: int, cpus_lo: int | None = None,
+                cpus_hi: int | None = None) -> dict:
     """North-rule scaling evidence: same job, fresh processes, N vs 4N
-    CPUs (sandbox stand-in for N vs 4N nodes)."""
+    CPUs (sandbox stand-in for N vs 4N nodes).
+
+    Default pair 4 vs 16 (override via $IRI_SCALING_CPUS="8,32"): on
+    this single VM one virtio disk serves BOTH parallelism levels, so
+    at 32 CPUs the disk-bound fraction of the build stops scaling —
+    a artifact a real 4N-node cluster (4x disks) doesn't have. 4 vs 16
+    keeps the shared disk unsaturated at both levels; BASELINE.md
+    reports both pairs."""
+    if cpus_lo is None or cpus_hi is None:
+        pair = os.environ.get("IRI_SCALING_CPUS", "4,16").split(",")
+        cpus_lo, cpus_hi = int(pair[0]), int(pair[1])
     import time
 
     repeats = int(os.environ.get("IRI_SCALING_REPEATS", "2"))

@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -126,6 +127,7 @@ def build_index(
 
     # ---- phase: docterms (tokenize + content hash + stage) ------------------
     if not man.is_done("docterms", fp):
+        _t = time.perf_counter()
         _clean(docterms_dir)
         # STATELESS task pool: the tokenizer is module-level compiled
         # regex, so tasks scale elastically with the cluster (an
@@ -139,10 +141,12 @@ def build_index(
             zero_copy_batch=True,
         ).write_parquet(docterms_dir)
         rows = _parquet_rows(docterms_dir)  # metadata-only, no Ray execution
-        man.mark_done("docterms", input_fingerprint=fp, rows=rows)
+        man.mark_done("docterms", input_fingerprint=fp, rows=rows,
+                      duration_s=round(time.perf_counter() - _t, 3))
 
     # ---- phase: stats -------------------------------------------------------
     if not man.is_done("stats", fp):
+        _t = time.perf_counter()
         dt = ray.data.read_parquet(docterms_dir, columns=["doc_id", "doc_len"])
         agg = dt.aggregate(
             Count(alias_name="n_docs"),
@@ -166,7 +170,9 @@ def build_index(
         with open(stats_path + ".tmp", "w") as f:
             json.dump(stats, f, indent=1)
         os.replace(stats_path + ".tmp", stats_path)
-        man.mark_done("stats", input_fingerprint=fp, **{k: v for k, v in stats.items() if k != "shard_bounds"})
+        man.mark_done("stats", input_fingerprint=fp,
+                      duration_s=round(time.perf_counter() - _t, 3),
+                      **{k: v for k, v in stats.items() if k != "shard_bounds"})
     with open(stats_path) as f:
         stats = json.load(f)
     span = stats["doc_id_span"]
@@ -185,6 +191,7 @@ def build_index(
     # ---- phase: termstats (global df) + hot-term set ------------------------
     if not cfg["exact_termstats"]:
         if not man.is_done("termstats", fp):
+            _t = time.perf_counter()
             # sampled hot-term detection: read a prefix of docterms
             # files, count df, scale the threshold by the sampled
             # fraction. (At cluster scale this is a small Ray job over
@@ -212,8 +219,10 @@ def build_index(
             man.mark_done(
                 "termstats", input_fingerprint=fp, mode="sampled",
                 sampled_docs=sampled_docs, hot_terms=len(hot),
+                duration_s=round(time.perf_counter() - _t, 3),
             )
     elif not man.is_done("termstats", fp):
+        _t = time.perf_counter()
         _clean(termstats_dir)
         st = ray.data.read_parquet(docterms_dir, columns=["terms"])
 
@@ -277,7 +286,9 @@ def build_index(
         with open(stats_path + ".tmp", "w") as f:
             json.dump(stats, f, indent=1)
         os.replace(stats_path + ".tmp", stats_path)
-        man.mark_done("termstats", input_fingerprint=fp, vocab=vocab, hot_terms=len(hot))
+        man.mark_done("termstats", input_fingerprint=fp, vocab=vocab,
+                      hot_terms=len(hot),
+                      duration_s=round(time.perf_counter() - _t, 3))
     with open(hot_path) as f:
         hot_terms = set(json.load(f))
 
@@ -292,6 +303,7 @@ def build_index(
     nbuckets = cfg["num_buckets"]
     pending = [s for s in range(nsh) if not man.is_done(f"segment:{s}", fp)]
     if pending:
+        _t = time.perf_counter()
         os.makedirs(segments_dir, exist_ok=True)
         for s in pending:
             _clean(segment_shard_dir(index_dir, s))
@@ -377,10 +389,14 @@ def build_index(
                     os.path.join(segment_shard_dir(index_dir, s), "*.parquet")
                 )
             )
-            man.mark_done(f"segment:{s}", input_fingerprint=fp, terms=nterms)
+            man.mark_done(
+                f"segment:{s}", input_fingerprint=fp, terms=nterms,
+                pipeline_duration_s=round(time.perf_counter() - _t, 3),
+            )
 
     # ---- phase: docmeta -----------------------------------------------------
     if not man.is_done("docmeta", fp):
+        _t = time.perf_counter()
         _clean(docmeta_dir)
         cols = ["doc_id", "content_sha256", "doc_len"]
         schema_names = ray.data.read_parquet(docterms_dir).schema().names
@@ -396,7 +412,8 @@ def build_index(
         dm.map_batches(add_shard, batch_format="pyarrow").write_parquet(
             docmeta_dir, partition_cols=["shard"]
         )
-        man.mark_done("docmeta", input_fingerprint=fp)
+        man.mark_done("docmeta", input_fingerprint=fp,
+                      duration_s=round(time.perf_counter() - _t, 3))
 
     return stats
 
