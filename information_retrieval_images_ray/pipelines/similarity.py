@@ -153,18 +153,49 @@ def ivf_knn(
         ),
         batch_format="pyarrow",
     )
-    sub = flt.to_pandas()
-    m = _normalize(np.stack([np.asarray(v, np.float64) for v in sub["embedding"]]))
-    ids = sub["vec_id"].to_numpy(np.int64)
-    cl = sub["cluster"].to_numpy(np.int32)
+    # distributed probed scoring: each batch emits per-query LOCAL
+    # top-k over its rows in the query's probe clusters; the driver
+    # merges nq x k x num_batches tiny partials (never the probed
+    # rows themselves — those stay in the workers)
+    broadcast = ray.put((q, probes))
+
+    class ProbedTopK:
+        def __init__(self):
+            self.q, self.probes = ray.get(broadcast)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cl = batch["cluster"].to_numpy(zero_copy_only=False)
+            m = _normalize(_batch_mat(batch))
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(self.q.shape[0]):
+                mask = np.isin(cl, self.probes[qi])
+                if not mask.any():
+                    continue
+                s = m[mask] @ self.q[qi]
+                sub_ids = ids[mask]
+                idx = np.lexsort((sub_ids, -s))[: min(k, int(mask.sum()))]
+                out_q.extend([qi] * len(idx))
+                out_id.extend(sub_ids[idx])
+                out_sim.extend(s[idx])
+            return pa.table(
+                {
+                    "qid": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_id, pa.int64()),
+                    "sim": pa.array(out_sim, pa.float64()),
+                }
+            )
+
+    partials = flt.map_batches(
+        ProbedTopK, batch_format="pyarrow", concurrency=(1, 4)
+    ).to_pandas()
     rows = []
     for qi in range(q.shape[0]):
-        mask = np.isin(cl, probes[qi])
-        s = m[mask] @ q[qi]
-        sub_ids = ids[mask]
-        idx = np.lexsort((sub_ids, -s))[: min(k, mask.sum())]
-        for rank, j in enumerate(idx, start=1):
-            rows.append((qi, rank, int(sub_ids[j]), int(e6(np.array([s[j]]))[0])))
+        g = partials[partials["qid"] == qi].sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), start=1):
+            rows.append((qi, rank, int(r["vec_id"]), int(e6(np.array([r["sim"]]))[0])))
     return pd.DataFrame(rows, columns=["qid", "rank", "vec_id", "sim_e6"])
 
 
