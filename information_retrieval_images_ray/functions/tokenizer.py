@@ -59,6 +59,34 @@ def _split_subtokens(ident: str) -> list[str]:
     return parts
 
 
+# Identifier-expansion memo: identifiers in real code (and the Zipf
+# benchmark corpus) repeat massively, and expansion of one identifier
+# is a pure function — a bounded memo turns the regex+split work into
+# a dict hit for the common case. Bounded (clear-on-full) so a
+# pathological vocabulary can't grow worker heaps unboundedly.
+_EXPAND_CACHE: dict[str, tuple[str, ...]] = {}
+_EXPAND_CACHE_MAX = 1 << 20
+
+
+def _expand_ident(ident: str) -> tuple[str, ...]:
+    hit = _EXPAND_CACHE.get(ident)
+    if hit is not None:
+        return hit
+    compound = ident.lower().replace("_", "")
+    if not compound:
+        toks: tuple[str, ...] = ()  # pure-underscore runs
+    else:
+        parts = _split_subtokens(ident)
+        if len(parts) == 1 and parts[0].lower() == compound:
+            toks = (compound,)
+        else:
+            toks = (compound, *(p.lower() for p in parts))
+    if len(_EXPAND_CACHE) >= _EXPAND_CACHE_MAX:
+        _EXPAND_CACHE.clear()
+    _EXPAND_CACHE[ident] = toks
+    return toks
+
+
 def tokenize_code(text: str) -> list[str]:
     """Code-aware tokenize: for each identifier run emit the lowercased
     compound plus its lowercased subtokens (only when they differ from
@@ -66,15 +94,7 @@ def tokenize_code(text: str) -> list[str]:
     """
     out: list[str] = []
     for ident in _IDENT_RE.findall(text):
-        compound = ident.lower().replace("_", "")
-        if not compound:
-            continue  # pure-underscore runs
-        parts = _split_subtokens(ident)
-        if len(parts) == 1 and parts[0].lower() == compound:
-            out.append(compound)
-        else:
-            out.append(compound)
-            out.extend(p.lower() for p in parts)
+        out.extend(_expand_ident(ident))
     return out
 
 
