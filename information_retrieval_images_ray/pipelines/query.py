@@ -162,7 +162,11 @@ class IndexReader:
     analogue vector_db.py:12-31).
     """
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, shards: list[int] | None = None):
+        """``shards=None`` loads the whole index; a list of shard ids
+        loads only those (the sharded-serving mode: each actor of a
+        pool owns a disjoint subset — global df is then resolved by a
+        per-query df exchange, see pipelines/serving.py)."""
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.params = BM25Params(self.stats["k1"], self.stats["b"])
@@ -172,26 +176,38 @@ class IndexReader:
         self.avgdl = self.stats["avgdl"]
         bounds = self.stats["shard_bounds"]
         self.num_shards = self.stats["num_shards"]
+        self.owned = list(range(self.num_shards)) if shards is None else sorted(shards)
 
         # NB: no global df table is loaded — exact global df(term) is
         # the sum of per-shard df_local over this reader's shards (the
         # shards partition the doc space), so startup cost stays
         # O(index bytes), not O(vocab) python objects.
 
-        # doc_len array, dense over the doc_id span
+        # doc_len array, dense over the doc_id span but filled only for
+        # owned shards (docmeta is hive-partitioned by shard)
         span = self.stats["doc_id_span"]
         self.doc_len = np.zeros(span, dtype=np.float64)
-        for f in sorted(
-            glob.glob(os.path.join(index_dir, "docmeta", "**", "*.parquet"), recursive=True)
-        ):
+        meta_files: list[str] = []
+        for s in self.owned:
+            meta_files.extend(
+                sorted(glob.glob(os.path.join(index_dir, "docmeta", f"shard={s}", "*.parquet")))
+            )
+        if not meta_files and shards is None:  # non-partitioned legacy layout
+            meta_files = sorted(
+                glob.glob(os.path.join(index_dir, "docmeta", "**", "*.parquet"), recursive=True)
+            )
+        for f in meta_files:
             t = pq.read_table(f, columns=["doc_id", "doc_len"])
             ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             self.doc_len[ids] = t["doc_len"].to_numpy(zero_copy_only=False)
 
         from .build import segment_shard_dir
 
+        owned_set = set(self.owned)
         self.shards = [
             _ShardIndex(segment_shard_dir(index_dir, s), bounds[s], bounds[s + 1])
+            if s in owned_set
+            else None
             for s in range(self.num_shards)
         ]
 
@@ -203,29 +219,57 @@ class IndexReader:
     def _query_terms(self, query: str) -> list[str]:
         return sorted(set(self.tokenize(query)))
 
-    def _term_infos(self, terms: list[str]) -> list[tuple[str, float, list[tuple[int, int]]]]:
+    def df_locals(self, terms: list[str]) -> dict[str, int]:
+        """term -> sum of df_local over THIS reader's owned shards (the
+        df-exchange half of sharded serving)."""
+        out = {}
+        for t in terms:
+            df = 0
+            for sh in self.shards:
+                if sh is None:
+                    continue
+                i = sh.find(t)
+                if i is not None:
+                    df += sh.df_local_at(i)
+            if df:
+                out[t] = df
+        return out
+
+    def _term_infos(
+        self, terms: list[str], weights: dict[str, float] | None = None
+    ) -> list[tuple[str, float, list[tuple[int, int]]]]:
         """Per term: (term, idf weight, [(shard_idx, row_idx), ...]).
         Global df = sum of per-shard df_local (exact; shards partition
-        the doc space). One binary-search probe per (term, shard)."""
+        the doc space). One binary-search probe per (term, shard).
+        ``weights`` overrides idf (sharded serving: the router computes
+        global idf from the pooled df exchange)."""
         infos = []
         for t in terms:
             locs = []
             df = 0
             for s, sh in enumerate(self.shards):
+                if sh is None:
+                    continue
                 i = sh.find(t)
                 if i is not None:
                     locs.append((s, i))
                     df += sh.df_local_at(i)
-            if df:
+            if weights is not None:
+                w = weights.get(t)
+                if w is not None and locs:
+                    infos.append((t, w, locs))
+            elif df:
                 infos.append((t, idf_fn(self.n_docs, df), locs))
         return infos
 
     # -- exhaustive TAAT ------------------------------------------------------
-    def search_taat(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search_taat(
+        self, query: str, k: int = 10, weights: dict[str, float] | None = None
+    ) -> list[tuple[int, float]]:
         terms = self._query_terms(query)
         acc: dict[int, np.ndarray] = {}  # shard -> local score array
         k1, b = self.params.k1, self.params.b
-        for t, w, locs in self._term_infos(terms):
+        for t, w, locs in self._term_infos(terms, weights):
             for s, i in locs:
                 sh = self.shards[s]
                 row = sh.row(i)
@@ -248,7 +292,9 @@ class IndexReader:
         return rank_topk(np.concatenate(all_ids), np.concatenate(all_scores), k)
 
     # -- block-max WAND (vectorized block-at-a-time variant) ------------------
-    def search_bmw(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search_bmw(
+        self, query: str, k: int = 10, weights: dict[str, float] | None = None
+    ) -> list[tuple[int, float]]:
         """Block-max top-k (Ding & Suel BMW, windowed variant): the doc
         space is swept in windows ending at the nearest block boundary
         (skip pointer) among the live terms; a window whose summed
@@ -259,15 +305,17 @@ class IndexReader:
         order — bit-identical to search_taat, hence rank-identical to
         the brute-force oracle."""
         terms = self._query_terms(query)
-        infos = self._term_infos(terms)
+        infos = self._term_infos(terms, weights)
         if len(infos) <= 1:
             # single-term: no WAND pruning exists (one cursor), and on
             # flat tf distributions block-max skipping degenerates to a
             # per-block python loop — the canonical fast path is one
             # vectorized exhaustive scan (bitwise-identical scores)
-            return self.search_taat(query, k)
+            return self.search_taat(query, k, weights)
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
         for s, sh in enumerate(self.shards):
+            if sh is None:
+                continue
             cursors = [
                 _BlockCursor(t, w, sh.row(i), self.block_size)
                 for (t, w, locs) in infos

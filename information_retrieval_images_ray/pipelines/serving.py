@@ -1,0 +1,133 @@
+"""Sharded query serving: a stateful actor pool where each actor owns
+a disjoint subset of index shards (north_star: "served by a stateful
+actor pool holding index shards").
+
+This is the one place the engine drops to raw ``@ray.remote`` actors:
+a Dataset ``map_batches`` actor pool gives every actor the WHOLE index
+(right for throughput batches, see ``QueryScorer``), but cluster-scale
+serving partitions the index across actors — and then every query
+needs a result merge across actors, which the Dataset API cannot
+express as a per-batch transform. The router does a two-phase protocol:
+
+1. **df exchange**: each actor returns per-term ``sum(df_local)`` over
+   its shards; the router sums to exact global df and computes idf
+   weights (tiny: O(query terms) numbers per actor);
+2. **scatter-gather top-k**: actors score their shards with the
+   provided global weights (block-max WAND) and return per-actor
+   top-k; the router k-way merges with the engine-wide
+   ``(score desc, doc_id asc)`` tie-break.
+
+Rank/score identity with a single whole-index ``IndexReader`` holds by
+construction (same weights, same per-shard scoring, same merge order)
+and is asserted in tests/test_serving.py.
+
+Reference analogue: the Milvus standalone server holding the
+collection while the app queries it over the wire
+(/root/reference/vector_db.py:12-31, server.py:128-177) — here the
+"server" is N shard actors and the router is a thin library call.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import ray
+
+from ..functions.bm25 import idf as idf_fn
+from .query import IndexReader
+
+
+@ray.remote
+class ShardQueryActor:
+    """Owns a subset of shards; state loaded once in __init__."""
+
+    def __init__(self, index_dir: str, shard_ids: list[int]):
+        self.reader = IndexReader(index_dir, shards=shard_ids)
+
+    def df_locals(self, terms: list[str]) -> dict[str, int]:
+        return self.reader.df_locals(terms)
+
+    def search(
+        self,
+        queries: list[dict],
+        k: int,
+        weights_per_query: list[dict[str, float]],
+        algo: str = "bmw",
+    ) -> list[tuple[int, int, float]]:
+        """[(qid, doc_id, score), ...] — top-k per query over OWNED
+        shards only."""
+        search = getattr(self.reader, f"search_{algo}")
+        out = []
+        for q, w in zip(queries, weights_per_query):
+            for doc, score in search(q["query"], k, weights=w):
+                out.append((q["qid"], doc, score))
+        return out
+
+    def ready(self) -> bool:
+        return True
+
+
+class ShardedQueryService:
+    """Router over a pool of ShardQueryActor, shards round-robined."""
+
+    def __init__(self, index_dir: str, num_actors: int = 4):
+        import json
+        import os
+
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            stats = json.load(f)
+        nsh = stats["num_shards"]
+        self.n_docs = stats["n_docs"]
+        self.tokenizer_mode = stats["tokenizer"]
+        num_actors = max(1, min(num_actors, nsh))
+        assign: list[list[int]] = [[] for _ in range(num_actors)]
+        for s in range(nsh):
+            assign[s % num_actors].append(s)
+        self.actors = [
+            ShardQueryActor.remote(index_dir, shard_ids) for shard_ids in assign
+        ]
+        ray.get([a.ready.remote() for a in self.actors])
+        from ..functions.tokenizer import get_tokenizer
+
+        self._tok = get_tokenizer(self.tokenizer_mode)
+
+    def topk(self, queries: list[dict], k: int = 10, algo: str = "bmw") -> list[dict]:
+        """queries: [{"qid": int, "query": str}] ->
+        [{"qid", "rank", "doc_id", "score"}], rank-identical to a
+        whole-index IndexReader."""
+        per_query_terms = [sorted(set(self._tok(q["query"]))) for q in queries]
+        all_terms = sorted({t for ts in per_query_terms for t in ts})
+
+        # phase 1: df exchange -> exact global df -> idf weights
+        df_parts = ray.get([a.df_locals.remote(all_terms) for a in self.actors])
+        gdf: dict[str, int] = defaultdict(int)
+        for part in df_parts:
+            for t, n in part.items():
+                gdf[t] += n
+        weights_per_query = [
+            {t: idf_fn(self.n_docs, gdf[t]) for t in ts if gdf.get(t)}
+            for ts in per_query_terms
+        ]
+
+        # phase 2: scatter-gather per-actor top-k, merge with the
+        # engine-wide tie-break
+        parts = ray.get(
+            [a.search.remote(queries, k, weights_per_query, algo) for a in self.actors]
+        )
+        by_qid: dict[int, list[tuple[float, int]]] = defaultdict(list)
+        for rows in parts:
+            for qid, doc, score in rows:
+                by_qid[qid].append((score, doc))
+        out = []
+        for q in queries:
+            hits = sorted(by_qid.get(q["qid"], []), key=lambda e: (-e[0], e[1]))[:k]
+            for rank, (score, doc) in enumerate(hits, start=1):
+                out.append(
+                    {"qid": q["qid"], "rank": rank, "doc_id": doc, "score": score}
+                )
+        return out
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -1,0 +1,64 @@
+"""Sharded serving: the shard-partitioned actor pool + df-exchange
+router must be rank- AND score-identical (bitwise) to a whole-index
+reader, including across actor counts that don't divide the shard
+count."""
+
+import pytest
+
+from information_retrieval_images_ray.corpus import write_corpus
+from information_retrieval_images_ray.pipelines.build import build_index
+from information_retrieval_images_ray.pipelines.query import IndexReader
+from information_retrieval_images_ray.pipelines.serving import ShardedQueryService
+from information_retrieval_images_ray.sources.corpus_source import (
+    assign_dense_doc_ids,
+    corpus_files,
+    read_code_corpus,
+)
+
+QUERIES = [
+    {"qid": 0, "query": "getUserName"},
+    {"qid": 1, "query": "merge sort hash"},
+    {"qid": 2, "query": "parse token buffer read"},
+    {"qid": 3, "query": "zzz_nohit"},
+    {"qid": 4, "query": "get"},
+]
+
+
+@pytest.fixture(scope="module")
+def served_index(tmp_path_factory):
+    corpus = str(tmp_path_factory.mktemp("serv_corpus"))
+    index = str(tmp_path_factory.mktemp("serv_index"))
+    write_corpus(corpus, 180, seed=13, rows_per_file=60)
+    ds = assign_dense_doc_ids(read_code_corpus(corpus), num_partitions=2)
+    build_index(ds, index, source_files=corpus_files(corpus),
+                num_shards=5, hot_df_threshold=60, salt_factor=4)
+    return index
+
+
+@pytest.mark.parametrize("num_actors", [1, 2, 3])
+def test_sharded_service_rank_identical(served_index, num_actors):
+    reader = IndexReader(served_index)
+    svc = ShardedQueryService(served_index, num_actors=num_actors)
+    try:
+        got = svc.topk(QUERIES, k=10)
+        for q in QUERIES:
+            mine = [(r["doc_id"], r["score"]) for r in got if r["qid"] == q["qid"]]
+            want = reader.search_bmw(q["query"], 10)
+            assert [d for d, _ in mine] == [d for d, _ in want], q
+            assert all(a == b for (_, a), (_, b) in zip(mine, want)), q
+    finally:
+        svc.shutdown()
+
+
+def test_subset_reader_only_loads_owned_shards(served_index):
+    sub = IndexReader(served_index, shards=[1, 3])
+    assert sub.shards[0] is None and sub.shards[2] is None
+    assert sub.shards[1] is not None and sub.shards[3] is not None
+    # df_locals over a subset is <= the global df
+    full = IndexReader(served_index)
+    terms = ["get", "user"]
+    d_sub = sub.df_locals(terms)
+    d_full = full.df_locals(terms)
+    for t in terms:
+        if t in d_sub:
+            assert d_sub[t] <= d_full[t]
