@@ -271,15 +271,19 @@ def build_index(
         # groups; at 10^12-file scale this becomes a distributed
         # ds.filter(df > thr).take_all() — the hot set itself is tiny
         # (stopword-like terms) either way.
+        os.makedirs(termstats_dir, exist_ok=True)  # 0-row write creates no dir
         import pyarrow.dataset as pads
 
         tds = pads.dataset(termstats_dir, format="parquet")
         vocab = tds.count_rows()
-        hot_tbl = tds.to_table(
-            columns=["term"],
-            filter=pads.field("df") > int(cfg["hot_df_threshold"]),
-        )
-        hot = hot_tbl["term"].to_pylist()
+        if vocab:
+            hot_tbl = tds.to_table(
+                columns=["term"],
+                filter=pads.field("df") > int(cfg["hot_df_threshold"]),
+            )
+            hot = hot_tbl["term"].to_pylist()
+        else:  # empty vocabulary (e.g. all-empty documents)
+            hot = []
         with open(hot_path, "w") as f:
             json.dump(sorted(hot), f)
         stats["vocab_size"] = vocab

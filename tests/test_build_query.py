@@ -176,3 +176,41 @@ def test_duplicate_and_empty_docs(built_index, fixture_spec):
     scores = {d: hits.get(d) for d in dup_ids}
     vals = [v for v in scores.values() if v is not None]
     assert len(vals) == 3 and len(set(vals)) == 1
+
+
+def test_degenerate_corpora(tmp_path):
+    """Single-doc and all-empty-content corpora build and query
+    cleanly (no postings -> no hits, never an exception)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.build import build_index
+
+    one = tmp_path / "one"
+    one.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0], pa.uint64()),
+                  "content": ["def mergeSort(a): return a"]}),
+        str(one / "p.parquet"),
+    )
+    idx1 = str(tmp_path / "idx1")
+    build_index(ray.data.read_parquet(str(one)), idx1,
+                source_files=[str(one / "p.parquet")], num_shards=2)
+    r = IndexReader(idx1)
+    hits = r.search_bmw("merge", 5)
+    assert [d for d, _ in hits] == [0]
+    assert hits == r.search_taat("merge", 5)
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1], pa.uint64()), "content": ["", ""]}),
+        str(empty / "p.parquet"),
+    )
+    idx2 = str(tmp_path / "idx2")
+    build_index(ray.data.read_parquet(str(empty)), idx2,
+                source_files=[str(empty / "p.parquet")], num_shards=2)
+    r2 = IndexReader(idx2)
+    assert r2.search_bmw("anything", 5) == []
+    assert r2.search_taat("", 5) == []
