@@ -63,6 +63,11 @@ def decode_varbyte(buf: bytes | memoryview, count: int | None = None) -> np.ndar
     """
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
+        # an empty buffer is only a valid stream when 0 values are
+        # expected — a truncated-to-empty blob with count > 0 must
+        # raise, not silently decode to nothing
+        if count not in (None, 0):
+            raise ValueError(f"varbyte stream has 0 values, expected {count}")
         return np.empty(0, dtype=np.uint64)
     ends = np.flatnonzero(b & 0x80)
     n = ends.size

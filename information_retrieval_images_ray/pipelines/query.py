@@ -499,20 +499,66 @@ class QueryScorer:
                 out["rank"].append(rank)
                 out["doc_id"].append(doc)
                 out["score"].append(score)
-        return pd.DataFrame(out)
+        # explicit dtypes: an all-empty batch must emit the SAME schema
+        # as a non-empty one (pandas infers float64 for empty lists,
+        # which makes Ray warn about mixed block schemas downstream)
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(out["qid"], dtype="int64"),
+                "rank": pd.Series(out["rank"], dtype="int64"),
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "score": pd.Series(out["score"], dtype="float64"),
+            }
+        )
 
 
 def hydrate_hits(hits_df: pd.DataFrame, index_dir: str) -> pd.DataFrame:
     """Join top-k hits with document metadata (the reference's
     per-hit SQLite lookup, server.py:165 + db.py:393-397, re-expressed
-    as one vectorized join against docmeta — k is tiny, so the hits
-    side is broadcast)."""
-    files = sorted(
-        glob.glob(os.path.join(index_dir, "docmeta", "**", "*.parquet"), recursive=True)
+    as ONE pushdown semi-join against docmeta).
+
+    The tiny hit doc_id set drives the read, pruning twice:
+
+    1. **partition prune** — docmeta is hive-partitioned by shard; only
+       the hit doc_ids' shard directories are even opened (shard =
+       searchsorted(shard_bounds, doc_id)), so at 10^12 docs a 10-hit
+       hydration touches k directories, not the whole table;
+    2. **row-group prune** — within those files a
+       ``field("doc_id").isin(hit_ids)`` predicate is pushed to the
+       parquet reader, which skips row groups whose min/max statistics
+       exclude every hit.
+
+    Nothing docmeta-sized ever reaches the driver
+    (tests/test_build_query.py::test_hydration_reads_only_hit_shards
+    proves non-hit shards are never read)."""
+    import pyarrow.dataset as pads
+
+    docmeta_dir = os.path.join(index_dir, "docmeta")
+    ids = np.unique(hits_df["doc_id"].to_numpy()).astype(np.int64) if len(hits_df) else np.empty(0, np.int64)
+
+    stats_path = os.path.join(index_dir, "stats.json")
+    files: list[str] = []
+    if os.path.exists(stats_path) and len(ids):
+        with open(stats_path) as f:
+            bounds = np.asarray(json.load(f)["shard_bounds"], dtype=np.int64)
+        hit_shards = np.unique(np.searchsorted(bounds, ids, side="right") - 1)
+        for s in hit_shards:
+            files.extend(
+                sorted(glob.glob(os.path.join(docmeta_dir, f"shard={int(s)}", "*.parquet")))
+            )
+    if not files:  # legacy non-partitioned layout, or schema-only (0 hits)
+        files = sorted(
+            glob.glob(os.path.join(docmeta_dir, "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            return hits_df
+        if not len(ids):  # 0 hits: one row-group-pruned read just for schema
+            files = files[:1]
+
+    tbl = pads.dataset(files, format="parquet").to_table(
+        filter=pads.field("doc_id").isin(ids)
     )
-    meta = pa.concat_tables(
-        [pq.read_table(f) for f in files]
-    ).to_pandas()
+    meta = tbl.to_pandas()
     meta["content_sha256"] = meta["content_sha256"].map(
         lambda b: bytes(b).hex() if b is not None else None
     )

@@ -40,14 +40,25 @@ def e2_sum(x: np.ndarray) -> int:
 
 def top_orders_hydrated(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Top-k orders by totalprice, hydrated with customer + nation names
-    via broadcast joins (T1 + J4)."""
+    via broadcast joins (T1 + J4). The tiny top-k key set drives
+    pushdown-filtered dimension reads: only the k customers' rows ever
+    leave storage (never a full-table ``to_pandas`` — at 10^9
+    customers that table is the big side)."""
     top = (
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
         .limit(k)
         .to_pandas()
     )
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    custkeys = pa.array(sorted(set(top["o_custkey"].tolist())), pa.int64())
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b["c_custkey"], value_set=custkeys)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     out = top.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
         nation, left_on="c_nationkey", right_on="n_nationkey"
@@ -63,16 +74,18 @@ def customers_without_big_orders(sf_dir: str, min_totalprice: float = 300_000.0)
     broadcast into the filter — at scale this becomes a Bloom filter
     per the same pattern (reference's ``md5 NOT IN (...)``,
     db.py:324-339)."""
-    have = set(
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .filter(expr=f"o_totalprice > {min_totalprice}")
-        .unique("o_custkey")
+    have = pa.array(
+        sorted(
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .filter(expr=f"o_totalprice > {min_totalprice}")
+            .unique("o_custkey")
+        ),
+        pa.int64(),
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
 
     def anti(batch: pa.Table) -> pa.Table:
-        mask = [ck not in have for ck in batch["c_custkey"].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        return batch.filter(pc.invert(pc.is_in(batch["c_custkey"], value_set=have)))
 
     out = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
     if out.empty:
@@ -91,18 +104,22 @@ def customers_without_big_orders(sf_dir: str, min_totalprice: float = 300_000.0)
 def building_segment_order_counts(sf_dir: str) -> pd.DataFrame:
     """Semi-join (J3) + grouped aggregate: per-customer order counts for
     the BUILDING market segment."""
-    seg_keys = set(
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .filter(expr="c_mktsegment == 'BUILDING'")
-        .unique("c_custkey")
+    seg_keys = pa.array(
+        sorted(
+            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .filter(expr="c_mktsegment == 'BUILDING'")
+            .unique("c_custkey")
+        ),
+        pa.int64(),
     )
     orders = _read(sf_dir, "orders", ["o_custkey"])
 
     def semi_partial(batch: pa.Table) -> pa.Table:
-        ks = [k for k in batch["o_custkey"].to_pylist() if k in seg_keys]
-        if not ks:
+        kept = batch.filter(pc.is_in(batch["o_custkey"], value_set=seg_keys))
+        if kept.num_rows == 0:
             return pa.table({"o_custkey": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
-        u, c = np.unique(np.array(ks, dtype=np.int64), return_counts=True)
+        ks = kept["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(ks, return_counts=True)
         return pa.table({"o_custkey": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())})
 
     out = (

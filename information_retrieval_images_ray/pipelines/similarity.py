@@ -98,8 +98,14 @@ def fit_centroids(
 ) -> np.ndarray:
     """Deterministic k-means on a seeded sample (driver-side numpy —
     the sample is tiny; at scale this is the standard 'train the coarse
-    quantizer on a sample' step)."""
-    sample = ds.random_sample(1.0, seed=1).limit(sample_n).to_pandas()
+    quantizer on a sample' step). The sample fraction is a REAL uniform
+    fraction of the dataset (not a prefix), so centroids are unbiased
+    even when the corpus is clustered/ordered on disk."""
+    n = ds.count()
+    frac = min(1.0, 1.25 * sample_n / max(1, n))  # slight oversample, then limit
+    sample = ds.random_sample(frac, seed=1).limit(sample_n).to_pandas()
+    if sample.empty:  # tiny corpora where the sample came up empty
+        sample = ds.limit(sample_n).to_pandas()
     m = _normalize(
         np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
     )

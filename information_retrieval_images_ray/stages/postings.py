@@ -10,9 +10,11 @@ Final segment row layout per (shard, term):
 - ``tfs``             binary — per-block varbyte streams of tf
 - ``block_last_doc``  list<uint64> — last doc_id of each block (the skip
                       pointer table)
-- ``block_doc_off`` / ``block_tf_off``  list<uint32> byte offsets of
+- ``block_doc_off`` / ``block_tf_off``  list<uint64> byte offsets of
                       each block within the blobs (one extra trailing
-                      entry = total length)
+                      entry = total length; uint64 because a hot term's
+                      per-shard blob can exceed 4 GiB at the 10^12-doc
+                      design point)
 - ``block_max_partial`` list<float32> — max over the block of
                       tf*(k1+1)/(tf+k1*(1-b+b*dl/avgdl)), rounded UP to
                       float32 so it is always an upper bound (block-max
@@ -89,8 +91,8 @@ def encode_posting(
         "docs": b"".join(doc_chunks),
         "tfs": b"".join(tf_chunks),
         "block_last_doc": np.array(block_last, dtype=np.uint64),
-        "block_doc_off": np.array(doc_off, dtype=np.uint32),
-        "block_tf_off": np.array(tf_off, dtype=np.uint32),
+        "block_doc_off": np.array(doc_off, dtype=np.uint64),
+        "block_tf_off": np.array(tf_off, dtype=np.uint64),
         "block_max_partial": bmax,
         "max_partial": np.float32(bmax.max() if len(bmax) else 0.0),
     }
@@ -123,8 +125,8 @@ SEGMENT_SCHEMA = pa.schema(
         ("docs", pa.binary()),
         ("tfs", pa.binary()),
         ("block_last_doc", pa.list_(pa.uint64())),
-        ("block_doc_off", pa.list_(pa.uint32())),
-        ("block_tf_off", pa.list_(pa.uint32())),
+        ("block_doc_off", pa.list_(pa.uint64())),
+        ("block_tf_off", pa.list_(pa.uint64())),
         ("block_max_partial", pa.list_(pa.float32())),
         ("max_partial", pa.float32()),
     ]

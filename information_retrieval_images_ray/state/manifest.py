@@ -25,14 +25,25 @@ def config_hash(cfg: dict[str, Any]) -> str:
     return hashlib.sha256(json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
 
 
-def fingerprint_files(paths: list[str]) -> str:
-    """Fingerprint of input files: sorted (name, size) pairs hashed.
+def fingerprint_file(path: str) -> str:
+    """Stat-only fingerprint of ONE input file: (abspath, size, mtime).
 
-    At 100 TB, stat-ing file sizes is cheap (object-store LIST); we
-    deliberately avoid hashing content here — the per-row
-    content_sha256 invariant already guards data integrity downstream.
+    mtime + full path make same-size in-place edits and path moves
+    detectable; content is deliberately NOT hashed — the per-row
+    content_sha256 invariant already guards data integrity downstream,
+    and at 100 TB a stat (object-store LIST) is cheap where a content
+    read is not.
     """
-    items = sorted((os.path.basename(p), os.path.getsize(p)) for p in paths)
+    st = os.stat(path)
+    return hashlib.sha256(
+        json.dumps([os.path.abspath(path), st.st_size, st.st_mtime_ns]).encode()
+    ).hexdigest()[:16]
+
+
+def fingerprint_files(paths: list[str]) -> str:
+    """Fingerprint of an input file SET: sorted per-file fingerprints
+    hashed together."""
+    items = sorted(fingerprint_file(p) for p in paths)
     return hashlib.sha256(json.dumps(items).encode()).hexdigest()[:16]
 
 

@@ -127,6 +127,37 @@ def test_hydration_join(built_index):
     assert hydrated["repo"].notna().all()
 
 
+def test_hydration_reads_only_hit_shards(built_index):
+    """hydrate_hits must never read docmeta partitions outside the hit
+    doc_ids' shards: corrupting every non-hit shard's parquet files
+    leaves hydration working (so at 10^12 docs it reads k directories,
+    not the table)."""
+    import shutil
+
+    _, index_dir, stats = built_index
+    bounds = stats["shard_bounds"]
+    # pick hits entirely inside shard 0
+    lo, hi = bounds[0], bounds[1]
+    df = pd.DataFrame({"doc_id": [lo, hi - 1], "score": [1.0, 0.5]})
+
+    backup = {}
+    try:
+        for s in range(1, stats["num_shards"]):
+            for f in glob.glob(os.path.join(index_dir, "docmeta", f"shard={s}", "*.parquet")):
+                with open(f, "rb") as fh:
+                    backup[f] = fh.read()
+                with open(f, "wb") as fh:
+                    fh.write(b"NOT A PARQUET FILE")  # any read of this would raise
+        hydrated = hydrate_hits(df, index_dir)
+        assert len(hydrated) == 2
+        assert hydrated["repo"].notna().all()
+        assert set(hydrated["doc_id"]) == {lo, hi - 1}
+    finally:
+        for f, data in backup.items():
+            with open(f, "wb") as fh:
+                fh.write(data)
+
+
 def test_salting_equivalence(tmp_path_factory, fixture_spec):
     """Salted build output must be byte-identical to unsalted."""
     spec, _ = fixture_spec
