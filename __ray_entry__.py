@@ -237,6 +237,22 @@ FROM pr
 """
 
 
+_KNN_SQL = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scored AS (SELECT q.qid, e.vec_id, list_cosine_similarity(e.emb, q.qe) AS sim
+           FROM q CROSS JOIN e),
+ranked AS (SELECT qid, vec_id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+           FROM scored)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(FLOOR(sim*1000000 + 0.5) AS BIGINT) AS sim_e6
+FROM ranked WHERE rnk <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     return {
@@ -306,8 +322,12 @@ WITH toks AS (SELECT doc_id, {TOK_SQL} AS ts FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(ts[u.i : u.i + 4], ' ') AS shingle
        FROM toks CROSS JOIN LATERAL unnest(range(1, greatest(len(ts) - 3, 1))) AS u(i)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+-- mirror of the pipeline's hot-shingle cap (max_group): shingles
+-- shared by more than 1024 docs emit no candidate pairs
+eligible AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1024),
 common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           WHERE a.shingle IN (SELECT shingle FROM eligible)
            GROUP BY 1, 2)
 SELECT c.doc_a, c.doc_b, CAST(c.c AS BIGINT) AS common,
        CAST(FLOOR(c.c*1.0/(sa.n + sb.n - c.c)*1000000 + 0.5) AS BIGINT) AS jaccard_e6
@@ -322,20 +342,13 @@ SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
 """,
-        "q_knn_cosine": """
-WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-           FROM embeddings WHERE vec_id IN (0, 1, 2)),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-scored AS (SELECT q.qid, e.vec_id, list_cosine_similarity(e.emb, q.qe) AS sim
-           FROM q CROSS JOIN e),
-ranked AS (SELECT qid, vec_id, sim,
-                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
-           FROM scored)
-SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
-       CAST(vec_id AS BIGINT) AS vec_id,
-       CAST(FLOOR(sim*1000000 + 0.5) AS BIGINT) AS sim_e6
-FROM ranked WHERE rnk <= 10
-""",
+        "q_knn_cosine": _KNN_SQL,
+        # the driver's q_ivf_knn runs with nprobe == nlist (every
+        # cluster probed), which makes IVF exhaustively exact — so the
+        # brute-force top-k SQL is its oracle too. Sub-exhaustive
+        # nprobe (the ANN regime) is covered by the pytest
+        # recall-vs-exact assertion instead.
+        "q_ivf_knn": _KNN_SQL,
         "q_multimodal_decode": """
 SELECT doc_id, md5(text) AS payload_md5,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -379,8 +392,8 @@ SELECT user_id, epoch_us(ts) // 3600000000 AS win,
 FROM events GROUP BY 1, 2
 """,
         "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
-        # q_langid, q_minhash_neardup, q_simhash_neardup, q_ivf_knn,
+        # q_langid, q_minhash_neardup, q_simhash_neardup,
         # q_multimodal_features: deliberately no SQL oracle (heuristic /
-        # sketch-based / ANN operators) -> driver rows-only check;
+        # sketch-based operators) -> driver rows-only check;
         # pytest covers their semantics (recall vs exact, planted dups).
     }

@@ -7,18 +7,26 @@ is expressed as shuffles on *derived small keys* (hash / band / shingle),
 never on content — the standard web-scale layout:
 
   exact:     md5(text) -> groupby(hash) -> keep min doc_id
-  ngram:     explode distinct shingles -> groupby(shingle) -> pairwise
-             candidates -> groupby(pair) -> |intersection| -> Jaccard
-  minhash:   per-doc signature (vectorized perms) -> band rows ->
-             groupby(band, band_hash) -> candidates -> exact-Jaccard verify
+  ngram:     explode distinct shingles (each row carrying its doc's
+             distinct-shingle count) -> groupby(shingle) -> pairwise
+             candidates -> groupby(pair) -> |intersection| + sizes ->
+             Jaccard, all inside the pipeline (nothing corpus-sized
+             ever reaches the driver)
+  minhash:   per-doc signature (vectorized perms) -> band rows carrying
+             the signature -> groupby(band, band_hash) -> in-group
+             signature-estimated Jaccard (fraction of agreeing minhash
+             values — the standard scalable verification; an unbiased
+             estimator of true Jaccard with std <= 1/(2*sqrt(num_perm)))
+             -> threshold filter in-group -> pair dedup groupby
   simhash:   64-bit weighted fingerprint -> 4x16-bit band blocking
              (pigeonhole: hamming<=3 pairs share >=1 of 4 bands) -> verify
 
-Skew note: a shingle/band shared by m docs emits m(m-2)/2 pairs; hot
-keys are capped by ``max_group`` (frequent-shingle cutoff, logged not
-silent) — at 10^12 docs a boilerplate shingle would otherwise emit
-quadrillions of pairs. The cutoff is part of the operator's contract
-and mirrored in the SQL oracle when enabled.
+Skew note: a shingle/band shared by m docs emits m(m-1)/2 pairs; hot
+shingles are capped by ``max_group`` (default DEFAULT_MAX_GROUP,
+dropped-shingle count surfaced via a sentinel aggregate and logged,
+never silent) — at 10^12 docs a boilerplate shingle would otherwise
+emit quadrillions of pairs. The cutoff is part of the operator's
+contract and mirrored in the SQL oracle.
 """
 
 from __future__ import annotations
@@ -90,18 +98,32 @@ def _shingles(tokens: list[str], n: int) -> set[str]:
     return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
 
 
-def shingle_rows(ds: ray.data.Dataset, n: int = 5, tokenizer: str = "simple") -> ray.data.Dataset:
+DEFAULT_MAX_GROUP = 1024  # hot-shingle pair-emission cap (see module doc)
+
+
+def shingle_rows(
+    ds: ray.data.Dataset, n: int = 5, tokenizer: str = "simple",
+    with_counts: bool = False,
+) -> ray.data.Dataset:
+    """One row per (doc, DISTINCT shingle). With ``with_counts`` each
+    row also carries its doc's distinct-shingle count ``n_sh`` — known
+    for free at emission time, which is what lets the Jaccard
+    denominator travel WITH the data instead of via a driver-side
+    per-doc dict (O(corpus) memory) or an extra join."""
     tok = get_tokenizer(tokenizer)
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids, sh = [], []
+        ids, sh, cnt = [], [], []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            for s in _shingles(tok(text or ""), n):
+            shs = _shingles(tok(text or ""), n)
+            for s in shs:
                 ids.append(did)
                 sh.append(s)
-        return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "shingle": pa.array(sh, pa.string())}
-        )
+                cnt.append(len(shs))
+        cols = {"doc_id": pa.array(ids, pa.int64()), "shingle": pa.array(sh, pa.string())}
+        if with_counts:
+            cols["n_sh"] = pa.array(cnt, pa.int64())
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -111,56 +133,87 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.0,
     tokenizer: str = "simple",
-    max_group: int | None = None,
+    max_group: int | None = DEFAULT_MAX_GROUP,
 ) -> pd.DataFrame:
     """All doc pairs sharing >= 1 n-gram, with exact Jaccard over the
     docs' DISTINCT shingle sets. Returns (doc_a, doc_b, common,
     jaccard_e6) for jaccard >= threshold.
 
-    Fully distributed: shingle explode -> per-shingle pair emission
-    (groupby) -> per-pair intersection count (groupby) -> sizes joined
-    from a broadcast per-doc count table.
+    Fully distributed — the driver sees only the thresholded result
+    pairs: shingle explode (each row carrying its doc's shingle count)
+    -> per-shingle pair emission (groupby, hot shingles capped at
+    ``max_group`` docs; the dropped-shingle count rides a sentinel key
+    through the same aggregate and is logged) -> per-pair groupby
+    computing |intersection| + Jaccard from the carried sizes.
     """
-    sh = shingle_rows(ds, n, tokenizer)
-
-    # per-doc distinct-shingle counts: small (one row per doc) -> broadcast
-    sizes = (
-        sh.groupby("doc_id")
-        .aggregate(Count(alias_name="n_shingles"))
-        .to_pandas()
-        .set_index("doc_id")["n_shingles"]
-        .to_dict()
-    )
+    sh = shingle_rows(ds, n, tokenizer, with_counts=True)
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        order = np.argsort(g["doc_id"].to_numpy(np.int64))
+        ids = g["doc_id"].to_numpy(np.int64)[order]
+        szs = g["n_sh"].to_numpy(np.int64)[order]
         if max_group is not None and len(ids) > max_group:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            # sentinel: one (-1, -1) row per dropped hot shingle; the
+            # pair groupby COUNTs them into a single "dropped" row
+            return pd.DataFrame(
+                {"doc_a": [-1], "doc_b": [-1], "na": [0], "nb": [0]}
+            ).astype("int64")
         a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+        return pd.DataFrame(
+            {"doc_a": ids[a], "doc_b": ids[b], "na": szs[a], "nb": szs[b]}
+        )
 
     pairs = (
         sh.groupby("shingle")
         .map_groups(emit_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="common"))
-        .to_pandas()
+        .aggregate(
+            Count(alias_name="common"),
+            Min("na", alias_name="na"),
+            Min("nb", alias_name="nb"),
+        )
     )
-    if pairs.empty:
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.to_pandas()
+        sentinel = t["doc_a"].to_numpy() < 0
+        drop = t[sentinel]  # one row: common = number of dropped shingles
+        t = t[~sentinel]
+        na = t["na"].to_numpy(np.float64)
+        nb = t["nb"].to_numpy(np.float64)
+        common = t["common"].to_numpy(np.float64)
+        jac = common / np.maximum(na + nb - common, 1.0)
+        keep = jac >= threshold
+        out = {
+            "doc_a": t["doc_a"].to_numpy(np.int64)[keep].tolist(),
+            "doc_b": t["doc_b"].to_numpy(np.int64)[keep].tolist(),
+            "common": t["common"].to_numpy(np.int64)[keep].tolist(),
+            "jaccard_e6": e6(jac[keep]).tolist(),
+        }
+        for _, r in drop.iterrows():  # pass the sentinel through to the driver
+            out["doc_a"].append(-1)
+            out["doc_b"].append(-1)
+            out["common"].append(int(r["common"]))
+            out["jaccard_e6"].append(0)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    out = pairs.map_batches(finish, batch_format="pyarrow").to_pandas()
+    if out.empty:
         return pd.DataFrame(
             {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
              "common": pd.Series(dtype="int64"), "jaccard_e6": pd.Series(dtype="int64")}
         )
-    na = pairs["doc_a"].map(sizes).to_numpy(np.float64)
-    nb = pairs["doc_b"].map(sizes).to_numpy(np.float64)
-    common = pairs["common"].to_numpy(np.float64)
-    jac = common / (na + nb - common)
-    pairs["jaccard_e6"] = e6(jac)
-    out = pairs[jac >= threshold].reset_index(drop=True)
-    out["doc_a"] = out["doc_a"].astype("int64")
-    out["doc_b"] = out["doc_b"].astype("int64")
-    out["common"] = out["common"].astype("int64")
-    return out
+    sentinel = out["doc_a"] < 0
+    n_dropped = int(out.loc[sentinel, "common"].sum())
+    if n_dropped:
+        print(f"[ngram_jaccard_pairs] {n_dropped} hot shingles over "
+              f"max_group={max_group} dropped from pair emission")
+    return (
+        out[~sentinel]
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +274,9 @@ def minhash_signatures(
 def minhash_lsh_candidates(
     sigs: ray.data.Dataset, bands: int = 16, num_perm: int = 64
 ) -> ray.data.Dataset:
-    """Band rows (band_id, band_hash, doc_id) -> groupby -> pairs."""
+    """Band rows (band_id, band_hash, doc_id) -> groupby -> candidate
+    pairs with ``n_bands`` = number of agreeing bands (no
+    verification; see ``minhash_near_dups``)."""
     rows_per_band = num_perm // bands
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -243,7 +298,7 @@ def minhash_lsh_candidates(
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(np.unique(g["doc_id"].to_numpy(np.int64)))
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
 
@@ -264,44 +319,75 @@ def minhash_near_dups(
     shingle_n: int = 3,
     tokenizer: str = "simple",
 ) -> pd.DataFrame:
-    """MinHash-LSH near-dup pipeline with exact-Jaccard verification of
-    candidates (no false positives in the output; recall is the LSH
-    curve's — tested against planted dups in pytest)."""
+    """MinHash-LSH near-dup pipeline, fully distributed.
+
+    Verification is **signature-estimated Jaccard** — the fraction of
+    agreeing minhash values between the two signatures, an unbiased
+    estimator of true Jaccard with std <= 1/(2*sqrt(num_perm)) — the
+    standard web-scale form (Broder 1997; exact set intersection of
+    candidate pairs does not distribute, since pair shingle sets would
+    have to be co-shuffled per candidate). Estimation happens INSIDE
+    the band group (each band row carries its doc's full signature, the
+    same shape the SimHash path uses for its fingerprint); only pairs
+    whose estimate clears ``threshold`` leave the group, and a final
+    (doc_a, doc_b) groupby dedups pairs that matched in several bands.
+    The driver sees result pairs only. Exact-Jaccard semantics, when
+    wanted, are ``ngram_jaccard_pairs``.
+    """
     sigs = minhash_signatures(ds, num_perm, shingle_n, tokenizer)
-    cand = minhash_lsh_candidates(sigs, bands, num_perm).to_pandas()
-    if cand.empty:
+    rows_per_band = num_perm // bands
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        bid, bh, did, sg = [], [], [], []
+        for doc, sig in zip(batch["doc_id"].to_pylist(), batch["signature"].to_pylist()):
+            for b in range(bands):
+                chunk = tuple(sig[b * rows_per_band : (b + 1) * rows_per_band])
+                bid.append(b)
+                bh.append(stable_u64(repr(chunk)))
+                did.append(doc)
+                sg.append(sig)
+        return pa.table(
+            {
+                "band_id": pa.array(bid, pa.int32()),
+                "band_hash": pa.array(bh, pa.uint64()),
+                "doc_id": pa.array(did, pa.int64()),
+                "signature": pa.array(sg, pa.list_(pa.uint64())),
+            }
+        )
+
+    def verify_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_e6": []}).astype("int64")
+        sm = np.stack([np.asarray(s, np.uint64) for s in g["signature"]])
+        a, b = np.triu_indices(len(ids), k=1)
+        est = (sm[a] == sm[b]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": ids[a][keep],
+                "doc_b": ids[b][keep],
+                "jaccard_e6": e6(est[keep]),
+            }
+        ).astype("int64")
+
+    out = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(verify_in_group, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("jaccard_e6", alias_name="jaccard_e6"))
+        .to_pandas()
+    )
+    if out.empty:
         return pd.DataFrame(
             {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
              "jaccard_e6": pd.Series(dtype="int64")}
         )
-    # verify: fetch shingle sets for candidate docs only (semi-join via
-    # broadcast id-set), compute exact Jaccard on the driver — the
-    # candidate set is tiny relative to the corpus.
-    wanted = set(cand["doc_a"]) | set(cand["doc_b"])
-    tok = get_tokenizer(tokenizer)
-
-    def collect(batch: pa.Table) -> pa.Table:
-        ids, shs = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if did in wanted:
-                ids.append(did)
-                shs.append(sorted(_shingles(tok(text or ""), shingle_n)))
-        return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()),
-             "shingles": pa.array(shs, pa.list_(pa.string()))}
-        )
-
-    got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
-    sets = {r["doc_id"]: set(r["shingles"]) for _, r in got.iterrows()}
-    out = []
-    for _, r in cand.iterrows():
-        sa, sb = sets.get(r["doc_a"], set()), sets.get(r["doc_b"], set())
-        union = len(sa | sb)
-        jac = len(sa & sb) / union if union else 0.0
-        if jac >= threshold:
-            out.append((int(r["doc_a"]), int(r["doc_b"]), int(e6(np.array([jac]))[0])))
-    out.sort()
-    return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_e6"]).astype("int64", errors="ignore")
+    return (
+        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype("int64")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -367,7 +453,7 @@ def simhash_near_dups(
         ids = g["doc_id"].to_numpy(np.int64)
         hs = g["simhash"].to_numpy(np.uint64)
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype("int64")
         a, b = np.triu_indices(len(ids), k=1)
         x = hs[a] ^ hs[b]
         ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
