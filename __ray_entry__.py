@@ -73,6 +73,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- inverted index / BM25 (S1-S6, M1-M5, T1-T2, A7, G-extras) -------
         "q_bm25_topk": lambda sf: flagship.run_bm25_queries(sf, k=10, algo="bmw"),
+        # incremental delta build (S5/S7 family): lower half built,
+        # upper half appended via extend_index; results must equal the
+        # full-corpus build, so its oracle is the same BM25 SQL
+        "q_bm25_delta": lambda sf: flagship.run_bm25_queries_delta(sf, k=10, algo="bmw"),
         "q_index_segments": lambda sf: flagship.segment_summary(sf),
         "q_term_stats": lambda sf: analysis.term_stats(docs(sf)),
         "q_doc_lengths": lambda sf: analysis.doc_lengths(docs(sf)),
@@ -257,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     return {
         "q_bm25_topk": _bm25_sql(),
+        "q_bm25_delta": _bm25_sql(),  # delta-built index == full build
         "q_map_at_k": _map_at_k_sql(),
         "q_overlap_topk": _overlap_topk_sql(),
         "q_token_prf": _token_prf_sql(),

@@ -65,12 +65,30 @@ def segment_shard_dir(index_dir: str, shard: int) -> str:
 def shard_bounds(n_docs_span: int, num_shards: int) -> list[int]:
     """Start doc_id of each contiguous shard (+ trailing end).
 
-    Must be the exact inverse of ``shard_of`` (= id*S // span), i.e.
-    shard i starts at ceil(i*span/S).
+    Must be the exact inverse of the id*S // span map, i.e. shard i
+    starts at ceil(i*span/S).
     """
     return [
         (i * n_docs_span + num_shards - 1) // num_shards for i in range(num_shards)
     ] + [n_docs_span]
+
+
+def make_shard_of(bounds: list[int]):
+    """doc_id -> shard via binary search over explicit range bounds.
+
+    Bounds-based (not formulaic) so a delta-extended index — whose
+    appended shards make the bounds list non-uniform — keeps the same
+    map everywhere (build, docmeta, reader, hydration). For a fresh
+    build the formula-generated bounds make this identical to
+    ``id * S // span``."""
+    starts = np.asarray(bounds[:-1], dtype=np.uint64)
+
+    def shard_of(doc_ids: np.ndarray) -> np.ndarray:
+        return (
+            np.searchsorted(starts, doc_ids.astype(np.uint64), side="right") - 1
+        ).astype(np.int32)
+
+    return shard_of
 
 
 class IndexBuildConfig(dict):
@@ -141,8 +159,16 @@ def build_index(
             zero_copy_batch=True,
         ).write_parquet(docterms_dir)
         rows = _parquet_rows(docterms_dir)  # metadata-only, no Ray execution
-        man.mark_done("docterms", input_fingerprint=fp, rows=rows,
-                      duration_s=round(time.perf_counter() - _t, 3))
+        from ..state.manifest import fingerprint_file
+
+        man.mark_done(
+            "docterms", input_fingerprint=fp, rows=rows,
+            duration_s=round(time.perf_counter() - _t, 3),
+            # per-file fingerprints: the delta-extend path diffs new
+            # corpus files against this record (reference re-run-to-
+            # extend semantics, db.py:114-116, at file granularity)
+            files={p: fingerprint_file(p) for p in (source_files or [])},
+        )
 
     # ---- phase: stats -------------------------------------------------------
     if not man.is_done("stats", fp):
@@ -166,6 +192,13 @@ def build_index(
             "b": cfg["b"],
             "tokenizer": cfg["tokenizer"],
             "block_size": cfg["block_size"],
+            # avgdl each shard's block-max tables were encoded with;
+            # after a delta extend shifts global avgdl, the reader
+            # rescales old shards' bounds by avgdl_now/encode_avgdl to
+            # keep them safe upper bounds (see extend_index)
+            "encode_avgdl": {
+                str(s): float(agg["avgdl"]) for s in range(cfg["num_shards"])
+            },
         }
         with open(stats_path + ".tmp", "w") as f:
             json.dump(stats, f, indent=1)
@@ -175,11 +208,8 @@ def build_index(
                       **{k: v for k, v in stats.items() if k != "shard_bounds"})
     with open(stats_path) as f:
         stats = json.load(f)
-    span = stats["doc_id_span"]
     nsh = stats["num_shards"]
-
-    def shard_of(doc_ids: np.ndarray) -> np.ndarray:
-        return ((doc_ids.astype(np.uint64) * np.uint64(nsh)) // np.uint64(span)).astype(np.int32)
+    shard_of = make_shard_of(stats["shard_bounds"])
 
     # NB: there is deliberately NO persisted "staged" exploded-postings
     # table. Exploding (term, doc, tf, dl) multiplies the corpus into
@@ -303,8 +333,6 @@ def build_index(
     # per-shard sequential pipelines; resume granularity stays
     # per-shard via the manifest + partitioned output dirs.
     avgdl = stats["avgdl"]
-    salt_factor = cfg["salt_factor"]
-    nbuckets = cfg["num_buckets"]
     pending = [s for s in range(nsh) if not man.is_done(f"segment:{s}", fp)]
     if pending:
         _t = time.perf_counter()
@@ -314,73 +342,7 @@ def build_index(
         st = ray.data.read_parquet(
             docterms_dir, columns=["doc_id", "doc_len", "terms", "tfs"]
         ).map_batches(explode_postings(shard_of), batch_format="pyarrow", batch_size=None)
-        if len(pending) < nsh:
-            pending_arr = np.array(sorted(pending), dtype=np.int32)
-
-            def only_pending(b: pa.Table) -> pa.Table:
-                mask = np.isin(b["shard"].to_numpy(zero_copy_only=False), pending_arr)
-                return b.filter(pa.array(mask))
-
-            st = st.map_batches(only_pending, batch_format="pyarrow")
-
-        import pandas as pd  # local: only for the stable vectorized hash
-
-        def tag_bucket(batch: pa.Table) -> pa.Table:
-            shard = batch["shard"].combine_chunks().cast(pa.int32())
-            terms = batch["term"].to_pandas()
-            bucket = (
-                pd.util.hash_pandas_object(terms, index=False).to_numpy()
-                % np.uint64(nbuckets)
-            ).astype(np.int32)
-            return pa.table(
-                {
-                    "term": batch["term"],
-                    "doc_id": batch["doc_id"],
-                    "tf": batch["tf"],
-                    "dl": batch["dl"],
-                    "shard": shard,
-                    "bucket": pa.array(bucket, pa.int32()),
-                }
-            )
-
-        base = st.map_batches(tag_bucket, batch_format="pyarrow", batch_size=None)
-        if hot_terms:
-            import pyarrow.compute as pc
-
-            hot_arr = pa.array(sorted(hot_terms), pa.string())
-
-            def cold_part(b: pa.Table) -> pa.Table:
-                return b.filter(pc.invert(pc.is_in(b["term"], value_set=hot_arr)))
-
-            def hot_part(b: pa.Table) -> pa.Table:
-                return _with_salt(
-                    b.filter(pc.is_in(b["term"], value_set=hot_arr)), salt_factor
-                )
-
-            cold_seg = (
-                base.map_batches(cold_part, batch_format="pyarrow")
-                .groupby(["shard", "bucket"])
-                .map_groups(
-                    make_encode_bucket(avgdl, params, cfg["block_size"]),
-                    batch_format="pandas",
-                )
-            )
-            hot_seg = (
-                base.map_batches(hot_part, batch_format="pyarrow")
-                .groupby(["shard", "term", "salt"])
-                .map_groups(encode_sub, batch_format="pandas")
-                .groupby(["shard", "term"])
-                .map_groups(
-                    make_merge_salted(avgdl, params, cfg["block_size"]),
-                    batch_format="pandas",
-                )
-            )
-            seg = cold_seg.union(hot_seg)
-        else:
-            seg = base.groupby(["shard", "bucket"]).map_groups(
-                make_encode_bucket(avgdl, params, cfg["block_size"]),
-                batch_format="pandas",
-            )
+        seg = _encode_segments(st, avgdl, params, cfg, hot_terms, pending, nsh)
         seg.write_parquet(segments_dir, partition_cols=["shard"])
         import glob as _glob
 
@@ -420,6 +382,365 @@ def build_index(
                       duration_s=round(time.perf_counter() - _t, 3))
 
     return stats
+
+
+# ---------------------------------------------------------------------------
+# incremental delta build (reference re-run-to-extend workflow,
+# /root/reference/db.py:114-116 + the NOT-IN anti-join db.py:324-339,
+# lifted to file/shard granularity)
+
+
+def ingested_files(index_dir: str) -> dict[str, str]:
+    """path -> stat-fingerprint of every corpus file already in the
+    index (initial build + all deltas). The extend caller diffs its
+    current corpus listing against this to find the delta."""
+    man_path = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(man_path):
+        return {}
+    with open(man_path) as f:
+        data = json.load(f)
+    out: dict[str, str] = {}
+    for e in data.get("entries", {}).values():
+        out.update(e.get("files", {}))
+    return out
+
+
+def extend_index(
+    delta_source: ray.data.Dataset,
+    index_dir: str,
+    delta_files: list[str] | None = None,
+    delta_id: str | None = None,
+) -> dict:
+    """Append NEW documents to an existing index without touching any
+    completed phase — the reference's core workflow ("re-run the verb,
+    already-done rows skip, new rows get processed") as a delta build:
+
+    - ``delta_source`` rows (doc_id, content, ...) must have doc_ids
+      STRICTLY ABOVE the index's current doc_id_span (append-only id
+      space; enforced);
+    - the delta is tokenized into ``docterms/delta=<id>/`` and encoded
+      into NEW shards appended to ``shard_bounds`` — existing segment /
+      docmeta partitions are never rewritten (tested via mtimes);
+    - global stats (n_docs, avgdl, total_tokens) are re-aggregated
+      from the cheap (doc_id, doc_len) columns; the exact termstats
+      table, when present, is merged incrementally (delta partial df +
+      old table -> one small groupby), never recomputed from raw text;
+    - **block-max safety across avgdl drift**: old shards' block-max
+      tables were encoded with the old avgdl. The BM25 partial is
+      monotone increasing in avgdl, so the reader rescales each
+      shard's bounds by ``max(1, avgdl_now / encode_avgdl[shard])`` —
+      keeping WAND admissible (bounds stay upper bounds) while TAAT /
+      full scoring, which always uses live (tf, dl, avgdl), stays
+      exact. Query results are therefore rank- AND score-identical to
+      a from-scratch build of the full corpus (tested).
+
+    Idempotent per ``delta_id`` (defaults to the delta file set's
+    fingerprint): re-running with an already-ingested delta is a
+    no-op; a killed extend resumes at the first unfinished phase.
+    Returns the updated stats dict.
+    """
+    if delta_id is None:
+        if not delta_files:
+            raise ValueError("extend_index needs delta_files or an explicit delta_id")
+        delta_id = fingerprint_files(delta_files)
+
+    man_path = os.path.join(index_dir, "manifest.json")
+    stats_path = os.path.join(index_dir, "stats.json")
+    if not (os.path.exists(man_path) and os.path.exists(stats_path)):
+        raise ValueError(f"{index_dir} has no completed build to extend")
+    with open(man_path) as f:
+        man = Manifest(path=man_path, data=json.load(f))
+    cfg = IndexBuildConfig(**man.data["config"])
+    params = BM25Params(cfg["k1"], cfg["b"])
+    with open(stats_path) as f:
+        stats = json.load(f)
+
+    if man.is_done(f"delta:{delta_id}"):
+        return stats
+
+    docterms_dir = os.path.join(index_dir, "docterms")
+    ddir = os.path.join(docterms_dir, f"delta={delta_id}")
+    segments_dir = os.path.join(index_dir, "segments")
+    docmeta_dir = os.path.join(index_dir, "docmeta")
+    termstats_dir = os.path.join(index_dir, "termstats")
+    hot_path = os.path.join(index_dir, "hot_terms.json")
+
+    # ---- phase: delta docterms ---------------------------------------------
+    if not man.is_done(f"delta_docterms:{delta_id}"):
+        _t = time.perf_counter()
+        _clean(ddir)
+        from ..state.manifest import fingerprint_file
+
+        stage = TokenizeStage(tokenizer=cfg["tokenizer"])
+        delta_source.map_batches(
+            stage, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(ddir)
+        man.mark_done(
+            f"delta_docterms:{delta_id}",
+            rows=_parquet_rows(ddir),
+            duration_s=round(time.perf_counter() - _t, 3),
+            files={p: fingerprint_file(p) for p in (delta_files or [])},
+        )
+
+    # ---- phase: delta stats (+ new shard bounds) ----------------------------
+    if not man.is_done(f"delta_stats:{delta_id}"):
+        _t = time.perf_counter()
+        from ray.data.aggregate import Min as _Min
+
+        dt = ray.data.read_parquet(ddir, columns=["doc_id", "doc_len"])
+        agg = dt.aggregate(
+            Count(alias_name="n_new"),
+            Sum("doc_len", alias_name="new_tokens"),
+            Max("doc_id", alias_name="max_doc_id"),
+            _Min("doc_id", alias_name="min_doc_id"),
+        )
+        old_span = stats["doc_id_span"]
+        if int(agg["min_doc_id"]) < old_span:
+            raise ValueError(
+                f"delta doc_ids must start at or above the current span "
+                f"{old_span}; got {int(agg['min_doc_id'])} (updates to "
+                f"existing docs go through delete + re-append, see "
+                f"pipelines/maintenance)"
+            )
+        new_span = int(agg["max_doc_id"]) + 1
+        # delta shards sized to the index's established docs-per-shard
+        target = max(1, (old_span + stats["num_shards"] - 1) // stats["num_shards"])
+        dspan = new_span - old_span
+        n_new_shards = max(1, (dspan + target - 1) // target)
+        new_starts = [
+            old_span + (i * dspan + n_new_shards - 1) // n_new_shards
+            for i in range(n_new_shards)
+        ]
+        n_docs = stats["n_docs"] + int(agg["n_new"])
+        total = stats["total_tokens"] + int(agg["new_tokens"])
+        first_new = stats["num_shards"]
+        stats.update(
+            n_docs=n_docs,
+            total_tokens=total,
+            avgdl=total / n_docs,
+            doc_id_span=new_span,
+            shard_bounds=stats["shard_bounds"][:-1] + new_starts + [new_span],
+            num_shards=stats["num_shards"] + n_new_shards,
+        )
+        for s in range(first_new, stats["num_shards"]):
+            stats["encode_avgdl"][str(s)] = stats["avgdl"]
+        with open(stats_path + ".tmp", "w") as f:
+            json.dump(stats, f, indent=1)
+        os.replace(stats_path + ".tmp", stats_path)
+        man.mark_done(
+            f"delta_stats:{delta_id}",
+            new_shards=list(range(first_new, stats["num_shards"])),
+            n_new=int(agg["n_new"]),
+            duration_s=round(time.perf_counter() - _t, 3),
+        )
+    new_shards = man.data["entries"][f"delta_stats:{delta_id}"]["new_shards"]
+
+    # ---- phase: termstats incremental merge (exact mode only) ---------------
+    if (
+        cfg["exact_termstats"]
+        and os.path.exists(termstats_dir)
+        and not man.is_done(f"delta_termstats:{delta_id}")
+    ):
+        _t = time.perf_counter()
+        import pandas as _pd
+
+        st = ray.data.read_parquet(ddir, columns=["terms"])
+
+        def partial_df(batch: pa.Table) -> pa.Table:
+            flat = batch["terms"].combine_chunks().flatten()
+            counts = pa.TableGroupBy(pa.table({"term": flat}), "term").aggregate(
+                [("term", "count")]
+            )
+            return pa.table(
+                {"term": counts["term"], "df": counts["term_count"].cast(pa.int64())}
+            )
+
+        def reduce_df(g: _pd.DataFrame) -> pa.Table:
+            agg2 = g.groupby("term", sort=False)["df"].sum()
+            return pa.table(
+                {
+                    "term": pa.array(agg2.index.to_numpy(), pa.string()),
+                    "df": pa.array(agg2.to_numpy(np.int64), pa.int64()),
+                }
+            )
+
+        old_ts = ray.data.read_parquet(termstats_dir, columns=["term", "df"])
+        merged_dir = termstats_dir + f".merge-{delta_id}"
+        _clean(merged_dir)
+        (
+            st.map_batches(partial_df, batch_format="pyarrow", batch_size=None)
+            .union(old_ts)
+            .groupby("term")
+            .map_groups(reduce_df, batch_format="pandas")
+            .write_parquet(merged_dir)
+        )
+        old_dir = termstats_dir + ".old"
+        _clean(old_dir)
+        os.replace(termstats_dir, old_dir)
+        os.replace(merged_dir, termstats_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+        import pyarrow.dataset as pads
+
+        tds = pads.dataset(termstats_dir, format="parquet")
+        vocab = tds.count_rows()
+        hot = (
+            tds.to_table(
+                columns=["term"], filter=pads.field("df") > int(cfg["hot_df_threshold"])
+            )["term"].to_pylist()
+            if vocab
+            else []
+        )
+        with open(hot_path, "w") as f:
+            json.dump(sorted(hot), f)
+        stats["vocab_size"] = vocab
+        with open(stats_path + ".tmp", "w") as f:
+            json.dump(stats, f, indent=1)
+        os.replace(stats_path + ".tmp", stats_path)
+        man.mark_done(
+            f"delta_termstats:{delta_id}", vocab=vocab, hot_terms=len(hot),
+            duration_s=round(time.perf_counter() - _t, 3),
+        )
+    hot_terms = set()
+    if os.path.exists(hot_path):
+        with open(hot_path) as f:
+            hot_terms = set(json.load(f))
+
+    # ---- phase: delta posting segments (new shards only) --------------------
+    shard_of = make_shard_of(stats["shard_bounds"])
+    enc_avgdl = stats["encode_avgdl"][str(new_shards[0])]
+    pending = [s for s in new_shards if not man.is_done(f"segment:{s}")]
+    if pending:
+        _t = time.perf_counter()
+        for s in pending:
+            _clean(segment_shard_dir(index_dir, s))
+        st = ray.data.read_parquet(
+            ddir, columns=["doc_id", "doc_len", "terms", "tfs"]
+        ).map_batches(explode_postings(shard_of), batch_format="pyarrow", batch_size=None)
+        seg = _encode_segments(
+            st, enc_avgdl, params, cfg, hot_terms, pending, len(new_shards)
+        )
+        seg.write_parquet(segments_dir, partition_cols=["shard"])
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        for s in pending:
+            nterms = sum(
+                pq.read_metadata(f).num_rows
+                for f in _glob.glob(
+                    os.path.join(segment_shard_dir(index_dir, s), "*.parquet")
+                )
+            )
+            man.mark_done(
+                f"segment:{s}", terms=nterms, delta=delta_id,
+                pipeline_duration_s=round(time.perf_counter() - _t, 3),
+            )
+
+    # ---- phase: delta docmeta ----------------------------------------------
+    if not man.is_done(f"delta_docmeta:{delta_id}"):
+        _t = time.perf_counter()
+        cols = ["doc_id", "content_sha256", "doc_len"]
+        schema_names = ray.data.read_parquet(ddir).schema().names
+        for extra in ("repo", "path", "commit", "lang"):
+            if extra in schema_names:
+                cols.append(extra)
+        dm = ray.data.read_parquet(ddir, columns=cols)
+
+        def add_shard(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.append_column("shard", pa.array(shard_of(ids), pa.int32()))
+
+        dm.map_batches(add_shard, batch_format="pyarrow").write_parquet(
+            docmeta_dir, partition_cols=["shard"]
+        )
+        man.mark_done(f"delta_docmeta:{delta_id}",
+                      duration_s=round(time.perf_counter() - _t, 3))
+
+    man.mark_done(f"delta:{delta_id}", new_shards=new_shards)
+    return stats
+
+
+def _encode_segments(
+    st: ray.data.Dataset,
+    avgdl: float,
+    params: BM25Params,
+    cfg: dict,
+    hot_terms: set[str],
+    pending: list[int],
+    total_shards_in_stream: int,
+) -> ray.data.Dataset:
+    """Shared encode pipeline: exploded postings -> per-(shard, bucket)
+    batch encode (+ salted hot-term path) -> segment rows. Used by both
+    the initial build and the delta extend."""
+    import pandas as pd
+
+    nbuckets = cfg["num_buckets"]
+    salt_factor = cfg["salt_factor"]
+    if len(pending) < total_shards_in_stream:
+        pending_arr = np.array(sorted(pending), dtype=np.int32)
+
+        def only_pending(b: pa.Table) -> pa.Table:
+            mask = np.isin(b["shard"].to_numpy(zero_copy_only=False), pending_arr)
+            return b.filter(pa.array(mask))
+
+        st = st.map_batches(only_pending, batch_format="pyarrow")
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        shard = batch["shard"].combine_chunks().cast(pa.int32())
+        terms = batch["term"].to_pandas()
+        bucket = (
+            pd.util.hash_pandas_object(terms, index=False).to_numpy()
+            % np.uint64(nbuckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "term": batch["term"],
+                "doc_id": batch["doc_id"],
+                "tf": batch["tf"],
+                "dl": batch["dl"],
+                "shard": shard,
+                "bucket": pa.array(bucket, pa.int32()),
+            }
+        )
+
+    base = st.map_batches(tag_bucket, batch_format="pyarrow", batch_size=None)
+    if hot_terms:
+        import pyarrow.compute as pc
+
+        hot_arr = pa.array(sorted(hot_terms), pa.string())
+
+        def cold_part(b: pa.Table) -> pa.Table:
+            return b.filter(pc.invert(pc.is_in(b["term"], value_set=hot_arr)))
+
+        def hot_part(b: pa.Table) -> pa.Table:
+            return _with_salt(
+                b.filter(pc.is_in(b["term"], value_set=hot_arr)), salt_factor
+            )
+
+        cold_seg = (
+            base.map_batches(cold_part, batch_format="pyarrow")
+            .groupby(["shard", "bucket"])
+            .map_groups(
+                make_encode_bucket(avgdl, params, cfg["block_size"]),
+                batch_format="pandas",
+            )
+        )
+        hot_seg = (
+            base.map_batches(hot_part, batch_format="pyarrow")
+            .groupby(["shard", "term", "salt"])
+            .map_groups(encode_sub, batch_format="pandas")
+            .groupby(["shard", "term"])
+            .map_groups(
+                make_merge_salted(avgdl, params, cfg["block_size"]),
+                batch_format="pandas",
+            )
+        )
+        return cold_seg.union(hot_seg)
+    return base.groupby(["shard", "bucket"]).map_groups(
+        make_encode_bucket(avgdl, params, cfg["block_size"]),
+        batch_format="pandas",
+    )
 
 
 def _clean(path: str) -> None:

@@ -36,9 +36,15 @@ HOT_DF_THRESHOLD = 150  # hot at sf>=0.01 scale -> exercises salting
 SALT_FACTOR = 4
 
 
-def documents_index_dir(sf_dir: str) -> str:
+def documents_index_dir(sf_dir: str, variant: str = "v1") -> str:
+    # the source file's stat-fingerprint is part of the cache key, so a
+    # regenerated documents.parquet (even same-size) gets a fresh dir
+    from ..state.manifest import fingerprint_file
+
+    src = f"{sf_dir}/documents.parquet"
+    ffp = fingerprint_file(src) if os.path.exists(src) else "missing"
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|simple|{NUM_SHARDS}|{HOT_DF_THRESHOLD}|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{ffp}|simple|{NUM_SHARDS}|{HOT_DF_THRESHOLD}|{variant}".encode()
     ).hexdigest()[:16]
     return os.path.join("/tmp", "iri_ray_cache", f"docindex_{key}")
 
@@ -63,10 +69,47 @@ def run_bm25_queries(
 ) -> pd.DataFrame:
     """(qid, rank, doc_id, score_e6) for the frozen battery, scored by
     the actor-pool QueryScorer over a queries Dataset."""
+    return _run_battery(build_documents_index(sf_dir), queries, k, algo)
+
+
+def run_bm25_queries_delta(
+    sf_dir: str, queries=BM25_QUERIES, k: int = 10, algo: str = "bmw"
+) -> pd.DataFrame:
+    """The same battery over an index built INCREMENTALLY: initial
+    build on the lower half of the documents table, then
+    ``extend_index`` with the upper half (the reference's
+    re-run-to-extend workflow, db.py:114-116). Must be rank- and
+    score-identical to the full-corpus build — its SQL oracle is the
+    plain full-corpus BM25 oracle."""
+    import pyarrow.parquet as pq
+
+    from .build import build_index, extend_index
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    half = n // 2
+    index_dir = documents_index_dir(sf_dir, variant=f"delta-{half}")
+    ds = read_documents_table(sf_dir)
+    build_index(
+        ds.filter(expr=f"doc_id < {half}"),
+        index_dir,
+        source_files=[f"{sf_dir}/documents.parquet"],
+        tokenizer="simple",
+        num_shards=NUM_SHARDS,
+        hot_df_threshold=HOT_DF_THRESHOLD,
+        salt_factor=SALT_FACTOR,
+    )
+    extend_index(
+        ds.filter(expr=f"doc_id >= {half}"),
+        index_dir,
+        delta_id=f"upper-{half}",
+    )
+    return _run_battery(index_dir, queries, k, algo)
+
+
+def _run_battery(index_dir: str, queries, k: int, algo: str) -> pd.DataFrame:
     import numpy as np
     import ray.data
 
-    index_dir = build_documents_index(sf_dir)
     qds = ray.data.from_items(list(queries))
     out = qds.map_batches(
         QueryScorer,

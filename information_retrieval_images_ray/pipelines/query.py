@@ -82,10 +82,19 @@ class _ShardIndex:
     O(vocab) python-object heap.
     """
 
-    def __init__(self, seg_dir: str, lo: int, hi: int):
+    def __init__(self, seg_dir: str, lo: int, hi: int, bound_scale: float = 1.0):
+        """``bound_scale`` >= 1 rescales the stored block-max tables:
+        after a delta extend raises global avgdl, bounds encoded with
+        the older (smaller) avgdl are no longer upper bounds of the
+        live BM25 partial (which is monotone increasing in avgdl);
+        multiplying by avgdl_now/encode_avgdl restores admissibility
+        (the ratio partial_new/partial_old is < avgdl_new/avgdl_old
+        for every (tf, dl)). Scores themselves always use live stats —
+        only pruning is affected, and only by slack."""
         import pyarrow.compute as pc
 
         self.lo, self.hi = lo, hi
+        scale = max(1.0, float(bound_scale))
         files = sorted(glob.glob(os.path.join(seg_dir, "*.parquet")))
         if not files:
             self.n_terms = 0
@@ -109,13 +118,16 @@ class _ShardIndex:
             ("block_max_partial", np.float64),
         ):
             col = t[name].combine_chunks()
+            vals = col.values.to_numpy(zero_copy_only=False).astype(dtype)
+            if name == "block_max_partial" and scale != 1.0:
+                vals = vals * scale
             self._lists[name] = (
-                col.values.to_numpy(zero_copy_only=False).astype(dtype),
+                vals,
                 col.offsets.to_numpy(zero_copy_only=False).astype(np.int64),
             )
         self._max_partial = t["max_partial"].to_numpy(zero_copy_only=False).astype(
             np.float64
-        )
+        ) * scale
         self.n_terms = len(self._terms)
         self.df_local_sum = int(self._df_local.sum())
 
@@ -203,9 +215,21 @@ class IndexReader:
 
         from .build import segment_shard_dir
 
+        # per-shard block-max rescale for delta-extended indexes (see
+        # _ShardIndex.__init__); fresh builds have encode_avgdl ==
+        # avgdl everywhere -> scale 1.0
+        enc = self.stats.get("encode_avgdl", {})
+
+        def _scale(s: int) -> float:
+            v = float(enc.get(str(s), self.avgdl))
+            return self.avgdl / v if v > 0 else 1.0  # avgdl 0 = empty corpus
+
         owned_set = set(self.owned)
         self.shards = [
-            _ShardIndex(segment_shard_dir(index_dir, s), bounds[s], bounds[s + 1])
+            _ShardIndex(
+                segment_shard_dir(index_dir, s), bounds[s], bounds[s + 1],
+                bound_scale=_scale(s),
+            )
             if s in owned_set
             else None
             for s in range(self.num_shards)

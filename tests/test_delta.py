@@ -1,0 +1,141 @@
+"""Incremental delta build (extend_index): the corpus grows between
+builds, only the delta is processed, old partitions are untouched, and
+query results are rank- AND score-identical to a from-scratch build of
+the full corpus (reference re-run-to-extend semantics,
+/root/reference/db.py:114-116, at file/shard granularity)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+import ray.data
+
+from information_retrieval_images_ray.pipelines.build import (
+    build_index,
+    extend_index,
+    ingested_files,
+)
+from information_retrieval_images_ray.pipelines.query import IndexReader
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango dup zebra"
+).split()
+
+QUERIES = ["alpha", "dup zebra", "charlie echo golf", "alpha bravo", "nohit"]
+
+
+def _mk_rows(lo: int, hi: int, seed: int, min_len: int, max_len: int):
+    """Deterministic word-soup docs with EXPLICIT doc_ids (the
+    documents-table shape, where ids come with the data)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(lo, hi):
+        ln = int(rng.integers(min_len, max_len))
+        toks = [WORDS[j] for j in rng.integers(0, len(WORDS), size=ln)]
+        rows.append({"doc_id": i, "content": " ".join(toks)})
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpora():
+    base = _mk_rows(0, 100, seed=5, min_len=20, max_len=40)
+    # delta docs are much LONGER on average -> global avgdl rises ->
+    # exercises the block-max rescale path (old bounds would otherwise
+    # under-estimate and break WAND admissibility)
+    delta = _mk_rows(100, 150, seed=6, min_len=60, max_len=120)
+    return base, delta
+
+
+CFG = dict(tokenizer="simple", num_shards=3, hot_df_threshold=60, salt_factor=4)
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, corpora):
+    base, delta = corpora
+    fresh_dir = str(tmp_path_factory.mktemp("fresh"))
+    inc_dir = str(tmp_path_factory.mktemp("incremental"))
+    build_index(ray.data.from_items(base + delta), fresh_dir, **CFG)
+    build_index(ray.data.from_items(base), inc_dir, **CFG)
+    mtimes = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(inc_dir, "segments", "**", "*.parquet"),
+                           recursive=True)
+    }
+    extend_index(ray.data.from_items(delta), inc_dir, delta_id="d1")
+    return fresh_dir, inc_dir, mtimes
+
+
+def test_delta_rank_and_score_identical_to_fresh(built):
+    fresh_dir, inc_dir, _ = built
+    fresh = IndexReader(fresh_dir)
+    inc = IndexReader(inc_dir)
+    assert fresh.n_docs == inc.n_docs == 150
+    assert abs(fresh.avgdl - inc.avgdl) < 1e-9
+    for q in QUERIES:
+        f = fresh.search_taat(q, 10)
+        assert f == inc.search_taat(q, 10), q
+        assert f == inc.search_bmw(q, 10), q          # delta WAND == exact
+        assert f == fresh.search_bmw(q, 10), q
+
+
+def test_delta_global_df_exact(built):
+    """df(term) summed over shards equals the fresh build's (exact
+    global idf across old + appended shards)."""
+    fresh_dir, inc_dir, _ = built
+    fresh, inc = IndexReader(fresh_dir), IndexReader(inc_dir)
+    terms = sorted({t for q in QUERIES for t in q.split()})
+    assert fresh.df_locals(terms) == inc.df_locals(terms)
+
+
+def test_delta_leaves_old_partitions_untouched(built):
+    _, inc_dir, mtimes = built
+    for f, t in mtimes.items():
+        assert os.path.getmtime(f) == t, f
+    # appended shards exist beyond the original 3
+    with open(os.path.join(inc_dir, "stats.json")) as fh:
+        stats = json.load(fh)
+    assert stats["num_shards"] > 3
+    assert stats["shard_bounds"][3] == 100  # first delta shard starts at old span
+
+
+def test_delta_is_idempotent(built, corpora):
+    _, inc_dir, _ = built
+    _, delta = corpora
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(inc_dir, "**", "*.parquet"), recursive=True)
+    }
+    extend_index(ray.data.from_items(delta), inc_dir, delta_id="d1")  # re-run
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(inc_dir, "**", "*.parquet"), recursive=True)
+    }
+    assert before == after
+
+
+def test_delta_rejects_overlapping_ids(built, corpora):
+    _, inc_dir, _ = built
+    base, _ = corpora
+    with pytest.raises(ValueError, match="doc_ids must start at or above"):
+        extend_index(ray.data.from_items(base[:5]), inc_dir, delta_id="bad")
+
+
+def test_ingested_files_recorded(tmp_path, corpora):
+    base, delta = corpora
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f1 = str(tmp_path / "part1.parquet")
+    f2 = str(tmp_path / "part2.parquet")
+    pq.write_table(pa.Table.from_pylist(base), f1)
+    pq.write_table(pa.Table.from_pylist(delta), f2)
+    idx = str(tmp_path / "idx")
+    build_index(
+        ray.data.read_parquet(f1), idx, source_files=[f1], **CFG
+    )
+    assert set(ingested_files(idx)) == {f1}
+    extend_index(ray.data.read_parquet(f2), idx, delta_files=[f2])
+    assert set(ingested_files(idx)) == {f1, f2}
