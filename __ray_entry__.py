@@ -77,6 +77,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # upper half appended via extend_index; results must equal the
         # full-corpus build, so its oracle is the same BM25 SQL
         "q_bm25_delta": lambda sf: flagship.run_bm25_queries_delta(sf, k=10, algo="bmw"),
+        # S7 maintenance: tombstone delete honored by the scorers, and
+        # compaction (rebuild-without-deleted) equal to a fresh build
+        "q_bm25_deleted": lambda sf: flagship.run_bm25_queries_deleted(sf, k=10, algo="bmw"),
+        "q_bm25_compacted": lambda sf: flagship.run_bm25_queries_compacted(sf, k=10, algo="bmw"),
         "q_index_segments": lambda sf: flagship.segment_summary(sf),
         "q_term_stats": lambda sf: analysis.term_stats(docs(sf)),
         "q_doc_lengths": lambda sf: analysis.doc_lengths(docs(sf)),
@@ -122,10 +126,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL
 
 
-def _bm25_cte_body() -> str:
+def _bm25_cte_body(doc_filter: str = "TRUE", ranked_where: str = "") -> str:
     """Shared WITH-body: frozen query battery -> tokenized corpus ->
     tf/df/dl/stats -> BM25 ``scored`` -> ``ranked``. Reused by the
-    top-k, MAP and overlap oracles."""
+    top-k, delta, MAP and overlap oracles.
+
+    ``doc_filter`` restricts the CORPUS (compaction semantics: stats
+    recomputed over survivors); ``ranked_where`` filters only the
+    ranked candidates (tombstone semantics: full-corpus stats, deleted
+    docs excluded from results)."""
     from information_retrieval_images_ray.functions.tokenizer import tokenize_simple
     from information_retrieval_images_ray.pipelines.flagship import BM25_QUERIES
 
@@ -135,9 +144,10 @@ def _bm25_cte_body() -> str:
             vals.append(f"({q['qid']}, '{t}')")
     values = ", ".join(vals)
     return f"""queries(qid, term) AS (VALUES {values}),
-tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+docs AS (SELECT doc_id, text FROM documents WHERE {doc_filter}),
+tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM docs),
 tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
-dl AS (SELECT doc_id, CAST(len({TOK_SQL}) AS DOUBLE) AS dl FROM documents),
+dl AS (SELECT doc_id, CAST(len({TOK_SQL}) AS DOUBLE) AS dl FROM docs),
 stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl)/count(*) AS avgdl FROM dl),
 df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
 scored AS (
@@ -152,12 +162,12 @@ scored AS (
   GROUP BY 1, 2),
 ranked AS (SELECT qid, doc_id, score,
                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
-           FROM scored)"""
+           FROM scored {ranked_where})"""
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(**cte_kw) -> str:
     return f"""
-WITH {_bm25_cte_body()}
+WITH {_bm25_cte_body(**cte_kw)}
 SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
        CAST(doc_id AS BIGINT) AS doc_id,
        CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS score_e6
@@ -262,6 +272,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_bm25_topk": _bm25_sql(),
         "q_bm25_delta": _bm25_sql(),  # delta-built index == full build
+        # tombstoned: full-corpus stats, deleted docs excluded from
+        # every top-k before ranking (the tombstone contract)
+        "q_bm25_deleted": _bm25_sql(ranked_where="WHERE doc_id % 7 <> 0"),
+        # compacted: the index IS a fresh build of the filtered corpus
+        "q_bm25_compacted": _bm25_sql(doc_filter="doc_id % 7 <> 0"),
         "q_map_at_k": _map_at_k_sql(),
         "q_overlap_topk": _overlap_topk_sql(),
         "q_token_prf": _token_prf_sql(),

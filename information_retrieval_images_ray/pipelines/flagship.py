@@ -106,6 +106,57 @@ def run_bm25_queries_delta(
     return _run_battery(index_dir, queries, k, algo)
 
 
+DELETE_MOD = 7  # the deterministic driver delete set: doc_id % 7 == 0
+
+
+def build_documents_index_deleted(sf_dir: str) -> str:
+    """Full build + tombstone every doc_id % DELETE_MOD == 0
+    (reference delete_record, vector_db.py:54-58)."""
+    import pyarrow.parquet as pq
+
+    from .maintenance import delete_docs
+
+    index_dir = documents_index_dir(sf_dir, variant="del7")
+    ds = read_documents_table(sf_dir)
+    build_index(
+        ds,
+        index_dir,
+        source_files=[f"{sf_dir}/documents.parquet"],
+        tokenizer="simple",
+        num_shards=NUM_SHARDS,
+        hot_df_threshold=HOT_DF_THRESHOLD,
+        salt_factor=SALT_FACTOR,
+    )
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    delete_docs(index_dir, range(0, n, DELETE_MOD))
+    return index_dir
+
+
+def run_bm25_queries_deleted(
+    sf_dir: str, queries=BM25_QUERIES, k: int = 10, algo: str = "bmw"
+) -> pd.DataFrame:
+    """Battery over the tombstoned index: deleted docs never appear in
+    any top-k, remaining docs keep their pre-delete scores (stats stay
+    stale until compaction — the tombstone contract). Oracle: BM25
+    over the FULL corpus stats with deleted docs filtered before
+    ranking."""
+    return _run_battery(build_documents_index_deleted(sf_dir), queries, k, algo)
+
+
+def run_bm25_queries_compacted(
+    sf_dir: str, queries=BM25_QUERIES, k: int = 10, algo: str = "bmw"
+) -> pd.DataFrame:
+    """Battery after ``compact_index`` materializes the tombstones:
+    scores now equal a fresh build of the corpus WITHOUT the deleted
+    docs (stats recomputed). Oracle: BM25 over the filtered corpus."""
+    from .maintenance import compact_index
+
+    src = build_documents_index_deleted(sf_dir)
+    out = documents_index_dir(sf_dir, variant="del7-compacted")
+    compact_index(src, out)
+    return _run_battery(out, queries, k, algo)
+
+
 def _run_battery(index_dir: str, queries, k: int, algo: str) -> pd.DataFrame:
     import numpy as np
     import ray.data

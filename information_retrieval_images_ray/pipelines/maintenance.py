@@ -1,0 +1,164 @@
+"""Index maintenance: delete (tombstones), metadata update, compaction.
+
+The Ray-native re-expression of the reference's maintenance surface
+(S7): ``delete_record`` (/root/reference/vector_db.py:54-58) and
+``update_description`` (/root/reference/vector_db.py:61-91). Semantics:
+
+- ``delete_docs`` appends a content-addressed tombstone Parquet file
+  (atomic rename; idempotent — re-deleting the same set rewrites the
+  same file). Readers load the tombstone set at init and exclude those
+  docs from every top-k IMMEDIATELY; corpus statistics (N, df, avgdl)
+  deliberately stay stale until compaction — the standard IR
+  tombstone contract (deletes must be cheap at 10^12 docs; a delete
+  that re-aggregated global stats would be a full shuffle per call).
+- ``update_doc_meta`` rewrites ONE doc's metadata row inside its shard
+  docmeta partition (the reference's query-then-upsert description
+  update). Content changes are delete + ``extend_index`` re-append —
+  postings are immutable by design.
+- ``compact_index`` rebuilds the index WITHOUT tombstoned docs into a
+  fresh directory, reusing the tokenized docterms checkpoint (no
+  re-tokenize); its output is logically identical to a from-scratch
+  build of the corpus minus the deleted docs (tested segment-by-term).
+
+Scale notes: tombstones are a sorted int64 column, membership checks
+are vectorized searchsorted over the loaded array; at web scale the
+tombstone files shard by doc range exactly like docmeta. Compaction is
+one streaming pipeline over docterms (filter -> the normal
+stats/termstats/segment phases), resumable via the new dir's manifest.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..state.manifest import Manifest
+
+
+def tombstones_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
+
+
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Tombstone a set of doc_ids (reference delete_record,
+    vector_db.py:54-58). Returns the number of ids recorded. Atomic
+    and idempotent: the file name is the content hash of the sorted id
+    set, so a retried delete overwrites its own file."""
+    ids = np.array(sorted({int(d) for d in doc_ids}), dtype=np.int64)
+    if len(ids) == 0:
+        return 0
+    tdir = tombstones_dir(index_dir)
+    os.makedirs(tdir, exist_ok=True)
+    name = hashlib.sha256(ids.tobytes()).hexdigest()[:16]
+    path = os.path.join(tdir, f"del-{name}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), tmp)
+    os.replace(tmp, path)
+    return len(ids)
+
+
+def load_tombstones(index_dir: str) -> np.ndarray:
+    """Sorted unique int64 array of all tombstoned doc_ids."""
+    files = sorted(glob.glob(os.path.join(tombstones_dir(index_dir), "*.parquet")))
+    if not files:
+        return np.empty(0, dtype=np.int64)
+    parts = [pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy() for f in files]
+    return np.unique(np.concatenate(parts).astype(np.int64))
+
+
+def is_tombstoned(tomb: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``ids`` in the sorted tombstone array
+    (searchsorted, no python sets)."""
+    if len(tomb) == 0:
+        return np.zeros(len(ids), dtype=bool)
+    pos = np.searchsorted(tomb, ids)
+    pos_c = np.minimum(pos, len(tomb) - 1)
+    return (pos < len(tomb)) & (tomb[pos_c] == ids)
+
+
+def update_doc_meta(index_dir: str, doc_id: int, **fields) -> bool:
+    """Rewrite one doc's metadata columns in its shard's docmeta
+    partition (reference update_description, vector_db.py:61-91).
+    Returns True if the doc was found. Shard-partition granularity:
+    only the doc's shard files are read and atomically rewritten."""
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        bounds = np.asarray(json.load(f)["shard_bounds"], dtype=np.int64)
+    shard = int(np.searchsorted(bounds, doc_id, side="right") - 1)
+    sdir = os.path.join(index_dir, "docmeta", f"shard={shard}")
+    found = False
+    for f in sorted(glob.glob(os.path.join(sdir, "*.parquet"))):
+        t = pq.read_table(f)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = ids == doc_id
+        if not hit.any():
+            continue
+        cols = {}
+        for name in t.column_names:
+            if name in fields:
+                arr = t[name].to_pylist()
+                for i in np.flatnonzero(hit):
+                    arr[i] = fields[name]
+                cols[name] = pa.array(arr, t.schema.field(name).type)
+            else:
+                cols[name] = t[name]
+        unknown = set(fields) - set(t.column_names)
+        if unknown:
+            raise KeyError(f"docmeta has no columns {sorted(unknown)}")
+        tmp = f + ".tmp"
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, f)
+        found = True
+    return found
+
+
+def compact_index(index_dir: str, out_dir: str) -> dict:
+    """Materialize the tombstones: rebuild into ``out_dir`` without the
+    deleted docs, reusing the tokenized docterms checkpoint (no raw
+    text is ever re-read). Stats, term stats, hot set, segments and
+    docmeta are all recomputed over the surviving docs, so the result
+    is logically identical to a fresh build of the corpus minus the
+    deletions (tests/test_maintenance.py proves segment-level
+    equality). Resumable and idempotent via ``out_dir``'s manifest."""
+    from .build import _parquet_rows, build_index
+
+    if os.path.abspath(out_dir) == os.path.abspath(index_dir):
+        raise ValueError("compact_index writes to a NEW directory")
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        cfg = json.load(f)["config"]
+
+    out_stats = os.path.join(out_dir, "stats.json")
+    out_man = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(out_stats) and os.path.exists(out_man):
+        with open(out_man) as f:
+            done = json.load(f).get("entries", {}).get("docmeta", {})
+        if done.get("status") == "done":  # already compacted
+            with open(out_stats) as f:
+                return json.load(f)
+
+    tomb = load_tombstones(index_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    man = Manifest.load_or_create(out_dir, dict(cfg))
+
+    # filtered docterms -> the new index's tokenize checkpoint
+    out_dt = os.path.join(out_dir, "docterms")
+    if not man.is_done("docterms"):
+        src = ray.data.read_parquet(os.path.join(index_dir, "docterms"))
+
+        def drop_tombstoned(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(~is_tombstoned(tomb, ids)))
+
+        src.map_batches(drop_tombstoned, batch_format="pyarrow").write_parquet(out_dt)
+        man.mark_done("docterms", rows=_parquet_rows(out_dt),
+                      compacted_from=os.path.abspath(index_dir),
+                      n_tombstoned=int(len(tomb)))
+
+    # remaining phases are the ordinary build over the checkpoint
+    return build_index(None, out_dir, **cfg)

@@ -213,6 +213,12 @@ class IndexReader:
             ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             self.doc_len[ids] = t["doc_len"].to_numpy(zero_copy_only=False)
 
+        # tombstoned docs (pipelines/maintenance.delete_docs) are
+        # excluded from every top-k; stats stay stale until compaction
+        from .maintenance import load_tombstones
+
+        self.tombstones = load_tombstones(index_dir)
+
         from .build import segment_shard_dir
 
         # per-shard block-max rescale for delta-extended indexes (see
@@ -313,7 +319,14 @@ class IndexReader:
             all_scores.append(a[nz])
         if not all_ids:
             return []
-        return rank_topk(np.concatenate(all_ids), np.concatenate(all_scores), k)
+        ids = np.concatenate(all_ids)
+        scores = np.concatenate(all_scores)
+        if len(self.tombstones):
+            from .maintenance import is_tombstoned
+
+            live = ~is_tombstoned(self.tombstones, ids.astype(np.int64))
+            ids, scores = ids[live], scores[live]
+        return rank_topk(ids, scores, k)
 
     # -- block-max WAND (vectorized block-at-a-time variant) ------------------
     def search_bmw(
@@ -402,6 +415,13 @@ class IndexReader:
                         tfs_f * (k1 + 1.0)
                         / (tfs_f + k1 * (1.0 - b + b * dl / avgdl))
                     )
+                if len(self.tombstones):  # deleted docs never enter the heap
+                    from .maintenance import is_tombstoned
+
+                    live = ~is_tombstoned(
+                        self.tombstones, all_ids.astype(np.int64)
+                    )
+                    all_ids, scores = all_ids[live], scores[live]
                 if len(heap) >= k:  # vectorized pre-filter vs current theta
                     sel = scores > heap[0][0]
                     all_ids, scores = all_ids[sel], scores[sel]
