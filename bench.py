@@ -111,7 +111,16 @@ def bench_code_corpus(num_cpus: int, n_docs: int) -> dict:
         num_shards=16,  # FIXED across parallelism levels: the scaling
         # comparison must build the identical index (shard count is an
         # index-layout property, not a cluster property)
-        hot_df_threshold=max(1000, n_docs // 4),
+        # Hot-term salting OFF for this corpus size: shards are doc-id
+        # ranges, so a (shard, term) encode group is already bounded by
+        # the shard's doc span (n_docs/16 here). Salting exists for
+        # shard spans too large for one encode task (10^9-doc shards at
+        # the 10^12 design point), where its extra exchange pays for
+        # itself; at bench scale it only adds a second shuffle of the
+        # hottest terms' postings. Index bytes are identical either way
+        # (tests/test_build_query.py::test_salting_equivalence); the
+        # salted path stays benched via the documents flagship build.
+        hot_df_threshold=1 << 30,
         salt_factor=8,
         exact_termstats=False,  # hot set from a docterms sample; the
         # df table is statistics-only (query df = sum of shard

@@ -4,10 +4,17 @@ Mirrors the reference's argparse verb set (/root/reference/main.py:12-76:
 --create-label/--embed-text/--search/--show-db/--reset) reshaped for the
 index engine:
 
-  python -m information_retrieval_images_ray build  --corpus DIR --index DIR
-  python -m information_retrieval_images_ray query  --index DIR QUERY [-k K]
-  python -m information_retrieval_images_ray show   --index DIR
-  python -m information_retrieval_images_ray reset  --index DIR --yes
+  python -m information_retrieval_images_ray build   --corpus DIR --index DIR
+  python -m information_retrieval_images_ray extend  --corpus DIR --index DIR
+  python -m information_retrieval_images_ray query   --index DIR QUERY [-k K]
+  python -m information_retrieval_images_ray show    --index DIR
+  python -m information_retrieval_images_ray delete  --index DIR IDS...
+  python -m information_retrieval_images_ray compact --index DIR --out DIR
+  python -m information_retrieval_images_ray reset   --index DIR --yes
+
+``extend`` diffs the corpus listing against the manifest's ingested
+files and indexes only the NEW files (the reference's re-run-to-extend
+workflow, main.py --create-label re-runs skipping done rows).
 
 The CLI owns the Ray session (guarded init, shutdown on exit); the
 library never calls ray.init (driver contract).
@@ -52,6 +59,58 @@ def cmd_build(args) -> int:
         hot_df_threshold=args.hot_df_threshold,
         salt_factor=args.salt_factor,
     )
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_extend(args) -> int:
+    """Delta build: index only corpus files not yet in the manifest.
+    New docs get doc_ids appended after the current span."""
+    _ensure_ray(args.num_cpus)
+    import json as _json
+    import os
+
+    from .pipelines.build import extend_index, ingested_files
+    from .sources.corpus_source import (
+        assign_dense_doc_ids,
+        corpus_files,
+        read_code_corpus,
+    )
+    from .state.manifest import fingerprint_file
+
+    done = ingested_files(args.index)
+    new = [
+        f for f in corpus_files(args.corpus)
+        if done.get(f) != fingerprint_file(f)
+    ]
+    if not new:
+        print(_json.dumps({"new_files": 0, "skipped": len(done)}))
+        return 0
+    with open(os.path.join(args.index, "stats.json")) as fh:
+        start = _json.load(fh)["doc_id_span"]
+    ds = read_code_corpus(new)
+    if args.assign_ids:
+        ds = assign_dense_doc_ids(ds, start_id=start)
+    stats = extend_index(ds, args.index, delta_files=new)
+    print(_json.dumps({"new_files": len(new), **{k: stats[k] for k in ("n_docs", "num_shards")}}))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """Tombstone doc_ids (reference delete_record)."""
+    from .pipelines.maintenance import delete_docs
+
+    n = delete_docs(args.index, [int(x) for x in args.ids])
+    print(json.dumps({"tombstoned": n}))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    """Materialize tombstones into a fresh index directory."""
+    _ensure_ray(args.num_cpus)
+    from .pipelines.maintenance import compact_index
+
+    stats = compact_index(args.index, args.out)
     print(json.dumps(stats))
     return 0
 
@@ -120,6 +179,29 @@ def make_parser() -> argparse.ArgumentParser:
         help="corpus already carries dense uint64 doc_id",
     )
     b.set_defaults(func=cmd_build)
+
+    e = sub.add_parser("extend", help="delta build: index only NEW corpus files")
+    e.add_argument("--corpus", required=True)
+    e.add_argument("--index", required=True)
+    e.add_argument("--num-cpus", type=int, default=None)
+    e.add_argument(
+        "--no-assign-ids",
+        dest="assign_ids",
+        action="store_false",
+        help="corpus already carries dense uint64 doc_id above the current span",
+    )
+    e.set_defaults(func=cmd_extend)
+
+    d = sub.add_parser("delete", help="tombstone doc_ids")
+    d.add_argument("ids", nargs="+")
+    d.add_argument("--index", required=True)
+    d.set_defaults(func=cmd_delete)
+
+    c = sub.add_parser("compact", help="rebuild without tombstoned docs")
+    c.add_argument("--index", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(func=cmd_compact)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("query")

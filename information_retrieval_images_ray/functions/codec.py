@@ -22,11 +22,14 @@ import numpy as np
 _MAX_VARBYTE_LEN = 10  # ceil(64 / 7)
 
 
-def encode_varbyte(values: np.ndarray) -> bytes:
-    """Encode a uint64 array to a varbyte stream."""
+def encode_varbyte_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64 array to a varbyte stream, also returning the
+    per-value byte counts (int64) — callers that slice the stream into
+    sub-blobs (the vectorized bucket encoder) derive their offsets
+    from these without re-scanning for terminator bits."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bit_length / 7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -51,7 +54,12 @@ def encode_varbyte(values: np.ndarray) -> bytes:
         byte[last] |= np.uint8(0x80)
         out[pos] = byte
         shifted[sel] >>= np.uint64(7)
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def encode_varbyte(values: np.ndarray) -> bytes:
+    """Encode a uint64 array to a varbyte stream."""
+    return encode_varbyte_with_lengths(values)[0]
 
 
 def decode_varbyte(buf: bytes | memoryview, count: int | None = None) -> np.ndarray:

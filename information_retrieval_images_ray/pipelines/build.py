@@ -110,6 +110,11 @@ class IndexBuildConfig(dict):
         # table (reader sums per-shard df_local).
         exact_termstats=True,
         hot_sample_files=8,
+        # parquet codec for all index artifacts. zstd halves the bytes
+        # of the text-heavy docterms checkpoint vs snappy for ~equal
+        # CPU — at cluster scale the build is storage-bandwidth-bound,
+        # so fewer bytes written/read is the scaling lever.
+        compression="zstd",
     )
 
     def __init__(self, **kw):
@@ -157,7 +162,7 @@ def build_index(
             stage,
             batch_format="pyarrow",
             zero_copy_batch=True,
-        ).write_parquet(docterms_dir)
+        ).write_parquet(docterms_dir, compression=cfg["compression"])
         rows = _parquet_rows(docterms_dir)  # metadata-only, no Ray execution
         from ..state.manifest import fingerprint_file
 
@@ -343,7 +348,9 @@ def build_index(
             docterms_dir, columns=["doc_id", "doc_len", "terms", "tfs"]
         ).map_batches(explode_postings(shard_of), batch_format="pyarrow", batch_size=None)
         seg = _encode_segments(st, avgdl, params, cfg, hot_terms, pending, nsh)
-        seg.write_parquet(segments_dir, partition_cols=["shard"])
+        seg.write_parquet(
+            segments_dir, partition_cols=["shard"], compression=cfg["compression"]
+        )
         import glob as _glob
 
         import pyarrow.parquet as pq
@@ -376,7 +383,7 @@ def build_index(
             return batch.append_column("shard", pa.array(shard_of(ids), pa.int32()))
 
         dm.map_batches(add_shard, batch_format="pyarrow").write_parquet(
-            docmeta_dir, partition_cols=["shard"]
+            docmeta_dir, partition_cols=["shard"], compression=cfg["compression"]
         )
         man.mark_done("docmeta", input_fingerprint=fp,
                       duration_s=round(time.perf_counter() - _t, 3))
@@ -474,7 +481,7 @@ def extend_index(
         stage = TokenizeStage(tokenizer=cfg["tokenizer"])
         delta_source.map_batches(
             stage, batch_format="pyarrow", zero_copy_batch=True
-        ).write_parquet(ddir)
+        ).write_parquet(ddir, compression=cfg["compression"])
         man.mark_done(
             f"delta_docterms:{delta_id}",
             rows=_parquet_rows(ddir),
@@ -620,7 +627,9 @@ def extend_index(
         seg = _encode_segments(
             st, enc_avgdl, params, cfg, hot_terms, pending, len(new_shards)
         )
-        seg.write_parquet(segments_dir, partition_cols=["shard"])
+        seg.write_parquet(
+            segments_dir, partition_cols=["shard"], compression=cfg["compression"]
+        )
         import glob as _glob
 
         import pyarrow.parquet as pq
@@ -652,7 +661,7 @@ def extend_index(
             return batch.append_column("shard", pa.array(shard_of(ids), pa.int32()))
 
         dm.map_batches(add_shard, batch_format="pyarrow").write_parquet(
-            docmeta_dir, partition_cols=["shard"]
+            docmeta_dir, partition_cols=["shard"], compression=cfg["compression"]
         )
         man.mark_done(f"delta_docmeta:{delta_id}",
                       duration_s=round(time.perf_counter() - _t, 3))
@@ -707,6 +716,16 @@ def _encode_segments(
     base = st.map_batches(tag_bucket, batch_format="pyarrow", batch_size=None)
     if hot_terms:
         import pyarrow.compute as pc
+
+        # NB: the cold + hot branches each re-execute the
+        # read->explode->tag chain (Ray Data has no DAG sharing across
+        # branches; measured: pinning the tagged stream with
+        # .materialize() is SLOWER than the re-read — object-store
+        # residency + copy costs more than a second parquet scan).
+        # Salting therefore costs ~2x the explode work and only pays
+        # off when a single (shard, term) group would exceed task
+        # memory — i.e. shard doc spans in the 10^8+ range. Callers
+        # size hot_df_threshold accordingly (bench.py keeps it off).
 
         hot_arr = pa.array(sorted(hot_terms), pa.string())
 

@@ -31,9 +31,12 @@ def corpus_files(path: str) -> list[str]:
     return sorted(glob.glob(f"{path}/*.parquet"))
 
 
-def read_code_corpus(path: str) -> ray.data.Dataset:
+def read_code_corpus(path: str | list[str]) -> ray.data.Dataset:
+    """Column-pruned corpus read; accepts a dir/file path or an
+    explicit file list (the delta-extend path reads only NEW files)."""
+    files = path if isinstance(path, list) else corpus_files(path)
     return ray.data.read_parquet(
-        corpus_files(path), columns=["repo", "path", "commit", "lang", "content"]
+        files, columns=["repo", "path", "commit", "lang", "content"]
     )
 
 
@@ -64,8 +67,12 @@ def assign_dense_doc_ids(
     ds: ray.data.Dataset,
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
     num_partitions: int = 64,
+    start_id: int = 0,
 ) -> ray.data.Dataset:
-    """Assign dense uint64 ``doc_id`` = global rank under sort by key.
+    """Assign dense uint64 ``doc_id`` = ``start_id`` + global rank
+    under sort by key (``start_id`` > 0 is the delta-extend path:
+    appended docs rank among THEMSELVES, offset past the existing
+    index's doc_id span).
 
     Ray-native, no driver-side enumeration of rows, scales as a single
     range-partitioned sort:
@@ -151,7 +158,7 @@ def assign_dense_doc_ids(
     for _, row in sizes.iterrows():
         offsets[int(row["_pid"]) + 1] = int(row["n"])
     offsets = np.cumsum(offsets)
-    offset_map = {p: int(offsets[p]) for p in range(num_partitions)}
+    offset_map = {p: int(offsets[p]) + int(start_id) for p in range(num_partitions)}
 
     # 4. the one shuffle: per-partition sort + enumerate
     def enumerate_group(g: pd.DataFrame) -> pd.DataFrame:

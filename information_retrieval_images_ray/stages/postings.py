@@ -40,6 +40,7 @@ from ..functions.codec import (
     delta_decode,
     delta_encode,
     encode_varbyte,
+    encode_varbyte_with_lengths,
 )
 
 BLOCK_SIZE = 128
@@ -178,42 +179,118 @@ def make_encode_final(avgdl: float, params: BM25Params, block_size: int = BLOCK_
 
 
 def make_encode_bucket(avgdl: float, params: BM25Params, block_size: int = BLOCK_SIZE):
-    """map_groups fn for a (shard, bucket) group holding MANY terms.
+    """map_groups fn for a (shard, bucket) group holding MANY terms —
+    the WHOLE bucket is encoded in one vectorized pass.
 
     Bucketing amortizes Ray's per-group dispatch over ~vocab/num_buckets
-    terms: one task sorts the bucket once by term and encodes each
-    term's slice in a tight loop. Output rows are identical to the
-    per-term ``make_encode_final`` path (same encode_posting), just
-    batched into one Arrow table.
+    terms; vectorizing amortizes numpy-call overhead the same way: the
+    bucket's full posting stream is lex-sorted by (term, doc_id) once,
+    the delta/restart gap stream is computed with ONE np.where (a
+    restart — absolute doc_id — at every term start and every
+    block_size-th posting within a term, exactly the per-block format
+    ``encode_posting`` emits), and ONE varbyte pass encodes all terms'
+    docs (and one more all tfs). Block skip tables and score bounds
+    fall out of reduceat/searchsorted over the restart positions. This
+    replaces ~40 numpy calls PER TERM with ~30 per BUCKET; output is
+    byte-identical to the per-term ``make_encode_final`` path (same
+    tests cover both, plus a property test in tests/test_codec.py).
     """
+    k1, b = params.k1, params.b
 
     def fn(g: pd.DataFrame) -> pa.Table:
         shard = int(g["shard"].iloc[0])
         terms = g["term"].to_numpy()
-        order = np.argsort(terms, kind="stable")
+        # lexsort: doc_id secondary (stable), term primary
+        order = np.argsort(g["doc_id"].to_numpy(np.uint64), kind="stable")
+        order = order[np.argsort(terms[order], kind="stable")]
         terms = terms[order]
         doc_ids = g["doc_id"].to_numpy(np.uint64)[order]
         tfs = g["tf"].to_numpy(np.uint64)[order]
-        dls = g["dl"].to_numpy(np.uint64)[order]
-        uniq, starts = np.unique(terms, return_index=True)
-        bounds = np.append(starts, len(terms))
-        out: dict[str, list] = {name: [] for name in SEGMENT_SCHEMA.names}
-        for i in range(len(uniq)):
-            s, e = int(bounds[i]), int(bounds[i + 1])
-            row = encode_posting(
-                doc_ids[s:e], tfs[s:e], dls[s:e], avgdl, params, block_size
-            )
-            out["term"].append(uniq[i])
-            out["shard"].append(shard)
-            out["df_local"].append(int(row["df_local"]))
-            out["docs"].append(row["docs"])
-            out["tfs"].append(row["tfs"])
-            out["block_last_doc"].append(row["block_last_doc"].tolist())
-            out["block_doc_off"].append(row["block_doc_off"].tolist())
-            out["block_tf_off"].append(row["block_tf_off"].tolist())
-            out["block_max_partial"].append(row["block_max_partial"].tolist())
-            out["max_partial"].append(float(row["max_partial"]))
-        return pa.Table.from_pydict(out, schema=SEGMENT_SCHEMA)
+        dls = g["dl"].to_numpy(np.uint64)[order].astype(np.float64)
+        n = len(terms)
+        uniq, term_starts = np.unique(terms, return_index=True)
+        tbounds = np.append(term_starts, n)
+        df = np.diff(tbounds)
+
+        # restart positions: first posting of every block of every term
+        pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(term_starts, df)
+        is_restart = (pos_in_term % block_size) == 0
+        prev = np.empty_like(doc_ids)
+        prev[0] = 0
+        prev[1:] = doc_ids[:-1]
+        gaps = np.where(is_restart, doc_ids, doc_ids - prev)
+
+        doc_bytes, doc_nbytes = encode_varbyte_with_lengths(gaps)
+        tf_bytes, tf_nbytes = encode_varbyte_with_lengths(tfs)
+        doc_cum = np.concatenate(([0], np.cumsum(doc_nbytes)))
+        tf_cum = np.concatenate(([0], np.cumsum(tf_nbytes)))
+
+        # per-block skip metadata
+        block_start = np.flatnonzero(is_restart)
+        block_end = np.append(block_start[1:], n) - 1
+        block_last = doc_ids[block_end]
+        tfs_f = tfs.astype(np.float64)
+        partial = tfs_f * (k1 + 1.0) / (tfs_f + k1 * (1.0 - b + b * dls / avgdl))
+        bmax = _f32_upper(np.maximum.reduceat(partial, block_start))
+        # term -> its block range
+        tb_start = np.searchsorted(block_start, term_starts)
+        tb_bounds = np.append(tb_start, len(block_start))
+        nblocks = np.diff(tb_bounds)
+        max_partial = np.maximum.reduceat(bmax, tb_start)
+
+        # offset lists: per-term block byte offsets + trailing total
+        def off_lists(cum: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            within = cum[block_start] - np.repeat(cum[tbounds[:-1]], nblocks)
+            totals = cum[tbounds[1:]] - cum[tbounds[:-1]]
+            L = nblocks + 1
+            list_offs = np.concatenate(([0], np.cumsum(L)))
+            vals = np.empty(list_offs[-1], dtype=np.uint64)
+            trailing = list_offs[1:] - 1
+            mask = np.ones(len(vals), dtype=bool)
+            mask[trailing] = False
+            vals[mask] = within.astype(np.uint64)
+            vals[trailing] = totals.astype(np.uint64)
+            return vals, list_offs
+
+        doc_off_vals, off_offs = off_lists(doc_cum)
+        tf_off_vals, _ = off_lists(tf_cum)
+
+        blist_offs = tb_bounds.astype(np.int64)
+        docs_col = [
+            doc_bytes[doc_cum[tbounds[i]]: doc_cum[tbounds[i + 1]]]
+            for i in range(len(uniq))
+        ]
+        tfs_col = [
+            tf_bytes[tf_cum[tbounds[i]]: tf_cum[tbounds[i + 1]]]
+            for i in range(len(uniq))
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array(uniq, pa.string()),
+                pa.array(np.full(len(uniq), shard, np.int32), pa.int32()),
+                pa.array(df.astype(np.uint32), pa.uint32()),
+                pa.array(docs_col, pa.binary()),
+                pa.array(tfs_col, pa.binary()),
+                pa.ListArray.from_arrays(
+                    pa.array(blist_offs, pa.int32()),
+                    pa.array(block_last, pa.uint64()),
+                ),
+                pa.ListArray.from_arrays(
+                    pa.array(off_offs, pa.int32()),
+                    pa.array(doc_off_vals, pa.uint64()),
+                ),
+                pa.ListArray.from_arrays(
+                    pa.array(off_offs, pa.int32()),
+                    pa.array(tf_off_vals, pa.uint64()),
+                ),
+                pa.ListArray.from_arrays(
+                    pa.array(blist_offs, pa.int32()),
+                    pa.array(bmax, pa.float32()),
+                ),
+                pa.array(max_partial, pa.float32()),
+            ],
+            schema=SEGMENT_SCHEMA,
+        )
 
     return fn
 

@@ -53,3 +53,50 @@ def test_count_mismatch_raises():
     buf = encode_varbyte(np.array([1, 2, 3], dtype=np.uint64))
     with pytest.raises(ValueError):
         decode_varbyte(buf, 2)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=1, max_value=2**31))
+def test_vectorized_bucket_encode_matches_per_term(seed):
+    """The one-pass vectorized bucket encoder must be byte-identical,
+    column for column, to the per-term encode_posting reference path
+    (same property the salting-equivalence test checks end-to-end)."""
+    import pandas as pd
+
+    from information_retrieval_images_ray.functions.bm25 import BM25Params
+    from information_retrieval_images_ray.stages.postings import (
+        make_encode_bucket,
+        make_encode_final,
+    )
+
+    rng = np.random.default_rng(seed)
+    nterms = int(rng.integers(1, 12))
+    rows = []
+    for t in range(nterms):
+        df = int(rng.integers(1, 400))
+        ids = np.unique(rng.integers(0, 5000, size=df).astype(np.uint64))
+        for d in ids:
+            rows.append(
+                {
+                    "term": f"t{t:03d}",
+                    "doc_id": int(d),
+                    "tf": int(rng.integers(1, 50)),
+                    "dl": int(rng.integers(1, 500)),
+                    "shard": 0,
+                }
+            )
+    g = pd.DataFrame(rows).sample(frac=1.0, random_state=1).reset_index(drop=True)
+    params = BM25Params()
+    avgdl = 120.0
+    bucket = make_encode_bucket(avgdl, params, 16)(g).to_pandas()
+    ref_rows = []
+    for _, sub in g.groupby("term", sort=True):
+        ref_rows.append(make_encode_final(avgdl, params, 16)(sub).to_pandas())
+    ref = pd.concat(ref_rows).reset_index(drop=True)
+    bucket = bucket.sort_values("term").reset_index(drop=True)
+    assert list(bucket["term"]) == list(ref["term"])
+    for col in ("df_local", "docs", "tfs", "max_partial"):
+        assert list(bucket[col]) == list(ref[col]), col
+    for col in ("block_last_doc", "block_doc_off", "block_tf_off", "block_max_partial"):
+        for x, y in zip(bucket[col], ref[col]):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), col
