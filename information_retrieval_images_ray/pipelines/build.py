@@ -747,9 +747,9 @@ def _encode_segments(
         )
         hot_seg = (
             base.map_batches(hot_part, batch_format="pyarrow")
-            .groupby(["shard", "term", "salt"])
+            .groupby(["shard", "bucket", "salt"])
             .map_groups(encode_sub, batch_format="pandas")
-            .groupby(["shard", "term"])
+            .groupby(["shard", "bucket"])
             .map_groups(
                 make_merge_salted(avgdl, params, cfg["block_size"]),
                 batch_format="pandas",

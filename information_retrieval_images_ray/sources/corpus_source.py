@@ -109,13 +109,22 @@ def assign_dense_doc_ids(
         keys = pc.binary_join_element_wise(*parts, sep)
         return batch.append_column("_sort_key", keys)
 
-    # 1. boundaries from a sample — key columns ONLY (content never read
-    #    here), deterministic seed
+    # 1. ONE storage read total: key the corpus and pin it (spillable)
+    #    — the boundary sample, sizing pass and rank shuffle below all
+    #    consume the pinned copy from the object store. (Previously
+    #    count(), the key sample and the tag pass each re-read the
+    #    source from storage: 3 extra scans of fixed, non-CPU-scaling
+    #    time that dominated scaling efficiency once the CPU work got
+    #    fast. A distributed sort materializes this much data anyway.)
+    keyed = ds.map_batches(make_key, batch_format="pyarrow", batch_size=None).materialize()
+
+    # 2. boundaries from a seeded sample of the PINNED keys. Boundary
+    #    placement only balances partition sizes — final ids are exact
+    #    global ranks regardless of where the cuts land.
+    n_rows = keyed.count()  # metadata-only on a materialized dataset
     sample = (
-        ds.select_columns(list(key_cols))
-        .map_batches(make_key, batch_format="pyarrow", batch_size=None)
-        .select_columns(["_sort_key"])
-        .random_sample(min(1.0, 20_000 / max(1, ds.count())), seed=42)
+        keyed.select_columns(["_sort_key"])
+        .random_sample(min(1.0, 20_000 / max(1, n_rows)), seed=42)
     )
     keys = sorted(r["_sort_key"] for r in sample.take_all())
     if not keys:
@@ -128,16 +137,11 @@ def assign_dense_doc_ids(
     bounds_arr = np.array(bounds, dtype=object)
 
     def tag(batch: pa.Table) -> pa.Table:
-        batch = make_key(batch)
         k = np.array(batch["_sort_key"].to_pylist(), dtype=object)
         pid = np.searchsorted(bounds_arr, k, side="right").astype(np.int32)
         return batch.append_column("_pid", pa.array(pid, pa.int32()))
 
-    # 2. one full pass: tag rows and pin the tagged corpus in the object
-    #    store (spillable) so sizing + the rank shuffle don't re-read and
-    #    re-key the source — one storage read total for the whole
-    #    assignment, matching what a distributed sort materializes anyway
-    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None).materialize()
+    tagged = keyed.map_batches(tag, batch_format="pyarrow", batch_size=None)
 
     # 3. partition sizes via per-batch partials (pre-aggregated combiner)
     def partial_counts(batch: pa.Table) -> pa.Table:

@@ -137,6 +137,7 @@ SUB_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
         ("shard", pa.int32()),
+        ("bucket", pa.int32()),
         ("n", pa.uint32()),
         ("docs_sub", pa.binary()),
         ("tfs_sub", pa.binary()),
@@ -195,140 +196,198 @@ def make_encode_bucket(avgdl: float, params: BM25Params, block_size: int = BLOCK
     byte-identical to the per-term ``make_encode_final`` path (same
     tests cover both, plus a property test in tests/test_codec.py).
     """
-    k1, b = params.k1, params.b
-
     def fn(g: pd.DataFrame) -> pa.Table:
         shard = int(g["shard"].iloc[0])
         terms = g["term"].to_numpy()
         # lexsort: doc_id secondary (stable), term primary
         order = np.argsort(g["doc_id"].to_numpy(np.uint64), kind="stable")
         order = order[np.argsort(terms[order], kind="stable")]
-        terms = terms[order]
-        doc_ids = g["doc_id"].to_numpy(np.uint64)[order]
-        tfs = g["tf"].to_numpy(np.uint64)[order]
-        dls = g["dl"].to_numpy(np.uint64)[order].astype(np.float64)
-        n = len(terms)
-        uniq, term_starts = np.unique(terms, return_index=True)
-        tbounds = np.append(term_starts, n)
-        df = np.diff(tbounds)
-
-        # restart positions: first posting of every block of every term
-        pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(term_starts, df)
-        is_restart = (pos_in_term % block_size) == 0
-        prev = np.empty_like(doc_ids)
-        prev[0] = 0
-        prev[1:] = doc_ids[:-1]
-        gaps = np.where(is_restart, doc_ids, doc_ids - prev)
-
-        doc_bytes, doc_nbytes = encode_varbyte_with_lengths(gaps)
-        tf_bytes, tf_nbytes = encode_varbyte_with_lengths(tfs)
-        doc_cum = np.concatenate(([0], np.cumsum(doc_nbytes)))
-        tf_cum = np.concatenate(([0], np.cumsum(tf_nbytes)))
-
-        # per-block skip metadata
-        block_start = np.flatnonzero(is_restart)
-        block_end = np.append(block_start[1:], n) - 1
-        block_last = doc_ids[block_end]
-        tfs_f = tfs.astype(np.float64)
-        partial = tfs_f * (k1 + 1.0) / (tfs_f + k1 * (1.0 - b + b * dls / avgdl))
-        bmax = _f32_upper(np.maximum.reduceat(partial, block_start))
-        # term -> its block range
-        tb_start = np.searchsorted(block_start, term_starts)
-        tb_bounds = np.append(tb_start, len(block_start))
-        nblocks = np.diff(tb_bounds)
-        max_partial = np.maximum.reduceat(bmax, tb_start)
-
-        # offset lists: per-term block byte offsets + trailing total
-        def off_lists(cum: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-            within = cum[block_start] - np.repeat(cum[tbounds[:-1]], nblocks)
-            totals = cum[tbounds[1:]] - cum[tbounds[:-1]]
-            L = nblocks + 1
-            list_offs = np.concatenate(([0], np.cumsum(L)))
-            vals = np.empty(list_offs[-1], dtype=np.uint64)
-            trailing = list_offs[1:] - 1
-            mask = np.ones(len(vals), dtype=bool)
-            mask[trailing] = False
-            vals[mask] = within.astype(np.uint64)
-            vals[trailing] = totals.astype(np.uint64)
-            return vals, list_offs
-
-        doc_off_vals, off_offs = off_lists(doc_cum)
-        tf_off_vals, _ = off_lists(tf_cum)
-
-        blist_offs = tb_bounds.astype(np.int64)
-        docs_col = [
-            doc_bytes[doc_cum[tbounds[i]]: doc_cum[tbounds[i + 1]]]
-            for i in range(len(uniq))
-        ]
-        tfs_col = [
-            tf_bytes[tf_cum[tbounds[i]]: tf_cum[tbounds[i + 1]]]
-            for i in range(len(uniq))
-        ]
-        return pa.Table.from_arrays(
-            [
-                pa.array(uniq, pa.string()),
-                pa.array(np.full(len(uniq), shard, np.int32), pa.int32()),
-                pa.array(df.astype(np.uint32), pa.uint32()),
-                pa.array(docs_col, pa.binary()),
-                pa.array(tfs_col, pa.binary()),
-                pa.ListArray.from_arrays(
-                    pa.array(blist_offs, pa.int32()),
-                    pa.array(block_last, pa.uint64()),
-                ),
-                pa.ListArray.from_arrays(
-                    pa.array(off_offs, pa.int32()),
-                    pa.array(doc_off_vals, pa.uint64()),
-                ),
-                pa.ListArray.from_arrays(
-                    pa.array(off_offs, pa.int32()),
-                    pa.array(tf_off_vals, pa.uint64()),
-                ),
-                pa.ListArray.from_arrays(
-                    pa.array(blist_offs, pa.int32()),
-                    pa.array(bmax, pa.float32()),
-                ),
-                pa.array(max_partial, pa.float32()),
-            ],
-            schema=SEGMENT_SCHEMA,
+        return encode_terms_stream(
+            terms[order],
+            g["doc_id"].to_numpy(np.uint64)[order],
+            g["tf"].to_numpy(np.uint64)[order],
+            g["dl"].to_numpy(np.uint64)[order].astype(np.float64),
+            shard, avgdl, params, block_size,
         )
 
     return fn
 
 
+def encode_terms_stream(
+    terms: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    shard: int,
+    avgdl: float,
+    params: BM25Params,
+    block_size: int = BLOCK_SIZE,
+) -> pa.Table:
+    """Vectorized core: a posting stream ALREADY lex-sorted by
+    (term, doc_id) -> one SEGMENT_SCHEMA row per term. Shared by the
+    cold bucket encoder and the salted merge."""
+    k1, b = params.k1, params.b
+    n = len(terms)
+    uniq, term_starts = np.unique(terms, return_index=True)
+    tbounds = np.append(term_starts, n)
+    df = np.diff(tbounds)
+
+    # restart positions: first posting of every block of every term
+    pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(term_starts, df)
+    is_restart = (pos_in_term % block_size) == 0
+    prev = np.empty_like(doc_ids)
+    prev[0] = 0
+    prev[1:] = doc_ids[:-1]
+    gaps = np.where(is_restart, doc_ids, doc_ids - prev)
+
+    doc_bytes, doc_nbytes = encode_varbyte_with_lengths(gaps)
+    tf_bytes, tf_nbytes = encode_varbyte_with_lengths(tfs)
+    doc_cum = np.concatenate(([0], np.cumsum(doc_nbytes)))
+    tf_cum = np.concatenate(([0], np.cumsum(tf_nbytes)))
+
+    # per-block skip metadata
+    block_start = np.flatnonzero(is_restart)
+    block_end = np.append(block_start[1:], n) - 1
+    block_last = doc_ids[block_end]
+    tfs_f = tfs.astype(np.float64)
+    partial = tfs_f * (k1 + 1.0) / (tfs_f + k1 * (1.0 - b + b * dls / avgdl))
+    bmax = _f32_upper(np.maximum.reduceat(partial, block_start))
+    # term -> its block range
+    tb_start = np.searchsorted(block_start, term_starts)
+    tb_bounds = np.append(tb_start, len(block_start))
+    nblocks = np.diff(tb_bounds)
+    max_partial = np.maximum.reduceat(bmax, tb_start)
+
+    # offset lists: per-term block byte offsets + trailing total
+    def off_lists(cum: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        within = cum[block_start] - np.repeat(cum[tbounds[:-1]], nblocks)
+        totals = cum[tbounds[1:]] - cum[tbounds[:-1]]
+        L = nblocks + 1
+        list_offs = np.concatenate(([0], np.cumsum(L)))
+        vals = np.empty(list_offs[-1], dtype=np.uint64)
+        trailing = list_offs[1:] - 1
+        mask = np.ones(len(vals), dtype=bool)
+        mask[trailing] = False
+        vals[mask] = within.astype(np.uint64)
+        vals[trailing] = totals.astype(np.uint64)
+        return vals, list_offs
+
+    doc_off_vals, off_offs = off_lists(doc_cum)
+    tf_off_vals, _ = off_lists(tf_cum)
+
+    blist_offs = tb_bounds.astype(np.int64)
+    docs_col = [
+        doc_bytes[doc_cum[tbounds[i]]: doc_cum[tbounds[i + 1]]]
+        for i in range(len(uniq))
+    ]
+    tfs_col = [
+        tf_bytes[tf_cum[tbounds[i]]: tf_cum[tbounds[i + 1]]]
+        for i in range(len(uniq))
+    ]
+    return pa.Table.from_arrays(
+        [
+            pa.array(uniq, pa.string()),
+            pa.array(np.full(len(uniq), shard, np.int32), pa.int32()),
+            pa.array(df.astype(np.uint32), pa.uint32()),
+            pa.array(docs_col, pa.binary()),
+            pa.array(tfs_col, pa.binary()),
+            pa.ListArray.from_arrays(
+                pa.array(blist_offs, pa.int32()),
+                pa.array(block_last, pa.uint64()),
+            ),
+            pa.ListArray.from_arrays(
+                pa.array(off_offs, pa.int32()),
+                pa.array(doc_off_vals, pa.uint64()),
+            ),
+            pa.ListArray.from_arrays(
+                pa.array(off_offs, pa.int32()),
+                pa.array(tf_off_vals, pa.uint64()),
+            ),
+            pa.ListArray.from_arrays(
+                pa.array(blist_offs, pa.int32()),
+                pa.array(bmax, pa.float32()),
+            ),
+            pa.array(max_partial, pa.float32()),
+        ],
+        schema=SEGMENT_SCHEMA,
+    )
+
+
 def encode_sub(g: pd.DataFrame) -> pa.Table:
-    """map_groups fn for SALTED (term, salt) groups -> sub-posting row."""
+    """map_groups fn for SALTED (shard, bucket, salt) groups — MANY
+    terms per group (coarse salt groups amortize Ray's per-group
+    dispatch the same way the cold bucket encode does; the fine
+    per-(term, salt) grouping dispatched thousands of single-row
+    python calls). Emits one sub-posting row per term: whole-term
+    delta+varbyte streams, no block structure (intermediate form
+    only)."""
+    terms = g["term"].to_numpy()
     order = np.argsort(g["doc_id"].to_numpy(np.uint64), kind="stable")
+    order = order[np.argsort(terms[order], kind="stable")]
+    terms = terms[order]
     ids = g["doc_id"].to_numpy(np.uint64)[order]
     tfs = g["tf"].to_numpy(np.uint64)[order]
     dls = g["dl"].to_numpy(np.uint64)[order]
-    return pa.Table.from_pydict(
-        {
-            "term": [g["term"].iloc[0]],
-            "shard": [int(g["shard"].iloc[0])],
-            "n": [len(ids)],
-            "docs_sub": [encode_varbyte(delta_encode(ids))],
-            "tfs_sub": [encode_varbyte(tfs)],
-            "dls_sub": [encode_varbyte(dls)],
-        },
+    shard = int(g["shard"].iloc[0])
+    n = len(terms)
+    uniq, term_starts = np.unique(terms, return_index=True)
+    tbounds = np.append(term_starts, n)
+    # delta with restart at every term start, in ONE vectorized pass
+    is_start = np.zeros(n, dtype=bool)
+    is_start[term_starts] = True
+    prev = np.empty_like(ids)
+    prev[0] = 0
+    prev[1:] = ids[:-1]
+    gaps = np.where(is_start, ids, ids - prev)
+    doc_bytes, doc_nb = encode_varbyte_with_lengths(gaps)
+    tf_bytes, tf_nb = encode_varbyte_with_lengths(tfs)
+    dl_bytes, dl_nb = encode_varbyte_with_lengths(dls)
+    cums = [np.concatenate(([0], np.cumsum(x))) for x in (doc_nb, tf_nb, dl_nb)]
+    cols = []
+    for blob, cum in zip((doc_bytes, tf_bytes, dl_bytes), cums):
+        cols.append(
+            [blob[cum[tbounds[i]]: cum[tbounds[i + 1]]] for i in range(len(uniq))]
+        )
+    bucket = int(g["bucket"].iloc[0])
+    return pa.Table.from_arrays(
+        [
+            pa.array(uniq, pa.string()),
+            pa.array(np.full(len(uniq), shard, np.int32), pa.int32()),
+            pa.array(np.full(len(uniq), bucket, np.int32), pa.int32()),
+            pa.array(np.diff(tbounds).astype(np.uint32), pa.uint32()),
+            pa.array(cols[0], pa.binary()),
+            pa.array(cols[1], pa.binary()),
+            pa.array(cols[2], pa.binary()),
+        ],
         schema=SUB_SCHEMA,
     )
 
 
 def make_merge_salted(avgdl: float, params: BM25Params, block_size: int = BLOCK_SIZE):
-    """map_groups fn merging a term's salted sub-postings -> final row."""
+    """map_groups fn merging a (shard, bucket) group's salted
+    sub-postings (several terms x salt_factor sub rows) into final
+    segment rows via the shared vectorized core — byte-identical to an
+    unsalted encode of the same postings (tested)."""
 
     def fn(g: pd.DataFrame) -> pa.Table:
+        counts = g["n"].to_numpy(np.int64)
+        terms_rep = np.repeat(g["term"].to_numpy(), counts)
         ids = np.concatenate(
             [delta_decode(decode_varbyte(buf, int(n)))
-             for buf, n in zip(g["docs_sub"], g["n"])]
+             for buf, n in zip(g["docs_sub"], counts)]
         )
         tfs = np.concatenate(
-            [decode_varbyte(buf, int(n)) for buf, n in zip(g["tfs_sub"], g["n"])]
+            [decode_varbyte(buf, int(n)) for buf, n in zip(g["tfs_sub"], counts)]
         )
         dls = np.concatenate(
-            [decode_varbyte(buf, int(n)) for buf, n in zip(g["dls_sub"], g["n"])]
+            [decode_varbyte(buf, int(n)) for buf, n in zip(g["dls_sub"], counts)]
         )
-        row = encode_posting(ids, tfs, dls, avgdl, params, block_size)
-        return _segment_table(g["term"].iloc[0], int(g["shard"].iloc[0]), row)
+        order = np.argsort(ids, kind="stable")
+        order = order[np.argsort(terms_rep[order], kind="stable")]
+        return encode_terms_stream(
+            terms_rep[order], ids[order], tfs[order],
+            dls[order].astype(np.float64),
+            int(g["shard"].iloc[0]), avgdl, params, block_size,
+        )
 
     return fn
