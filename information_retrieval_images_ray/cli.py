@@ -7,6 +7,7 @@ index engine:
   python -m information_retrieval_images_ray build   --corpus DIR --index DIR
   python -m information_retrieval_images_ray extend  --corpus DIR --index DIR
   python -m information_retrieval_images_ray query   --index DIR QUERY [-k K]
+  python -m information_retrieval_images_ray serve   --index DIR --port 8080
   python -m information_retrieval_images_ray show    --index DIR
   python -m information_retrieval_images_ray delete  --index DIR IDS...
   python -m information_retrieval_images_ray compact --index DIR --out DIR
@@ -115,6 +116,25 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP JSON API over the sharded actor pool (reference
+    server.py:46-177 surface)."""
+    _ensure_ray(args.num_cpus)
+    from .pipelines.serving_http import IndexHTTPServer
+
+    srv = IndexHTTPServer(
+        args.index, num_actors=args.actors, port=args.port, host=args.host
+    )
+    print(json.dumps({"listening": f"http://{args.host}:{srv.port}"}), flush=True)
+    try:
+        srv.httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+    return 0
+
+
 def cmd_query(args) -> int:
     from .pipelines.query import IndexReader, hydrate_hits
 
@@ -210,6 +230,14 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("--algo", default="bmw", choices=["bmw", "taat"])
     q.add_argument("--hydrate", action="store_true")
     q.set_defaults(func=cmd_query)
+
+    v = sub.add_parser("serve", help="HTTP JSON API over the index actor pool")
+    v.add_argument("--index", required=True)
+    v.add_argument("--port", type=int, default=8080)
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--actors", type=int, default=2)
+    v.add_argument("--num-cpus", type=int, default=None)
+    v.set_defaults(func=cmd_serve)
 
     s = sub.add_parser("show", help="index stats + per-shard summary")
     s.add_argument("--index", required=True)

@@ -1,0 +1,174 @@
+"""HTTP serving layer — the reference's user-facing entry point
+(/root/reference/server.py:46-177: POST /search, GET /get-image,
+POST /reset-db over FastAPI) re-expressed as a dependency-free stdlib
+``http.server`` JSON API over the sharded actor pool:
+
+  POST /search        {"query": str, "limit": int=10, "hydrate": bool=true}
+                      -> ranked [{doc_id, rank, score, repo, path, ...}]
+                      (reference's {md5, file_path, description,
+                      distance} hit shape, server.py:150-175)
+  GET  /doc/<doc_id>  -> the doc's metadata row (GET /get-image
+                      analogue: the stored artifact for one hit)
+  GET  /stats         -> index stats (the --show-db verb over HTTP)
+  POST /delete        {"doc_ids": [int, ...]} -> tombstone count
+                      (reference delete_record, vector_db.py:54-58;
+                      actors re-sync tombstones on the next /search)
+
+Design notes, deliberately NOT the reference's shape where the
+reference got it wrong: the heavy state (index shards) lives in the
+long-lived ShardedQueryService actor pool, constructed ONCE at server
+start — the reference constructs its Milvus/SQLite/embedding clients
+per request (server.py:135-146). The HTTP layer itself is a thin
+threaded router: all scoring runs in the Ray actors, so one process
+serves concurrent requests with scatter-gather parallelism. At
+cluster scale N of these routers sit behind any TCP load balancer —
+the routers are stateless (tokenize + merge only).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pandas as pd
+
+from .query import hydrate_hits
+from .serving import ShardedQueryService
+
+
+class IndexHTTPServer:
+    """Threaded JSON API over one index. ``port=0`` binds an ephemeral
+    port (tests); ``start()`` serves in a daemon thread, ``close()``
+    stops the listener and kills the actor pool."""
+
+    def __init__(self, index_dir: str, num_actors: int = 2, port: int = 0,
+                 host: str = "127.0.0.1"):
+        self.index_dir = index_dir
+        self.service = ShardedQueryService(index_dir, num_actors=num_actors)
+        self._tomb_count = -1  # force tombstone sync on first search
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code: int, payload) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                try:
+                    if self.path == "/stats":
+                        import os
+
+                        with open(os.path.join(outer.index_dir, "stats.json")) as f:
+                            self._json(200, json.load(f))
+                    elif self.path.startswith("/doc/"):
+                        doc_id = int(self.path.split("/doc/", 1)[1])
+                        rows = outer._hydrate([doc_id])
+                        if not rows:
+                            self._json(404, {"error": f"doc {doc_id} not found"})
+                        else:
+                            self._json(200, rows[0])
+                    else:
+                        self._json(404, {"error": "unknown route"})
+                except Exception as e:  # surface, don't crash the thread
+                    self._json(500, {"error": str(e)})
+
+            def do_POST(self):
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/search":
+                        self._json(200, outer.search(
+                            req.get("query", ""),
+                            int(req.get("limit", 10)),
+                            bool(req.get("hydrate", True)),
+                        ))
+                    elif self.path == "/delete":
+                        from .maintenance import delete_docs
+
+                        n_del = delete_docs(outer.index_dir, req.get("doc_ids", []))
+                        self._json(200, {"tombstoned": n_del})
+                    else:
+                        self._json(404, {"error": "unknown route"})
+                except Exception as e:
+                    self._json(500, {"error": str(e)})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # -- core ops (also usable without HTTP) ---------------------------------
+    def search(self, query: str, k: int = 10, hydrate: bool = True) -> list[dict]:
+        self._sync_tombstones()
+        hits = self.service.topk([{"qid": 0, "query": query}], k=k)
+        rows = [
+            {"rank": h["rank"], "doc_id": int(h["doc_id"]), "score": h["score"]}
+            for h in hits
+        ]
+        if hydrate and rows:
+            meta = {m["doc_id"]: m for m in self._hydrate([r["doc_id"] for r in rows])}
+            for r in rows:
+                for key, val in meta.get(r["doc_id"], {}).items():
+                    if key not in r:
+                        r[key] = val
+        return rows
+
+    def _hydrate(self, doc_ids: list[int]) -> list[dict]:
+        df = hydrate_hits(pd.DataFrame({"doc_id": doc_ids}), self.index_dir)
+        out = []
+        for _, row in df.iterrows():
+            d = {}
+            for key, val in row.items():
+                if isinstance(val, (np.integer,)):
+                    val = int(val)
+                elif isinstance(val, (np.floating,)):
+                    val = float(val)
+                elif isinstance(val, bytes):
+                    val = val.hex()
+                elif val is not None and not isinstance(val, (str, int, float, bool)):
+                    val = str(val)
+                if isinstance(val, float) and val != val:  # NaN -> null
+                    val = None
+                d[key] = val
+            # an unknown doc_id left-joins to all-null metadata
+            if d.get("content_sha256") is not None:
+                out.append(d)
+        return out
+
+    def _sync_tombstones(self) -> None:
+        """Deletes issued while serving become visible on the next
+        search: when the tombstone set grew, the actor pool is
+        restarted (cheap at actor count; at scale this is a rolling
+        restart or a tombstone broadcast)."""
+        from .maintenance import load_tombstones
+
+        n = len(load_tombstones(self.index_dir))
+        if n != self._tomb_count:
+            if self._tomb_count >= 0:
+                num = len(self.service.actors)
+                self.service.shutdown()
+                self.service = ShardedQueryService(
+                    self.index_dir, num_actors=max(1, num)
+                )
+            self._tomb_count = n
+
+    # -- lifecycle -----------------------------------------------------------
+    def start(self) -> "IndexHTTPServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def close(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+        self.service.shutdown()

@@ -1,0 +1,76 @@
+"""HTTP serving layer: the reference's POST /search surface
+(server.py:46-177) over the sharded actor pool, stdlib-only."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+import ray.data
+
+from information_retrieval_images_ray.pipelines.build import build_index
+from information_retrieval_images_ray.pipelines.query import IndexReader
+from information_retrieval_images_ray.pipelines.serving_http import IndexHTTPServer
+
+WORDS = "alpha bravo charlie delta echo foxtrot golf hotel dup zebra".split()
+
+
+def _req(port, path, payload=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    if payload is None:
+        r = urllib.request.urlopen(url, timeout=30)
+    else:
+        data = json.dumps(payload).encode()
+        req = urllib.request.Request(
+            url, data=data, headers={"Content-Type": "application/json"}
+        )
+        r = urllib.request.urlopen(req, timeout=30)
+    return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    rng = np.random.default_rng(21)
+    rows = [
+        {
+            "doc_id": i,
+            "content": " ".join(WORDS[j] for j in rng.integers(0, len(WORDS), 40)),
+            "lang": "en",
+        }
+        for i in range(60)
+    ]
+    idx = str(tmp_path_factory.mktemp("httpidx"))
+    build_index(ray.data.from_items(rows), idx, tokenizer="simple", num_shards=2)
+    srv = IndexHTTPServer(idx, num_actors=2, port=0).start()
+    yield srv, idx
+    srv.close()
+
+
+def test_search_matches_reader(server):
+    srv, idx = server
+    reader = IndexReader(idx)
+    status, hits = _req(srv.port, "/search", {"query": "alpha dup", "limit": 5})
+    assert status == 200
+    want = reader.search_bmw("alpha dup", 5)
+    assert [(h["doc_id"], h["score"]) for h in hits] == [(d, s) for d, s in want]
+    assert all("content_sha256" in h and "lang" in h for h in hits)  # hydrated
+
+
+def test_doc_and_stats_routes(server):
+    srv, _ = server
+    status, doc = _req(srv.port, "/doc/3")
+    assert status == 200 and doc["doc_id"] == 3 and doc["lang"] == "en"
+    status, stats = _req(srv.port, "/stats")
+    assert status == 200 and stats["n_docs"] == 60
+    with pytest.raises(urllib.error.HTTPError):
+        _req(srv.port, "/doc/99999")
+
+
+def test_delete_visible_on_next_search(server):
+    srv, _ = server
+    _, hits = _req(srv.port, "/search", {"query": "alpha", "limit": 3})
+    victim = hits[0]["doc_id"]
+    status, out = _req(srv.port, "/delete", {"doc_ids": [victim]})
+    assert status == 200 and out["tombstoned"] == 1
+    _, hits2 = _req(srv.port, "/search", {"query": "alpha", "limit": 10})
+    assert victim not in {h["doc_id"] for h in hits2}
