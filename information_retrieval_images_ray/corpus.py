@@ -126,3 +126,68 @@ def write_corpus(path: str, n_docs: int, seed: int = 42, rows_per_file: int = 10
     with open(meta_path, "w") as f:
         f.write(marker)
     return path
+
+
+# ---------------------------------------------------------------------------
+# parallel generator for BIG bench corpora. A distinct deterministic
+# family (per-file seeded rng, so files generate independently across
+# processes) — NOT byte-compatible with generate_corpus(n, seed), which
+# the frozen test fixtures depend on; bench-scale inputs only.
+
+
+def _chunk_table(f_idx: int, lo: int, hi: int, seed: int) -> pa.Table:
+    rng = np.random.default_rng([seed, f_idx])
+    repos, paths, commits, langs, contents = [], [], [], [], []
+    for i in range(lo, hi):
+        lang = _LANGS[i % len(_LANGS)]
+        repos.append(f"org{i % 7}/proj{i % 23}")
+        paths.append(f"src/dir{i % 13}/file_{i}.{_EXT[lang]}")
+        commits.append(hashlib.sha256(f"commit-{i}".encode()).hexdigest()[:40])
+        langs.append(lang)
+        contents.append(_doc_content(rng, int(rng.integers(3, 60))))
+    return pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+
+
+def _write_chunk(args) -> str:
+    path, f_idx, lo, hi, seed = args
+    out = os.path.join(path, f"part-{f_idx:05d}.parquet")
+    pq.write_table(_chunk_table(f_idx, lo, hi, seed), out)
+    return out
+
+
+def write_corpus_parallel(
+    path: str, n_docs: int, seed: int = 42, rows_per_file: int = 20_000,
+    workers: int = 16,
+) -> str:
+    """Deterministic corpus written by a process pool (one file per
+    task; per-file seeds make output independent of worker count).
+    Same schema/distributions as generate_corpus; used for bench
+    corpora too large for the single-threaded generator."""
+    meta_path = os.path.join(path, "_CORPUS_META")
+    marker = f"par n_docs={n_docs} seed={seed} rows_per_file={rows_per_file} v=1"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if f.read() == marker:
+                return path
+    os.makedirs(path, exist_ok=True)
+    from concurrent.futures import ProcessPoolExecutor
+
+    jobs = []
+    nfiles = max(1, (n_docs + rows_per_file - 1) // rows_per_file)
+    for f_idx in range(nfiles):
+        lo = f_idx * rows_per_file
+        hi = min(n_docs, lo + rows_per_file)
+        jobs.append((path, f_idx, lo, hi, seed))
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(_write_chunk, jobs))
+    with open(meta_path, "w") as f:
+        f.write(marker)
+    return path

@@ -70,6 +70,13 @@ def explode_postings(shard_of):
         lens = terms.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
         doc_ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), lens)
         dls = np.repeat(batch["doc_len"].to_numpy(zero_copy_only=False), lens)
+        # NB: the term column is deliberately a PLAIN string array.
+        # Dictionary-encoding it (tempting — a term repeats once per
+        # posting) makes Ray's sort exchange unify dictionaries on
+        # every block concat, which measured ~10x SLOWER than moving
+        # the raw strings (1.6M-doc corpus: segment exchange 26s ->
+        # 260s). Plain strings + zstd'd parquet at rest is the right
+        # trade.
         flat_terms = terms.flatten()
         flat_tfs = tfs.flatten()
         return pa.table(
