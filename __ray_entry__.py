@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         relational,
         similarity,
+        streaming,
     )
     from information_retrieval_images_ray.sources.corpus_source import (
         read_documents_table,
@@ -118,6 +119,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_building_order_counts": lambda sf: relational.building_segment_order_counts(sf),
         "q_revenue_by_flag": lambda sf: relational.revenue_by_flag_status(sf),
         "q_tumbling_window": lambda sf: relational.tumbling_window_events(sf),
+        # -- stream-style custom operators (windows + ordered join) ----------
+        "q_hopping_window": lambda sf: streaming.hopping_window_events(sf),
+        "q_session_windows": lambda sf: streaming.session_windows_events(sf),
+        "q_event_asof": lambda sf: streaming.event_asof_join(sf),
         "q_distinct_langs": lambda sf: relational.distinct_langs(sf),
     }
 
@@ -410,6 +415,39 @@ SELECT user_id, epoch_us(ts) // 3600000000 AS win,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(FLOOR(SUM(value)*10000 + 0.5) AS BIGINT) AS value_sum_e4
 FROM events GROUP BY 1, 2
+""",
+        "q_hopping_window": """
+WITH w AS (SELECT user_id, epoch_us(ts) // 900000000 - u.k AS win, value
+           FROM events CROSS JOIN unnest(range(0, 4)) AS u(k))
+SELECT user_id, CAST(win AS BIGINT) AS win, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(FLOOR(SUM(value)*10000 + 0.5) AS BIGINT) AS value_sum_e4
+FROM w GROUP BY 1, 2
+""",
+        "q_session_windows": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+o AS (SELECT user_id, t, value,
+        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+             OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+             THEN 1 ELSE 0 END AS brk
+      FROM e),
+s AS (SELECT user_id, t, value,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o)
+SELECT user_id, CAST(min(t) AS BIGINT) AS session_start_us,
+       CAST(max(t) AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(FLOOR(sum(value)*10000 + 0.5) AS BIGINT) AS value_sum_e4
+FROM s GROUP BY user_id, sess
+""",
+        "q_event_asof": """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, CAST(p.t AS BIGINT) AS t_event_us,
+       CAST(coalesce(max(c.t), -1) AS BIGINT) AS t_match_us
+FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.t <= p.t
+GROUP BY 1, 2, 3
 """,
         "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
         # q_langid, q_minhash_neardup, q_simhash_neardup,

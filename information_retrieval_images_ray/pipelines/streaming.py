@@ -1,0 +1,167 @@
+"""Stream-style windowed/ordered operators over the events table.
+
+The reference is strictly batch (SURVEY.md §2.9) — these are the
+custom operators a training-data / telemetry pipeline needs that Ray
+Data has no built-in for, each expressed as a composition of
+``map_batches`` (+ per-batch Arrow combiner) and ``groupby`` /
+``map_groups``, per the engine's operator playbook:
+
+- **tumbling window** lives in ``relational.py`` (round 1);
+- **hopping (sliding) window**: each event explodes into
+  window_s/hop_s overlapping windows INSIDE the batch map (vectorized
+  np.repeat — the explode never leaves the task), then the same
+  partial-combine + keyed-reduce as tumbling;
+- **session windows** (gap-based): groupby(user) co-locates each
+  user's events, one vectorized pandas pass per group computes gap
+  breaks via diff/cumsum — the standard sessionization shuffle; the
+  partitioning assumption is "one user's events fit one task", the
+  same bound every sessionizer carries (a user with more events than
+  task memory needs a time-sliced pre-split);
+- **as-of join** (most recent prior event of another type, per key):
+  groupby(user) co-locates both sides, searchsorted inside the group —
+  the partitioning assumption again per-key locality, NOT a global
+  sort: no all-to-all beyond the one hash exchange.
+
+All three return small aggregated/matched results; nothing
+corpus-sized reaches the driver. Each has an exact DuckDB oracle
+(__ray_entry__: q_hopping_window / q_session_windows / q_event_asof;
+the as-of oracle is the tie-safe max-over-inequality-join form).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _e4(x: np.ndarray) -> np.ndarray:
+    return np.floor(np.asarray(x, np.float64) * 1e4 + 0.5).astype(np.int64)
+
+
+def hopping_window_events(
+    sf_dir: str, window_s: int = 3600, hop_s: int = 900
+) -> pd.DataFrame:
+    """Overlapping (hopping/sliding) windows: every event lands in
+    window_s/hop_s windows; output one row per (user_id, win) with
+    event count + value sum, win = hop index of the window START.
+    window_s must be a multiple of hop_s."""
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    nwin = window_s // hop_s
+    hop_us = hop_s * 1_000_000
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def explode_and_combine(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        base = t // hop_us
+        # event at hop index b is inside windows starting at b-k
+        wins = np.concatenate([base - k for k in range(nwin)])
+        uids = np.tile(uid, nwin)
+        vals = np.tile(val, nwin)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "user_id": pa.array(uids, pa.int64()),
+                    "win": pa.array(wins, pa.int64()),
+                    "value": pa.array(vals, pa.float64()),
+                }
+            ),
+            ["user_id", "win"],
+        ).aggregate([("value", "sum"), ("value", "count")])
+        return g.rename_columns(["user_id", "win", "sum_p", "n_p"])
+
+    out = (
+        ev.map_batches(explode_and_combine, batch_format="pyarrow")
+        .groupby(["user_id", "win"])
+        .aggregate(Sum("sum_p", alias_name="sum_f"), Sum("n_p", alias_name="n_events"))
+        .to_pandas()
+    )
+    out["value_sum_e4"] = _e4(out["sum_f"].to_numpy())
+    return (
+        out[["user_id", "win", "n_events", "value_sum_e4"]]
+        .sort_values(["user_id", "win"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def session_windows_events(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
+    """Gap-based session windows per user: a new session starts when
+    the gap since the previous event exceeds gap_s. One row per
+    session: (user_id, session_start_us, session_end_us, n_events,
+    value_sum_e4)."""
+    gap_us = gap_s * 1_000_000
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["ts"].astype("int64").to_numpy())
+        order = np.argsort(g["ts"].astype("int64").to_numpy(), kind="stable")
+        val = g["value"].to_numpy(np.float64)[order]
+        brk = np.ones(len(t), dtype=np.int64)
+        brk[1:] = (np.diff(t) > gap_us).astype(np.int64)
+        sess = np.cumsum(brk) - 1
+        df = pd.DataFrame({"sess": sess, "t": t, "value": val})
+        agg = df.groupby("sess").agg(
+            session_start_us=("t", "min"),
+            session_end_us=("t", "max"),
+            n_events=("t", "size"),
+            value_sum=("value", "sum"),
+        )
+        agg["user_id"] = int(g["user_id"].iloc[0])
+        agg["value_sum_e4"] = _e4(agg["value_sum"].to_numpy())
+        return agg[
+            ["user_id", "session_start_us", "session_end_us", "n_events", "value_sum_e4"]
+        ].reset_index(drop=True)
+
+    out = ev.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return (
+        out.sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def event_asof_join(
+    sf_dir: str, left_type: str = "purchase", right_type: str = "click"
+) -> pd.DataFrame:
+    """As-of join: for every ``left_type`` event, the timestamp of the
+    most recent ``right_type`` event by the SAME user at or before it
+    (NULL -> -1 when none). One hash exchange on user_id; the ordered
+    match is a per-group searchsorted."""
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    ev = ev.filter(
+        expr=f"event_type == '{left_type}' or event_type == '{right_type}'"
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].astype("int64").to_numpy()
+        left = g["event_type"].to_numpy() == left_type
+        lt, lid = t[left], g["event_id"].to_numpy(np.int64)[left]
+        rt = np.sort(t[~left])
+        pos = np.searchsorted(rt, lt, side="right") - 1
+        matched = np.where(pos >= 0, rt[np.maximum(pos, 0)], np.int64(-1))
+        return pd.DataFrame(
+            {
+                "event_id": lid,
+                "user_id": np.full(len(lid), int(g["user_id"].iloc[0]), np.int64),
+                "t_event_us": lt,
+                "t_match_us": matched,
+            }
+        )
+
+    out = ev.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ["event_id", "user_id", "t_event_us", "t_match_us"]}
+        )
+    return out.sort_values("event_id").reset_index(drop=True).astype("int64")
