@@ -272,6 +272,44 @@ FROM ranked WHERE rnk <= 10
 """
 
 
+def _langid_sql() -> str:
+    """Exact mirror of LangIdStage: per-language stopword hit counts,
+    argmax with alphabetical preference on ties (python's
+    max(sorted(langs), key=score) keeps the FIRST maximal lang),
+    'unknown' when every count is zero, confidence = hits/n with
+    n = max(1, len(tokens))."""
+    from information_retrieval_images_ray.pipelines.analysis import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    hit_cols = ",\n       ".join(
+        "len(list_filter(ts, x -> x IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(set(LANG_STOPWORDS[lang]))), lang
+        )
+        for lang in langs
+    )
+    whens = "\n            ".join(
+        "WHEN {} THEN '{}'".format(
+            " AND ".join(f"h_{lang} >= h_{m}" for m in langs if m != lang), lang
+        )
+        for lang in langs
+    )
+    gmax = ", ".join(f"h_{lang}" for lang in langs)
+    return f"""
+WITH t AS (SELECT doc_id, {TOK_SQL} AS ts FROM documents),
+h AS (SELECT doc_id, greatest(len(ts), 1) AS n,
+       {hit_cols}
+      FROM t),
+b AS (SELECT doc_id, n,
+        CASE {whens} END AS bl,
+        greatest({gmax}) AS bh
+      FROM h)
+SELECT doc_id,
+       CASE WHEN bh = 0 THEN 'unknown' ELSE bl END AS pred_lang,
+       CAST(FLOOR(bh * 1.0 / n * 1000000 + 0.5) AS BIGINT) AS confidence_e6
+FROM b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     return {
@@ -332,6 +370,7 @@ FROM t
         "q_fingerprints": f"""
 SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM documents
 """,
+        "q_langid": _langid_sql(),
         "q_token_count_by_lang": f"""
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len({TOK_SQL})) AS BIGINT) AS total_tokens
@@ -450,8 +489,8 @@ FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.t <= p.t
 GROUP BY 1, 2, 3
 """,
         "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
-        # q_langid, q_minhash_neardup, q_simhash_neardup,
-        # q_multimodal_features: deliberately no SQL oracle (heuristic /
-        # sketch-based operators) -> driver rows-only check;
+        # q_minhash_neardup, q_simhash_neardup, q_multimodal_features:
+        # deliberately no SQL oracle (sketch-based / byte-level
+        # operators not expressible in SQL) -> driver rows-only check;
         # pytest covers their semantics (recall vs exact, planted dups).
     }
