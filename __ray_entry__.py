@@ -23,6 +23,21 @@ from information_retrieval_images_ray.pipelines.analysis import EN_STOPWORDS
 
 TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+# shared winnowing CTE (k=5 token grams, w=4 windows, 60-bit md5-prefix
+# hashes — the exact SQL mirror of dedup._winnow_set)
+WINNOW_CTE = f"""WITH toks AS (SELECT doc_id, {TOK_SQL} AS ts FROM documents),
+kg AS (SELECT doc_id, u.i AS pos,
+        CAST(concat('0x', substr(md5(array_to_string(ts[u.i : u.i + 4], ' ')), 1, 15)) AS BIGINT) AS h
+       FROM toks CROSS JOIN LATERAL unnest(range(1, greatest(len(ts) - 3, 1))) AS u(i)),
+win AS (SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS m
+        FROM kg),
+-- value-based simple winnowing: full w=4 windows only (1-based pos
+-- <= m-3), except short docs (m <= 4) keep their single min-of-all
+sel AS (SELECT DISTINCT doc_id, fp FROM win WHERE pos <= greatest(m - 3, 1))"""
+
 
 # ---------------------------------------------------------------------------
 def entry() -> Any:
@@ -96,6 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(docs(sf), n=5),
         "q_minhash_neardup": lambda sf: dedup.minhash_near_dups(docs(sf), threshold=0.5),
         "q_simhash_neardup": lambda sf: dedup.simhash_near_dups(docs(sf), max_hamming=3),
+        # winnowing (rolling-hash document fingerprints + overlap)
+        "q_winnow_fingerprints": lambda sf: dedup.winnow_doc_summary(docs(sf)),
+        "q_winnow_overlap": lambda sf: dedup.winnow_overlap_pairs(docs(sf)),
         "q_embedding_neardup": lambda sf: similarity.embedding_near_dups(
             embs(sf), threshold=0.4, block_col="label"
         ),
@@ -398,6 +416,20 @@ SELECT c.doc_a, c.doc_b, CAST(c.c AS BIGINT) AS common,
 FROM common c
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
+""",
+        "q_winnow_fingerprints": f"""
+{WINNOW_CTE}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, CAST(min(fp) AS BIGINT) AS min_fp
+FROM sel GROUP BY 1
+""",
+        "q_winnow_overlap": f"""
+{WINNOW_CTE},
+eligible AS (SELECT fp FROM sel GROUP BY 1 HAVING count(*) <= 1024),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          WHERE a.fp IN (SELECT fp FROM eligible)
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(c AS BIGINT) AS common FROM pairs WHERE c >= 2
 """,
         "q_embedding_neardup": """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

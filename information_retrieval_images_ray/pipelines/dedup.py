@@ -476,3 +476,106 @@ def simhash_near_dups(
         .reset_index(drop=True)
         .astype("int64")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+# rolling k-gram hashes -> min of every w-window -> a sparse (~2/(w+1)
+# density) fingerprint set that still guarantees detection of any
+# shared run of >= w+k-1 tokens. The scale form of "document
+# fingerprinting": overlap candidate generation shuffles only the
+# winnowed set, ~5-10x smaller than the full shingle explode.
+
+
+def _md5_60(s: str) -> int:
+    """60-bit int from the md5 hex prefix — chosen because DuckDB can
+    mirror it exactly (CAST('0x'||substr(md5(s),1,15) AS BIGINT)), so
+    the whole winnowing pipeline stays SQL-oracle-checkable."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _winnow_set(tokens: list[str], k: int, w: int) -> np.ndarray:
+    """Distinct winnowed fingerprints of one doc (value-based simple
+    winnowing: the min of every window of w consecutive k-gram hashes;
+    docs with fewer than w k-grams contribute min-of-all)."""
+    m = len(tokens) - k + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.int64)
+    hs = np.fromiter(
+        (_md5_60(" ".join(tokens[i : i + k])) for i in range(m)),
+        dtype=np.int64, count=m,
+    )
+    if m <= w:
+        return np.array([hs.min()], dtype=np.int64)
+    wins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+    return np.unique(wins)
+
+
+def winnow_fingerprints(
+    ds: ray.data.Dataset, k: int = 5, w: int = 4, tokenizer: str = "simple"
+) -> ray.data.Dataset:
+    """One row per (doc_id, distinct winnowed fingerprint)."""
+    tok = get_tokenizer(tokenizer)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for fp in _winnow_set(tok(text or ""), k, w):
+                ids.append(did)
+                fps.append(int(fp))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "fp": pa.array(fps, pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def winnow_doc_summary(
+    ds: ray.data.Dataset, k: int = 5, w: int = 4, tokenizer: str = "simple"
+) -> pd.DataFrame:
+    """Per-doc (n_fp, min_fp) over the winnowed set — the compact
+    document-fingerprint record."""
+    fps = winnow_fingerprints(ds, k, w, tokenizer)
+    out = (
+        fps.groupby("doc_id")
+        .aggregate(Count(alias_name="n_fp"), Min("fp", alias_name="min_fp"))
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
+def winnow_overlap_pairs(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    w: int = 4,
+    min_common: int = 2,
+    tokenizer: str = "simple",
+    max_group: int = DEFAULT_MAX_GROUP,
+) -> pd.DataFrame:
+    """Doc pairs sharing >= min_common winnowed fingerprints — the
+    overlap-detection form of winnowing (guaranteed to catch shared
+    token runs of length >= w+k-1). Same fully-distributed shape as
+    ngram_jaccard_pairs (per-fp pair emission with the hot-key cap,
+    per-pair count), but over the sparse winnowed set."""
+    fps = winnow_fingerprints(ds, k, w, tokenizer)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(np.unique(g["doc_id"].to_numpy(np.int64)))
+        if len(ids) < 2 or len(ids) > max_group:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    out = (
+        fps.groupby("fp")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="common"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ["doc_a", "doc_b", "common"]}
+        )
+    out = out[out["common"] >= min_common]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype("int64")

@@ -116,3 +116,32 @@ def test_frequent_shingle_cutoff():
     capped = dedup.ngram_jaccard_pairs(ds, n=3, max_group=5)
     assert len(full) == 45  # all pairs (identical docs)
     assert len(capped) == 0
+
+
+def test_winnow_detects_planted_overlap(ds, docs):
+    """Winnowing guarantee: any shared token run of length >= w+k-1
+    (= 8 here) produces at least one shared fingerprint — the planted
+    exact/near dups must surface as overlap pairs."""
+    out = dedup.winnow_overlap_pairs(ds, k=5, w=4, min_common=2)
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (3, 100) in pairs   # exact dup: every fingerprint shared
+    assert (7, 101) in pairs   # 1-word edit: long shared runs remain
+    # exact dup pair shares its ENTIRE fingerprint set
+    summary = dedup.winnow_doc_summary(ds, k=5, w=4).set_index("doc_id")
+    byp = dict(zip(zip(out["doc_a"], out["doc_b"]), out["common"]))
+    assert byp[(3, 100)] == summary.loc[3, "n_fp"] == summary.loc[100, "n_fp"]
+
+
+def test_winnow_set_matches_bruteforce():
+    """_winnow_set equals the definitional set of window minima."""
+    toks = [f"t{i%9}" for i in range(40)]
+    k, w = 5, 4
+    m = len(toks) - k + 1
+    hs = [dedup._md5_60(" ".join(toks[i:i+k])) for i in range(m)]
+    want = {min(hs[j:j+w]) for j in range(m - w + 1)}
+    got = set(dedup._winnow_set(toks, k, w).tolist())
+    assert got == want
+    # short doc: single min-of-all fingerprint
+    assert set(dedup._winnow_set(toks[:6], k, w).tolist()) == {min(
+        dedup._md5_60(" ".join(toks[i:i+k])) for i in range(2))}
+    assert len(dedup._winnow_set(["a"], k, w)) == 0
