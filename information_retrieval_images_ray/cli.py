@@ -79,11 +79,30 @@ def cmd_extend(args) -> int:
     )
     from .state.manifest import fingerprint_file
 
-    done = ingested_files(args.index)
-    new = [
-        f for f in corpus_files(args.corpus)
-        if done.get(f) != fingerprint_file(f)
-    ]
+    done = ingested_files(args.index)  # abspath -> fingerprint
+    new, changed = [], []
+    for f in corpus_files(args.corpus):
+        ap = os.path.abspath(f)
+        if ap not in done:
+            new.append(f)
+        elif done[ap] != fingerprint_file(f):
+            changed.append(f)
+    if changed:
+        # an already-ingested file whose content/mtime changed is NOT
+        # a delta — re-appending it would duplicate every one of its
+        # docs under fresh doc_ids (inflating df and doubling hits)
+        print(
+            _json.dumps(
+                {
+                    "error": "already-ingested files changed; extend only "
+                    "appends NEW files. Changed docs go through delete + "
+                    "re-append (see pipelines/maintenance) or a rebuild.",
+                    "changed_files": changed,
+                }
+            ),
+            file=sys.stderr,
+        )
+        return 2
     if not new:
         print(_json.dumps({"new_files": 0, "skipped": len(done)}))
         return 0

@@ -169,10 +169,11 @@ def build_index(
         man.mark_done(
             "docterms", input_fingerprint=fp, rows=rows,
             duration_s=round(time.perf_counter() - _t, 3),
-            # per-file fingerprints: the delta-extend path diffs new
-            # corpus files against this record (reference re-run-to-
-            # extend semantics, db.py:114-116, at file granularity)
-            files={p: fingerprint_file(p) for p in (source_files or [])},
+            # abspath-keyed per-file fingerprints: the delta-extend
+            # path diffs new corpus files against this record
+            # (reference re-run-to-extend semantics, db.py:114-116,
+            # at file granularity)
+            files={os.path.abspath(p): fingerprint_file(p) for p in (source_files or [])},
         )
 
     # ---- phase: stats -------------------------------------------------------
@@ -469,27 +470,34 @@ def extend_index(
     ddir = os.path.join(docterms_dir, f"delta={delta_id}")
     segments_dir = os.path.join(index_dir, "segments")
     docmeta_dir = os.path.join(index_dir, "docmeta")
-    termstats_dir = os.path.join(index_dir, "termstats")
     hot_path = os.path.join(index_dir, "hot_terms.json")
 
     # ---- phase: delta docterms ---------------------------------------------
     if not man.is_done(f"delta_docterms:{delta_id}"):
         _t = time.perf_counter()
         _clean(ddir)
-        from ..state.manifest import fingerprint_file
-
         stage = TokenizeStage(tokenizer=cfg["tokenizer"])
         delta_source.map_batches(
             stage, batch_format="pyarrow", zero_copy_batch=True
         ).write_parquet(ddir, compression=cfg["compression"])
+        # NB: the delta's file fingerprints are recorded only on the
+        # FINAL delta:<id> entry — recording them here would make a
+        # crashed extend look fully ingested to ingested_files() and
+        # the CLI would never resume it
         man.mark_done(
             f"delta_docterms:{delta_id}",
             rows=_parquet_rows(ddir),
             duration_s=round(time.perf_counter() - _t, 3),
-            files={p: fingerprint_file(p) for p in (delta_files or [])},
         )
 
     # ---- phase: delta stats (+ new shard bounds) ----------------------------
+    # Crash-safety: the new stats are recorded in the MANIFEST entry
+    # first (one atomic write), and stats.json is derived from the
+    # entry afterwards. The on-disk stats.json is pre-delta until the
+    # entry exists, so a kill anywhere in this phase re-runs it against
+    # the ORIGINAL span (a kill after the old code's stats.json write
+    # but before mark_done used to make every retry fail the
+    # overlapping-ids check against the already-updated span).
     if not man.is_done(f"delta_stats:{delta_id}"):
         _t = time.perf_counter()
         from ray.data.aggregate import Min as _Min
@@ -521,75 +529,92 @@ def extend_index(
         n_docs = stats["n_docs"] + int(agg["n_new"])
         total = stats["total_tokens"] + int(agg["new_tokens"])
         first_new = stats["num_shards"]
-        stats.update(
+        new_stats = dict(stats)
+        new_stats.update(
             n_docs=n_docs,
             total_tokens=total,
             avgdl=total / n_docs,
             doc_id_span=new_span,
             shard_bounds=stats["shard_bounds"][:-1] + new_starts + [new_span],
             num_shards=stats["num_shards"] + n_new_shards,
+            encode_avgdl=dict(stats["encode_avgdl"]),
         )
-        for s in range(first_new, stats["num_shards"]):
-            stats["encode_avgdl"][str(s)] = stats["avgdl"]
+        for s in range(first_new, new_stats["num_shards"]):
+            new_stats["encode_avgdl"][str(s)] = new_stats["avgdl"]
+        man.mark_done(
+            f"delta_stats:{delta_id}",
+            new_shards=list(range(first_new, new_stats["num_shards"])),
+            n_new=int(agg["n_new"]),
+            stats=new_stats,
+            duration_s=round(time.perf_counter() - _t, 3),
+        )
+    entry = man.data["entries"][f"delta_stats:{delta_id}"]
+    new_shards = entry["new_shards"]
+    if stats["doc_id_span"] != entry["stats"]["doc_id_span"]:
+        # first pass, or resume after a kill before the stats.json
+        # write: (re-)derive stats.json from the recorded entry.
+        # (When spans already match we keep the on-disk version — it
+        # may carry later-phase updates like vocab_size.)
+        stats = dict(entry["stats"])
         with open(stats_path + ".tmp", "w") as f:
             json.dump(stats, f, indent=1)
         os.replace(stats_path + ".tmp", stats_path)
-        man.mark_done(
-            f"delta_stats:{delta_id}",
-            new_shards=list(range(first_new, stats["num_shards"])),
-            n_new=int(agg["n_new"]),
-            duration_s=round(time.perf_counter() - _t, 3),
-        )
-    new_shards = man.data["entries"][f"delta_stats:{delta_id}"]["new_shards"]
 
     # ---- phase: termstats incremental merge (exact mode only) ---------------
+    # Crash-safety: merged tables are generation dirs selected by a
+    # ``termstats_dirname`` pointer in stats.json (an atomic write)
+    # rather than directory renames — a kill can never leave the
+    # active table missing, and a resume always merges the delta into
+    # the PRE-delta generation (never into its own half/finished
+    # output, which the old rename dance could double-count).
+    active_ts = os.path.join(index_dir, stats.get("termstats_dirname", "termstats"))
     if (
         cfg["exact_termstats"]
-        and os.path.exists(termstats_dir)
+        and os.path.exists(active_ts)
         and not man.is_done(f"delta_termstats:{delta_id}")
     ):
         _t = time.perf_counter()
-        import pandas as _pd
+        merged_name = f"termstats-{delta_id}"
+        merged_dir = os.path.join(index_dir, merged_name)
+        if stats.get("termstats_dirname") != merged_name:
+            import pandas as _pd
 
-        st = ray.data.read_parquet(ddir, columns=["terms"])
+            st = ray.data.read_parquet(ddir, columns=["terms"])
 
-        def partial_df(batch: pa.Table) -> pa.Table:
-            flat = batch["terms"].combine_chunks().flatten()
-            counts = pa.TableGroupBy(pa.table({"term": flat}), "term").aggregate(
-                [("term", "count")]
+            def partial_df(batch: pa.Table) -> pa.Table:
+                flat = batch["terms"].combine_chunks().flatten()
+                counts = pa.TableGroupBy(pa.table({"term": flat}), "term").aggregate(
+                    [("term", "count")]
+                )
+                return pa.table(
+                    {"term": counts["term"], "df": counts["term_count"].cast(pa.int64())}
+                )
+
+            def reduce_df(g: _pd.DataFrame) -> pa.Table:
+                agg2 = g.groupby("term", sort=False)["df"].sum()
+                return pa.table(
+                    {
+                        "term": pa.array(agg2.index.to_numpy(), pa.string()),
+                        "df": pa.array(agg2.to_numpy(np.int64), pa.int64()),
+                    }
+                )
+
+            old_ts = ray.data.read_parquet(active_ts, columns=["term", "df"])
+            _clean(merged_dir)
+            (
+                st.map_batches(partial_df, batch_format="pyarrow", batch_size=None)
+                .union(old_ts)
+                .groupby("term")
+                .map_groups(reduce_df, batch_format="pandas")
+                .write_parquet(merged_dir)
             )
-            return pa.table(
-                {"term": counts["term"], "df": counts["term_count"].cast(pa.int64())}
-            )
-
-        def reduce_df(g: _pd.DataFrame) -> pa.Table:
-            agg2 = g.groupby("term", sort=False)["df"].sum()
-            return pa.table(
-                {
-                    "term": pa.array(agg2.index.to_numpy(), pa.string()),
-                    "df": pa.array(agg2.to_numpy(np.int64), pa.int64()),
-                }
-            )
-
-        old_ts = ray.data.read_parquet(termstats_dir, columns=["term", "df"])
-        merged_dir = termstats_dir + f".merge-{delta_id}"
-        _clean(merged_dir)
-        (
-            st.map_batches(partial_df, batch_format="pyarrow", batch_size=None)
-            .union(old_ts)
-            .groupby("term")
-            .map_groups(reduce_df, batch_format="pandas")
-            .write_parquet(merged_dir)
-        )
-        old_dir = termstats_dir + ".old"
-        _clean(old_dir)
-        os.replace(termstats_dir, old_dir)
-        os.replace(merged_dir, termstats_dir)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        # (pointer already == merged_name means a kill landed between
+        # the stats.json write and mark_done: the merge is complete,
+        # only the bookkeeping below re-runs)
 
         import pyarrow.dataset as pads
 
-        tds = pads.dataset(termstats_dir, format="parquet")
+        tds = pads.dataset(merged_dir, format="parquet")
         vocab = tds.count_rows()
         hot = (
             tds.to_table(
@@ -598,9 +623,12 @@ def extend_index(
             if vocab
             else []
         )
-        with open(hot_path, "w") as f:
+        with open(hot_path + ".tmp", "w") as f:
             json.dump(sorted(hot), f)
+        os.replace(hot_path + ".tmp", hot_path)
+        prev_name = stats.get("termstats_dirname", "termstats")
         stats["vocab_size"] = vocab
+        stats["termstats_dirname"] = merged_name
         with open(stats_path + ".tmp", "w") as f:
             json.dump(stats, f, indent=1)
         os.replace(stats_path + ".tmp", stats_path)
@@ -608,6 +636,8 @@ def extend_index(
             f"delta_termstats:{delta_id}", vocab=vocab, hot_terms=len(hot),
             duration_s=round(time.perf_counter() - _t, 3),
         )
+        if prev_name != merged_name:  # retire the pre-delta generation
+            shutil.rmtree(os.path.join(index_dir, prev_name), ignore_errors=True)
     hot_terms = set()
     if os.path.exists(hot_path):
         with open(hot_path) as f:
@@ -649,6 +679,11 @@ def extend_index(
     # ---- phase: delta docmeta ----------------------------------------------
     if not man.is_done(f"delta_docmeta:{delta_id}"):
         _t = time.perf_counter()
+        # clean the NEW shards' partitions first: a resumed run would
+        # otherwise append a full second copy next to a crashed write's
+        # partial files (every other resumable phase cleans its output)
+        for s in new_shards:
+            _clean(os.path.join(docmeta_dir, f"shard={s}"))
         cols = ["doc_id", "content_sha256", "doc_len"]
         schema_names = ray.data.read_parquet(ddir).schema().names
         for extra in ("repo", "path", "commit", "lang"):
@@ -666,7 +701,15 @@ def extend_index(
         man.mark_done(f"delta_docmeta:{delta_id}",
                       duration_s=round(time.perf_counter() - _t, 3))
 
-    man.mark_done(f"delta:{delta_id}", new_shards=new_shards)
+    from ..state.manifest import fingerprint_file
+
+    man.mark_done(
+        f"delta:{delta_id}", new_shards=new_shards,
+        # abspath-keyed fingerprints, recorded only now that every
+        # phase is done (ingested_files must never claim a
+        # half-extended delta)
+        files={os.path.abspath(f): fingerprint_file(f) for f in (delta_files or [])},
+    )
     return stats
 
 

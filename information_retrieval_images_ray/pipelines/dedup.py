@@ -561,7 +561,11 @@ def winnow_overlap_pairs(
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(np.unique(g["doc_id"].to_numpy(np.int64)))
-        if len(ids) < 2 or len(ids) > max_group:
+        if len(ids) > max_group:
+            # sentinel rides the aggregate so the drop is LOGGED, not
+            # silent (same contract as ngram_jaccard_pairs)
+            return pd.DataFrame({"doc_a": [-1], "doc_b": [-1]}).astype("int64")
+        if len(ids) < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
@@ -577,5 +581,11 @@ def winnow_overlap_pairs(
         return pd.DataFrame(
             {c: pd.Series(dtype="int64") for c in ["doc_a", "doc_b", "common"]}
         )
+    sentinel = out["doc_a"] < 0
+    n_dropped = int(out.loc[sentinel, "common"].sum())
+    if n_dropped:
+        print(f"[winnow_overlap_pairs] {n_dropped} hot fingerprints over "
+              f"max_group={max_group} dropped from pair emission")
+    out = out[~sentinel]
     out = out[out["common"] >= min_common]
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype("int64")

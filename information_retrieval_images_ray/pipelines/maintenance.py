@@ -88,9 +88,11 @@ def update_doc_meta(index_dir: str, doc_id: int, **fields) -> bool:
     partition (reference update_description, vector_db.py:61-91).
     Returns True if the doc was found. Shard-partition granularity:
     only the doc's shard files are read and atomically rewritten."""
+    from .build import make_shard_of
+
     with open(os.path.join(index_dir, "stats.json")) as f:
-        bounds = np.asarray(json.load(f)["shard_bounds"], dtype=np.int64)
-    shard = int(np.searchsorted(bounds, doc_id, side="right") - 1)
+        bounds = json.load(f)["shard_bounds"]
+    shard = int(make_shard_of(bounds)(np.array([doc_id]))[0])
     sdir = os.path.join(index_dir, "docmeta", f"shard={shard}")
     found = False
     for f in sorted(glob.glob(os.path.join(sdir, "*.parquet"))):
@@ -126,6 +128,8 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
     is logically identical to a fresh build of the corpus minus the
     deletions (tests/test_maintenance.py proves segment-level
     equality). Resumable and idempotent via ``out_dir``'s manifest."""
+    import shutil
+
     from .build import _parquet_rows, build_index
 
     if os.path.abspath(out_dir) == os.path.abspath(index_dir):
@@ -133,22 +137,34 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
     with open(os.path.join(index_dir, "manifest.json")) as f:
         cfg = json.load(f)["config"]
 
+    tomb = load_tombstones(index_dir)
+    tomb_hash = hashlib.sha256(tomb.tobytes()).hexdigest()[:16]
+
+    # resume/idempotency is keyed by the TOMBSTONE SET, not just
+    # "out_dir exists": tombstones added after an earlier (finished or
+    # killed) compact into the same out_dir must re-materialize, so a
+    # stale out_dir is wiped and rebuilt
     out_stats = os.path.join(out_dir, "stats.json")
     out_man = os.path.join(out_dir, "manifest.json")
-    if os.path.exists(out_stats) and os.path.exists(out_man):
+    if os.path.exists(out_man):
         with open(out_man) as f:
-            done = json.load(f).get("entries", {}).get("docmeta", {})
-        if done.get("status") == "done":  # already compacted
+            entries = json.load(f).get("entries", {})
+        recorded = entries.get("docterms", {}).get("tomb_hash")
+        if recorded != tomb_hash:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        elif entries.get("docmeta", {}).get("status") == "done" and os.path.exists(
+            out_stats
+        ):  # already compacted against this exact tombstone set
             with open(out_stats) as f:
                 return json.load(f)
 
-    tomb = load_tombstones(index_dir)
     os.makedirs(out_dir, exist_ok=True)
     man = Manifest.load_or_create(out_dir, dict(cfg))
 
     # filtered docterms -> the new index's tokenize checkpoint
     out_dt = os.path.join(out_dir, "docterms")
     if not man.is_done("docterms"):
+        shutil.rmtree(out_dt, ignore_errors=True)  # clear a crashed write
         src = ray.data.read_parquet(os.path.join(index_dir, "docterms"))
 
         def drop_tombstoned(batch: pa.Table) -> pa.Table:
@@ -158,7 +174,7 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
         src.map_batches(drop_tombstoned, batch_format="pyarrow").write_parquet(out_dt)
         man.mark_done("docterms", rows=_parquet_rows(out_dt),
                       compacted_from=os.path.abspath(index_dir),
-                      n_tombstoned=int(len(tomb)))
+                      n_tombstoned=int(len(tomb)), tomb_hash=tomb_hash)
 
     # remaining phases are the ordinary build over the checkpoint
     return build_index(None, out_dir, **cfg)

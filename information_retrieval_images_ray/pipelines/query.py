@@ -583,9 +583,11 @@ def hydrate_hits(hits_df: pd.DataFrame, index_dir: str) -> pd.DataFrame:
     stats_path = os.path.join(index_dir, "stats.json")
     files: list[str] = []
     if os.path.exists(stats_path) and len(ids):
+        from .build import make_shard_of
+
         with open(stats_path) as f:
-            bounds = np.asarray(json.load(f)["shard_bounds"], dtype=np.int64)
-        hit_shards = np.unique(np.searchsorted(bounds, ids, side="right") - 1)
+            bounds = json.load(f)["shard_bounds"]
+        hit_shards = np.unique(make_shard_of(bounds)(ids))
         for s in hit_shards:
             files.extend(
                 sorted(glob.glob(os.path.join(docmeta_dir, f"shard={int(s)}", "*.parquet")))

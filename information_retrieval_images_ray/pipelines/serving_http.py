@@ -48,6 +48,11 @@ class IndexHTTPServer:
         self.index_dir = index_dir
         self.service = ShardedQueryService(index_dir, num_actors=num_actors)
         self._tomb_count = -1  # force tombstone sync on first search
+        # ThreadingHTTPServer handles requests concurrently; the
+        # tombstone re-sync swaps the shared actor pool, so it must be
+        # serialized (two racing deletes+searches would otherwise both
+        # shut the pool down and leak one replacement)
+        self._lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -107,8 +112,10 @@ class IndexHTTPServer:
 
     # -- core ops (also usable without HTTP) ---------------------------------
     def search(self, query: str, k: int = 10, hydrate: bool = True) -> list[dict]:
-        self._sync_tombstones()
-        hits = self.service.topk([{"qid": 0, "query": query}], k=k)
+        with self._lock:
+            self._sync_tombstones()
+            svc = self.service
+        hits = svc.topk([{"qid": 0, "query": query}], k=k)
         rows = [
             {"rank": h["rank"], "doc_id": int(h["doc_id"]), "score": h["score"]}
             for h in hits
@@ -146,18 +153,22 @@ class IndexHTTPServer:
     def _sync_tombstones(self) -> None:
         """Deletes issued while serving become visible on the next
         search: when the tombstone set grew, the actor pool is
-        restarted (cheap at actor count; at scale this is a rolling
-        restart or a tombstone broadcast)."""
+        replaced (cheap at actor count; at scale this is a rolling
+        restart or a tombstone broadcast). Caller holds ``_lock``.
+        The NEW pool is built before the old one is shut down so
+        concurrent searches always see a valid service; a search that
+        is already mid-flight on the old pool when its actors die
+        surfaces as a retryable 500 — the standard rolling-restart
+        contract."""
         from .maintenance import load_tombstones
 
         n = len(load_tombstones(self.index_dir))
         if n != self._tomb_count:
             if self._tomb_count >= 0:
-                num = len(self.service.actors)
-                self.service.shutdown()
-                self.service = ShardedQueryService(
-                    self.index_dir, num_actors=max(1, num)
-                )
+                num = max(1, len(self.service.actors))
+                old = self.service
+                self.service = ShardedQueryService(self.index_dir, num_actors=num)
+                old.shutdown()
             self._tomb_count = n
 
     # -- lifecycle -----------------------------------------------------------

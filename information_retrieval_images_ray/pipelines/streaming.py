@@ -147,8 +147,11 @@ def event_asof_join(
         left = g["event_type"].to_numpy() == left_type
         lt, lid = t[left], g["event_id"].to_numpy(np.int64)[left]
         rt = np.sort(t[~left])
-        pos = np.searchsorted(rt, lt, side="right") - 1
-        matched = np.where(pos >= 0, rt[np.maximum(pos, 0)], np.int64(-1))
+        if len(rt) == 0:  # user has left-side events but no right-side
+            matched = np.full(len(lt), -1, dtype=np.int64)
+        else:
+            pos = np.searchsorted(rt, lt, side="right") - 1
+            matched = np.where(pos >= 0, rt[np.maximum(pos, 0)], np.int64(-1))
         return pd.DataFrame(
             {
                 "event_id": lid,

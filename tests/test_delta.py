@@ -139,3 +139,69 @@ def test_ingested_files_recorded(tmp_path, corpora):
     assert set(ingested_files(idx)) == {f1}
     extend_index(ray.data.read_parquet(f2), idx, delta_files=[f2])
     assert set(ingested_files(idx)) == {f1, f2}
+
+
+def test_extend_resumes_after_simulated_crashes(tmp_path, corpora):
+    """Two crash windows: (a) killed after delta_stats was recorded in
+    the manifest but before stats.json was rewritten, (b) killed after
+    segments but before docmeta/finalize. Both must resume to an index
+    whose results equal an uninterrupted extend."""
+    import shutil
+
+    base, delta = corpora
+    ref_dir = str(tmp_path / "ref")
+    build_index(ray.data.from_items(base), ref_dir, **CFG)
+    extend_index(ray.data.from_items(delta), ref_dir, delta_id="d1")
+    ref = IndexReader(ref_dir)
+
+    crash_dir = str(tmp_path / "crash")
+    build_index(ray.data.from_items(base), crash_dir, **CFG)
+    pre_stats = open(os.path.join(crash_dir, "stats.json")).read()
+    extend_index(ray.data.from_items(delta), crash_dir, delta_id="d1")
+
+    man_path = os.path.join(crash_dir, "manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    # simulate window (a): only delta_stats survived; stats.json still
+    # pre-delta (the new ordering writes it AFTER the manifest entry)
+    for k in list(man["entries"]):
+        if k.startswith(("delta_termstats", "delta_docmeta", "delta:")) or (
+            k.startswith("segment:") and man["entries"][k].get("delta") == "d1"
+        ):
+            del man["entries"][k]
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+    with open(os.path.join(crash_dir, "stats.json"), "w") as f:
+        f.write(pre_stats)
+    with open(os.path.join(crash_dir, "stats.json")) as f:
+        assert json.load(f)["num_shards"] == 3  # pre-delta state restored
+    for d in glob.glob(os.path.join(crash_dir, "segments", "shard=*")):
+        if int(d.rsplit("=", 1)[1]) >= 3:
+            import shutil as _sh
+
+            _sh.rmtree(d)
+
+    extend_index(ray.data.from_items(delta), crash_dir, delta_id="d1")
+    got = IndexReader(crash_dir)
+    assert got.n_docs == ref.n_docs and abs(got.avgdl - ref.avgdl) < 1e-9
+    for q in QUERIES:
+        assert got.search_taat(q, 10) == ref.search_taat(q, 10), q
+        assert got.search_bmw(q, 10) == ref.search_bmw(q, 10), q
+
+
+def test_ingested_files_excludes_incomplete_delta(tmp_path, corpora):
+    """A delta that fails before completion must NOT appear ingested —
+    otherwise the CLI would never retry it."""
+    base, _ = corpora
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f1 = str(tmp_path / "p1.parquet")
+    bad = str(tmp_path / "bad.parquet")
+    pq.write_table(pa.Table.from_pylist(base), f1)
+    pq.write_table(pa.Table.from_pylist(base[:3]), bad)  # overlapping ids
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.read_parquet(f1), idx, source_files=[f1], **CFG)
+    with pytest.raises(ValueError):
+        extend_index(ray.data.read_parquet(bad), idx, delta_files=[bad])
+    assert os.path.abspath(bad) not in ingested_files(idx)

@@ -131,3 +131,24 @@ def test_compaction_equals_fresh_build(index, rows, tmp_path_factory):
 
     # idempotent: second call is a no-op returning the same stats
     assert compact_index(index, out)["n_docs"] == stats["n_docs"]
+
+
+def test_compact_rematerializes_new_tombstones(index, tmp_path_factory):
+    """Tombstones added AFTER a completed compact into the same
+    out_dir must be materialized by the next compact (regression: the
+    done-check ignored the tombstone set and returned stale stats)."""
+    from information_retrieval_images_ray.pipelines.maintenance import (
+        load_tombstones,
+    )
+
+    out = str(tmp_path_factory.mktemp("compact_twice"))
+    s1 = compact_index(index, out)
+    # pick a surviving doc and tombstone it
+    reader = IndexReader(out)
+    victim = reader.search_taat("alpha", 1)[0][0]
+    delete_docs(index, [victim])
+    s2 = compact_index(index, out)
+    assert s2["n_docs"] == s1["n_docs"] - 1
+    r2 = IndexReader(out)
+    assert victim not in {d for d, _ in r2.search_taat("alpha", 50)}
+    assert len(r2.tombstones) == 0
