@@ -127,10 +127,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_multimodal_features": lambda sf: multimodal.feature_pipeline(
             multimodal.make_binary_corpus(docs(sf))
         ),
+        "q_multimodal_resize": lambda sf: multimodal.resize_pipeline(
+            multimodal.make_binary_corpus(docs(sf))
+        ),
+        "q_multimodal_frames": lambda sf: multimodal.frame_sample_pipeline(
+            multimodal.make_binary_corpus(docs(sf))
+        ),
         # -- evaluation harness (G2-G5: P/R/F1, MAP, overlap@k) --------------
         "q_token_prf": lambda sf: evaluation.token_prf_documents(sf),
         "q_map_at_k": lambda sf: evaluation.map_at_k_documents(sf, k=10),
         "q_overlap_topk": lambda sf: evaluation.overlap_documents(sf, k=10),
+        "q_ndcg_at_k": lambda sf: evaluation.ndcg_at_k_documents(sf, k=10),
         # -- relational shapes (J1-J4, G1-G7, T1-T2, §2.9 windows) -----------
         "q_top_orders": lambda sf: relational.top_orders_hydrated(sf),
         "q_customers_without_orders": lambda sf: relational.customers_without_big_orders(sf),
@@ -253,6 +260,37 @@ FROM allq LEFT JOIN c ON c.qid = allq.qid
 """
 
 
+def _ndcg_sql() -> str:
+    """nDCG@10 with grade = count of distinct query terms contained;
+    ideal DCG over the whole corpus's grade distribution."""
+    return f"""
+WITH {_bm25_cte_body()},
+relc AS (SELECT q.qid, tf.doc_id, count(DISTINCT tf.term) AS g
+         FROM queries q JOIN tf ON tf.term = q.term GROUP BY 1, 2),
+hits AS (SELECT qid, rnk, doc_id FROM ranked WHERE rnk <= 10),
+dcg AS (SELECT h.qid,
+               sum((pow(2, coalesce(r.g, 0)) - 1.0) / log2(h.rnk + 1.0)) AS dcg
+        FROM hits h LEFT JOIN relc r ON r.qid = h.qid AND r.doc_id = h.doc_id
+        GROUP BY 1),
+ideal AS (SELECT qid, g,
+                 row_number() OVER (PARTITION BY qid ORDER BY g DESC, doc_id) AS irnk
+          FROM relc),
+idcg AS (SELECT qid, sum((pow(2, g) - 1.0) / log2(irnk + 1.0)) AS idcg
+         FROM ideal WHERE irnk <= 10 GROUP BY 1),
+ng AS (SELECT qid, count(*) AS n_graded FROM relc GROUP BY 1),
+allq AS (SELECT DISTINCT qid FROM queries)
+SELECT CAST(allq.qid AS BIGINT) AS qid,
+       CAST(coalesce(ng.n_graded, 0) AS BIGINT) AS n_graded,
+       CAST(FLOOR((CASE WHEN coalesce(idcg.idcg, 0) > 0
+             THEN coalesce(dcg.dcg, 0) / idcg.idcg ELSE 0.0 END)
+            * 1000000 + 0.5) AS BIGINT) AS ndcg_e6
+FROM allq
+LEFT JOIN ng ON ng.qid = allq.qid
+LEFT JOIN dcg ON dcg.qid = allq.qid
+LEFT JOIN idcg ON idcg.qid = allq.qid
+"""
+
+
 def _token_prf_sql() -> str:
     return f"""
 WITH t AS (SELECT doc_id,
@@ -340,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25_compacted": _bm25_sql(doc_filter="doc_id % 7 <> 0"),
         "q_map_at_k": _map_at_k_sql(),
         "q_overlap_topk": _overlap_topk_sql(),
+        "q_ndcg_at_k": _ndcg_sql(),
         "q_token_prf": _token_prf_sql(),
         "q_index_segments": f"""
 WITH pairs AS (SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term FROM documents),
@@ -452,6 +491,30 @@ SELECT doc_id, md5(text) AS payload_md5,
        CAST(strlen(text) // 97 % 97 + 16 AS BIGINT) AS height,
        CAST(3 AS BIGINT) AS channels
 FROM documents
+""",
+        "q_multimodal_resize": """
+WITH d AS (SELECT doc_id, strlen(text) AS n FROM documents),
+wh AS (SELECT doc_id, n % 97 + 16 AS w, n // 97 % 97 + 16 AS h FROM d),
+sc AS (SELECT doc_id, w, h, least(1.0, 64.0 / greatest(w, h)) AS scale FROM wh)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(greatest(FLOOR(w * scale), 1) AS BIGINT) AS new_width,
+       CAST(greatest(FLOOR(h * scale), 1) AS BIGINT) AS new_height,
+       CAST(FLOOR(scale * 1000000 + 0.5) AS BIGINT) AS scale_e6
+FROM sc
+""",
+        "q_multimodal_frames": """
+WITH d AS (SELECT doc_id, strlen(text) AS n FROM documents),
+f AS (SELECT doc_id, greatest(n // 256, 1) AS n_frames FROM d),
+s AS (SELECT doc_id, n_frames, u.j AS frame_rank,
+        CASE WHEN n_frames = 1 THEN 0
+             ELSE CAST(FLOOR(u.j * (n_frames - 1) * 1.0 / 3) AS BIGINT)
+        END AS frame_idx
+      FROM f CROSS JOIN unnest(range(0, 4)) AS u(j))
+SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(frame_rank AS BIGINT) AS frame_rank,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 256 AS BIGINT) AS frame_offset
+FROM s
 """,
         "q_top_orders": """
 WITH top AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -216,3 +216,94 @@ def overlap_topk(
         common = len(a & b)
         rows.append((qid, common, int(e6(np.array([common / k]))[0])))
     return pd.DataFrame(rows, columns=["qid", "common", "overlap_e6"]).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k with graded relevance (the third standard rank metric next to
+# the reference's MAP and overlap@k): grade(doc, q) = number of
+# distinct query terms the doc contains.
+
+
+def graded_scan(
+    ds: ray.data.Dataset,
+    qterms: dict[int, list[str]],
+    hit_keys: set[tuple[int, int]],
+    tokenizer: str = "simple",
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """ONE distributed containment pass returning the two small things
+    nDCG needs: (a) per-(qid, grade) doc COUNTS over the whole corpus
+    (for the ideal DCG — a vocabulary-of-grades-sized aggregate, never
+    one row per document), and (b) exact grades for the broadcast
+    top-k hit set only. Nothing corpus-sized reaches the driver."""
+    tok = get_tokenizer(tokenizer)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        counts: dict[tuple[int, int], int] = {}
+        hq, hd, hg = [], [], []
+        for i, text in enumerate(batch["text"].to_pylist()):
+            toks = set(tok(text or ""))
+            for qid, terms in qterms.items():
+                g = sum(1 for t in terms if t in toks)
+                if g:
+                    counts[(qid, g)] = counts.get((qid, g), 0) + 1
+                if (qid, doc_ids[i]) in hit_keys:
+                    hq.append(qid)
+                    hd.append(doc_ids[i])
+                    hg.append(g)
+        kq = [k[0] for k in counts]
+        kg = [k[1] for k in counts]
+        return pa.table(
+            {
+                "kind": pa.array(["count"] * len(kq) + ["hit"] * len(hq), pa.string()),
+                "qid": pa.array(kq + hq, pa.int64()),
+                "grade": pa.array(kg + hg, pa.int64()),
+                "n": pa.array(list(counts.values()) + [1] * len(hq), pa.int64()),
+                "doc_id": pa.array([-1] * len(kq) + hd, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    counts = (
+        out[out["kind"] == "count"]
+        .groupby(["qid", "grade"], as_index=False)["n"].sum()
+    )
+    hits = out[out["kind"] == "hit"][["qid", "doc_id", "grade"]]
+    return counts, hits
+
+
+def ndcg_at_k_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """(qid, n_graded, ndcg_e6) for the frozen BM25 battery:
+    DCG@k over the BM25 ranking with gain 2^grade - 1, normalized by
+    the ideal DCG built from the per-grade corpus counts."""
+    from .flagship import BM25_QUERIES, run_bm25_queries
+
+    qterms = _query_term_sets(BM25_QUERIES, "simple")
+    hits = run_bm25_queries(sf_dir, k=k)[["qid", "rank", "doc_id"]]
+    hit_keys = set(zip(hits["qid"].astype(int), hits["doc_id"].astype(int)))
+    counts, hit_grades = graded_scan(_docs(sf_dir), qterms, hit_keys)
+    gmap = {(int(r["qid"]), int(r["doc_id"])): int(r["grade"])
+            for _, r in hit_grades.iterrows()}
+    rows = []
+    for q in BM25_QUERIES:
+        qid = q["qid"]
+        ranked = hits[hits["qid"] == qid].sort_values("rank")
+        dcg = 0.0
+        for rank, doc in zip(ranked["rank"], ranked["doc_id"]):
+            g = gmap.get((int(qid), int(doc)), 0)
+            dcg += (2.0 ** g - 1.0) / np.log2(rank + 1.0)
+        qc = counts[counts["qid"] == qid].sort_values("grade", ascending=False)
+        idcg = 0.0
+        rank = 1
+        n_graded = int(qc["n"].sum())
+        for _, r in qc.iterrows():
+            for _ in range(int(r["n"])):
+                if rank > k:
+                    break
+                idcg += (2.0 ** int(r["grade"]) - 1.0) / np.log2(rank + 1.0)
+                rank += 1
+            if rank > k:
+                break
+        nd = dcg / idcg if idcg > 0 else 0.0
+        rows.append((qid, n_graded, int(e6(np.array([nd]))[0])))
+    return pd.DataFrame(rows, columns=["qid", "n_graded", "ndcg_e6"]).astype("int64")

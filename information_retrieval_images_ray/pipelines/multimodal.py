@@ -117,3 +117,87 @@ def feature_pipeline(ds: ray.data.Dataset, batch_size: int = 32) -> ray.data.Dat
         batch_size=batch_size,
         concurrency=(1, 4),
     )
+
+
+class ResizeStage:
+    """Actor-pool resize stub: fit the (fake-)decoded dimensions inside
+    ``target`` px preserving aspect ratio — the Ray-side plumbing of an
+    image resize (state in __init__, vectorized per batch); the pixel
+    work is the documented stub seam. All outputs derive from payload
+    length only, so the whole stage is SQL-oracle-checkable."""
+
+    def __init__(self, target: int = 64):
+        self.target = float(target)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = np.array([len(p or b"") for p in batch["payload"].to_pylist()], np.int64)
+        w = (n % 97 + 16).astype(np.float64)
+        h = (n // 97 % 97 + 16).astype(np.float64)
+        scale = np.minimum(1.0, self.target / np.maximum(w, h))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": pa.array(w.astype(np.int64), pa.int64()),
+                "height": pa.array(h.astype(np.int64), pa.int64()),
+                "new_width": pa.array(
+                    np.maximum(np.floor(w * scale), 1).astype(np.int64), pa.int64()
+                ),
+                "new_height": pa.array(
+                    np.maximum(np.floor(h * scale), 1).astype(np.int64), pa.int64()
+                ),
+                "scale_e6": pa.array(
+                    np.floor(scale * 1e6 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampler: treat the payload as fixed-size frames
+    and emit ``k`` evenly-spaced frame indices per doc (the video
+    frame-sampling shape: wide binary row in, a few small rows out;
+    the actual frame decode is the stub seam)."""
+
+    def __init__(self, frame_bytes: int = 256, k: int = 4):
+        self.frame_bytes = frame_bytes
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, nf_out, rank_out, idx_out = [], [], [], []
+        for did, p in zip(batch["doc_id"].to_pylist(), batch["payload"].to_pylist()):
+            n = len(p or b"")
+            nf = max(n // self.frame_bytes, 1)
+            for j in range(self.k):
+                idx = 0 if nf == 1 else int(np.floor(j * (nf - 1) / (self.k - 1)))
+                ids_out.append(did)
+                nf_out.append(nf)
+                rank_out.append(j)
+                idx_out.append(idx)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "n_frames": pa.array(nf_out, pa.int64()),
+                "frame_rank": pa.array(rank_out, pa.int64()),
+                "frame_idx": pa.array(idx_out, pa.int64()),
+                "frame_offset": pa.array(
+                    (np.array(idx_out, np.int64) * self.frame_bytes), pa.int64()
+                ),
+            }
+        )
+
+
+def resize_pipeline(ds: ray.data.Dataset, target: int = 64,
+                    batch_size: int = 32) -> ray.data.Dataset:
+    return ds.map_batches(
+        ResizeStage, fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 4),
+    )
+
+
+def frame_sample_pipeline(ds: ray.data.Dataset, frame_bytes: int = 256,
+                          k: int = 4, batch_size: int = 32) -> ray.data.Dataset:
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"frame_bytes": frame_bytes, "k": k},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 4),
+    )

@@ -74,3 +74,26 @@ def test_delete_visible_on_next_search(server):
     assert status == 200 and out["tombstoned"] == 1
     _, hits2 = _req(srv.port, "/search", {"query": "alpha", "limit": 10})
     assert victim not in {h["doc_id"] for h in hits2}
+
+
+def test_concurrent_searches_and_delete(server):
+    """ThreadingHTTPServer + the pool-swap lock: concurrent searches
+    racing a delete all succeed (or at worst retry-level errors never
+    corrupt state), and post-delete results converge."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    srv, _ = server
+    def search(_):
+        return _req(srv.port, "/search", {"query": "delta golf", "limit": 5})[0]
+
+    with ThreadPoolExecutor(8) as ex:
+        codes = list(ex.map(search, range(16)))
+    assert codes == [200] * 16
+    _, hits = _req(srv.port, "/search", {"query": "delta golf", "limit": 5})
+    victim = hits[0]["doc_id"]
+    with ThreadPoolExecutor(8) as ex:
+        fut = ex.submit(_req, srv.port, "/delete", {"doc_ids": [victim]})
+        codes = list(ex.map(search, range(8)))
+        fut.result()
+    _, after = _req(srv.port, "/search", {"query": "delta golf", "limit": 10})
+    assert victim not in {h["doc_id"] for h in after}
