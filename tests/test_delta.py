@@ -205,3 +205,35 @@ def test_ingested_files_excludes_incomplete_delta(tmp_path, corpora):
     with pytest.raises(ValueError):
         extend_index(ray.data.read_parquet(bad), idx, delta_files=[bad])
     assert os.path.abspath(bad) not in ingested_files(idx)
+
+
+def test_two_chained_deltas_equal_fresh_build(tmp_path, corpora):
+    """extend -> extend again: the second delta merges into the first
+    delta's term-stats generation, appends more shards, and the final
+    index still matches a from-scratch build of all three parts."""
+    base, delta = corpora
+    delta2 = _mk_rows(150, 180, seed=7, min_len=10, max_len=25)  # avgdl drops
+
+    fresh_dir = str(tmp_path / "fresh_all")
+    build_index(ray.data.from_items(base + delta + delta2), fresh_dir, **CFG)
+    inc_dir = str(tmp_path / "chained")
+    build_index(ray.data.from_items(base), inc_dir, **CFG)
+    extend_index(ray.data.from_items(delta), inc_dir, delta_id="d1")
+    extend_index(ray.data.from_items(delta2), inc_dir, delta_id="d2")
+
+    fresh, inc = IndexReader(fresh_dir), IndexReader(inc_dir)
+    assert fresh.n_docs == inc.n_docs == 180
+    assert abs(fresh.avgdl - inc.avgdl) < 1e-9
+    for q in QUERIES:
+        f = fresh.search_taat(q, 10)
+        assert f == inc.search_taat(q, 10), q
+        assert f == inc.search_bmw(q, 10), q
+    # term-stats generation chain: the active pointer is d2's
+    with open(os.path.join(inc_dir, "stats.json")) as fh:
+        stats = json.load(fh)
+    assert stats["termstats_dirname"] == "termstats-d2"
+    assert os.path.exists(os.path.join(inc_dir, "termstats-d2"))
+    assert not os.path.exists(os.path.join(inc_dir, "termstats-d1"))  # retired
+    # vocab equals the fresh build's
+    with open(os.path.join(fresh_dir, "stats.json")) as fh:
+        assert stats["vocab_size"] == json.load(fh)["vocab_size"]
