@@ -24,11 +24,19 @@ import pyarrow as pa
 import ray.data
 
 
+CORPUS_EXTS = (".parquet", ".csv", ".jsonl", ".json")
+
+
 def corpus_files(path: str) -> list[str]:
-    """Deterministic sorted list of parquet files under a corpus dir."""
-    if path.endswith(".parquet"):
+    """Deterministic sorted list of corpus files under a dir (parquet,
+    csv, or json-lines; mixed dirs are allowed — each file is read by
+    the reader for its extension)."""
+    if path.endswith(CORPUS_EXTS):
         return [path]
-    return sorted(glob.glob(f"{path}/*.parquet"))
+    out: list[str] = []
+    for ext in CORPUS_EXTS:
+        out.extend(glob.glob(f"{path}/*{ext}"))
+    return sorted(out)
 
 
 def read_code_corpus(path: str | list[str]) -> ray.data.Dataset:
@@ -50,11 +58,35 @@ def read_code_corpus(path: str | list[str]) -> ray.data.Dataset:
         cpus = int(ray.cluster_resources().get("CPU", 0))
         if cpus:
             nb = max(1, cpus * 2)
-    return ray.data.read_parquet(
-        files,
-        columns=["repo", "path", "commit", "lang", "content"],
-        override_num_blocks=nb,
-    )
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    by_kind: dict[str, list[str]] = {}
+    for f in files:
+        if f.endswith(".parquet"):
+            by_kind.setdefault("parquet", []).append(f)
+        elif f.endswith(".csv"):
+            by_kind.setdefault("csv", []).append(f)
+        elif f.endswith((".jsonl", ".json")):
+            by_kind.setdefault("json", []).append(f)
+        else:
+            raise ValueError(f"unsupported corpus file type: {f}")
+    parts: list[ray.data.Dataset] = []
+    if "parquet" in by_kind:
+        parts.append(
+            ray.data.read_parquet(
+                by_kind["parquet"], columns=cols, override_num_blocks=nb
+            )
+        )
+    if "csv" in by_kind:  # no column pushdown in CSV; select after read
+        parts.append(ray.data.read_csv(by_kind["csv"]).select_columns(cols))
+    if "json" in by_kind:  # json-lines
+        parts.append(ray.data.read_json(by_kind["json"]).select_columns(cols))
+    if not parts:
+        raise ValueError(f"no corpus files found in {path}")
+    ds = parts[0]
+    for extra in parts[1:]:
+        ds = ds.union(extra)
+    return ds
 
 
 def read_documents_table(sf_dir: str) -> ray.data.Dataset:

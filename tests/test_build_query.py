@@ -245,3 +245,43 @@ def test_degenerate_corpora(tmp_path):
     r2 = IndexReader(idx2)
     assert r2.search_bmw("anything", 5) == []
     assert r2.search_taat("", 5) == []
+
+
+def test_csv_and_jsonl_corpus_sources(tmp_path):
+    """S1 source-format variants: the same corpus via parquet, csv and
+    json-lines builds an identical index (identical query results)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+    import ray.data
+
+    from information_retrieval_images_ray.corpus import generate_corpus
+    from information_retrieval_images_ray.sources.corpus_source import (
+        read_code_corpus,
+    )
+
+    tbl = generate_corpus(60, seed=17)
+    # drop the unicode/empty edge rows for CSV round-trip simplicity?
+    # no — keep them: the readers must cope with quoting and unicode
+    pq_dir = tmp_path / "pq"; pq_dir.mkdir()
+    csv_dir = tmp_path / "csv"; csv_dir.mkdir()
+    jl_dir = tmp_path / "jl"; jl_dir.mkdir()
+    pq2.write_table(tbl, str(pq_dir / "c.parquet"))
+    import pyarrow.csv as pacsv
+
+    pacsv.write_csv(tbl, str(csv_dir / "c.csv"))
+    with open(jl_dir / "c.jsonl", "w") as f:
+        for row in tbl.to_pylist():
+            f.write(_json.dumps(row) + "\n")
+
+    idx = {}
+    for name, d in (("pq", pq_dir), ("csv", csv_dir), ("jl", jl_dir)):
+        ds = assign_dense_doc_ids(read_code_corpus(str(d)), num_partitions=2)
+        out = str(tmp_path / f"idx_{name}")
+        build_index(ds, out, num_shards=2)
+        idx[name] = IndexReader(out)
+    for q in ["getUserName", "merge sort", ""]:
+        want = idx["pq"].search_taat(q, 10)
+        assert idx["csv"].search_taat(q, 10) == want, ("csv", q)
+        assert idx["jl"].search_taat(q, 10) == want, ("jl", q)
