@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S7 maintenance: tombstone delete honored by the scorers, and
         # compaction (rebuild-without-deleted) equal to a fresh build
         "q_bm25_deleted": lambda sf: flagship.run_bm25_queries_deleted(sf, k=10, algo="bmw"),
+        # content-level dedup on extend: a delta of re-sent content is
+        # skipped entirely, so the index equals the plain full build
+        "q_bm25_delta_dedup": lambda sf: flagship.run_bm25_queries_delta_dedup(sf, k=10, algo="bmw"),
         "q_bm25_compacted": lambda sf: flagship.run_bm25_queries_compacted(sf, k=10, algo="bmw"),
         "q_index_segments": lambda sf: flagship.segment_summary(sf),
         "q_term_stats": lambda sf: analysis.term_stats(docs(sf)),
@@ -374,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         # tombstoned: full-corpus stats, deleted docs excluded from
         # every top-k before ranking (the tombstone contract)
         "q_bm25_deleted": _bm25_sql(ranked_where="WHERE doc_id % 7 <> 0"),
+        "q_bm25_delta_dedup": _bm25_sql(),  # re-sent delta fully skipped
         # compacted: the index IS a fresh build of the filtered corpus
         "q_bm25_compacted": _bm25_sql(doc_filter="doc_id % 7 <> 0"),
         "q_map_at_k": _map_at_k_sql(),

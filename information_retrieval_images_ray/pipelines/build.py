@@ -418,6 +418,7 @@ def extend_index(
     index_dir: str,
     delta_files: list[str] | None = None,
     delta_id: str | None = None,
+    skip_existing_content: bool = False,
 ) -> dict:
     """Append NEW documents to an existing index without touching any
     completed phase — the reference's core workflow ("re-run the verb,
@@ -441,6 +442,17 @@ def extend_index(
       full scoring, which always uses live (tf, dl, avgdl), stays
       exact. Query results are therefore rank- AND score-identical to
       a from-scratch build of the full corpus (tested).
+
+    With ``skip_existing_content=True`` the delta is content-deduped
+    first — the reference's md5-presence skip (db.py:114-116,
+    UNIQUE(md5) db.py:32) at CONTENT granularity: delta docs whose
+    sha256 already exists in the index (or earlier in the delta) are
+    dropped before any stats/segments are built. The anti-join is one
+    distributed groupby on the sha hex (existing side ships only its
+    thin sha column); the surviving id set is then broadcast to the
+    delta-filter maps (delta-sized — for deltas too big to broadcast
+    ids, swap in a Bloom filter here). Skipped docs leave id-space
+    gaps, which every downstream structure tolerates.
 
     Idempotent per ``delta_id`` (defaults to the delta file set's
     fingerprint): re-running with an already-ingested delta is a
@@ -490,6 +502,92 @@ def extend_index(
             duration_s=round(time.perf_counter() - _t, 3),
         )
 
+    # ---- phase: content dedup of the delta (optional) -----------------------
+    keep_ids = None
+    if skip_existing_content:
+        keep_dir = os.path.join(index_dir, f"delta_keep={delta_id}")
+        if not man.is_done(f"delta_dedup:{delta_id}"):
+            _t = time.perf_counter()
+            import pandas as _pd
+
+            def sha_hex_old(batch: pa.Table) -> pa.Table:
+                hx = [bytes(b).hex() for b in batch["content_sha256"].to_pylist()]
+                return pa.table(
+                    {
+                        "sha": pa.array(hx, pa.string()),
+                        "doc_id": pa.array([-1] * len(hx), pa.int64()),
+                    }
+                )
+
+            def sha_hex_new(batch: pa.Table) -> pa.Table:
+                hx = [bytes(b).hex() for b in batch["content_sha256"].to_pylist()]
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                return pa.table(
+                    {
+                        "sha": pa.array(hx, pa.string()),
+                        "doc_id": pa.array(ids, pa.int64()),
+                    }
+                )
+
+            def keep_new(g: _pd.DataFrame) -> _pd.DataFrame:
+                ids = g["doc_id"].to_numpy(np.int64)
+                if (ids < 0).any():  # content already in the index
+                    return _pd.DataFrame({"doc_id": []}).astype("int64")
+                # keep one doc per distinct content within the delta
+                return _pd.DataFrame({"doc_id": [int(ids.min())]})
+
+            old = ray.data.read_parquet(
+                docmeta_dir, columns=["content_sha256"]
+            ).map_batches(sha_hex_old, batch_format="pyarrow")
+            new = ray.data.read_parquet(
+                ddir, columns=["doc_id", "content_sha256"]
+            ).map_batches(sha_hex_new, batch_format="pyarrow")
+            _clean(keep_dir)
+            (
+                new.union(old)
+                .groupby("sha")
+                .map_groups(keep_new, batch_format="pandas")
+                .write_parquet(keep_dir)
+            )
+            n_kept = _parquet_rows(keep_dir)
+            man.mark_done(
+                f"delta_dedup:{delta_id}", n_kept=n_kept,
+                duration_s=round(time.perf_counter() - _t, 3),
+            )
+        import pyarrow.dataset as pads
+
+        os.makedirs(keep_dir, exist_ok=True)
+        kd = pads.dataset(keep_dir, format="parquet")
+        keep_ids = (
+            np.sort(kd.to_table(columns=["doc_id"])["doc_id"].to_numpy().astype(np.int64))
+            if kd.count_rows()
+            else np.empty(0, dtype=np.int64)
+        )
+        if len(keep_ids) == 0:
+            # the whole delta was duplicate content: nothing to index
+            from ..state.manifest import fingerprint_file
+
+            man.mark_done(
+                f"delta:{delta_id}", new_shards=[],
+                files={os.path.abspath(f): fingerprint_file(f) for f in (delta_files or [])},
+            )
+            return stats
+
+    def _kept(ds_: ray.data.Dataset) -> ray.data.Dataset:
+        """Filter a ddir read down to the surviving delta docs."""
+        if keep_ids is None:
+            return ds_
+        arr = keep_ids
+
+        def flt(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(arr, ids)
+            pos_c = np.minimum(pos, len(arr) - 1)
+            mask = (pos < len(arr)) & (arr[pos_c] == ids)
+            return batch.filter(pa.array(mask))
+
+        return ds_.map_batches(flt, batch_format="pyarrow")
+
     # ---- phase: delta stats (+ new shard bounds) ----------------------------
     # Crash-safety: the new stats are recorded in the MANIFEST entry
     # first (one atomic write), and stats.json is derived from the
@@ -502,7 +600,7 @@ def extend_index(
         _t = time.perf_counter()
         from ray.data.aggregate import Min as _Min
 
-        dt = ray.data.read_parquet(ddir, columns=["doc_id", "doc_len"])
+        dt = _kept(ray.data.read_parquet(ddir, columns=["doc_id", "doc_len"]))
         agg = dt.aggregate(
             Count(alias_name="n_new"),
             Sum("doc_len", alias_name="new_tokens"),
@@ -579,7 +677,7 @@ def extend_index(
         if stats.get("termstats_dirname") != merged_name:
             import pandas as _pd
 
-            st = ray.data.read_parquet(ddir, columns=["terms"])
+            st = _kept(ray.data.read_parquet(ddir, columns=["doc_id", "terms"]))
 
             def partial_df(batch: pa.Table) -> pa.Table:
                 flat = batch["terms"].combine_chunks().flatten()
@@ -651,8 +749,8 @@ def extend_index(
         _t = time.perf_counter()
         for s in pending:
             _clean(segment_shard_dir(index_dir, s))
-        st = ray.data.read_parquet(
-            ddir, columns=["doc_id", "doc_len", "terms", "tfs"]
+        st = _kept(
+            ray.data.read_parquet(ddir, columns=["doc_id", "doc_len", "terms", "tfs"])
         ).map_batches(explode_postings(shard_of), batch_format="pyarrow", batch_size=None)
         seg = _encode_segments(
             st, enc_avgdl, params, cfg, hot_terms, pending, len(new_shards)
@@ -689,7 +787,7 @@ def extend_index(
         for extra in ("repo", "path", "commit", "lang"):
             if extra in schema_names:
                 cols.append(extra)
-        dm = ray.data.read_parquet(ddir, columns=cols)
+        dm = _kept(ray.data.read_parquet(ddir, columns=cols))
 
         def add_shard(batch: pa.Table) -> pa.Table:
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)

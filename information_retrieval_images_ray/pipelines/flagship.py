@@ -157,6 +157,49 @@ def run_bm25_queries_compacted(
     return _run_battery(out, queries, k, algo)
 
 
+def run_bm25_queries_delta_dedup(
+    sf_dir: str, queries=BM25_QUERIES, k: int = 10, algo: str = "bmw"
+) -> pd.DataFrame:
+    """Full build, then an extend whose delta is RE-SENT content
+    (copies of the lower half under fresh doc_ids) with
+    ``skip_existing_content=True`` — the reference's md5-presence skip
+    at content granularity. Everything in the delta is dropped, so
+    results must equal the plain full-corpus build and its BM25 SQL
+    oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .build import build_index, extend_index
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    index_dir = documents_index_dir(sf_dir, variant=f"dedupskip-{n}")
+    ds = read_documents_table(sf_dir)
+    build_index(
+        ds,
+        index_dir,
+        source_files=[f"{sf_dir}/documents.parquet"],
+        tokenizer="simple",
+        num_shards=NUM_SHARDS,
+        hot_df_threshold=HOT_DF_THRESHOLD,
+        salt_factor=SALT_FACTOR,
+    )
+
+    def shift_ids(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.compute.add(batch["doc_id"], pa.scalar(n, pa.uint64())),
+        )
+
+    resent = ds.filter(expr=f"doc_id < {n // 2}").map_batches(
+        shift_ids, batch_format="pyarrow"
+    )
+    extend_index(
+        resent, index_dir, delta_id=f"resent-{n}", skip_existing_content=True
+    )
+    return _run_battery(index_dir, queries, k, algo)
+
+
 def _run_battery(index_dir: str, queries, k: int, algo: str) -> pd.DataFrame:
     import numpy as np
     import ray.data

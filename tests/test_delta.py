@@ -237,3 +237,44 @@ def test_two_chained_deltas_equal_fresh_build(tmp_path, corpora):
     # vocab equals the fresh build's
     with open(os.path.join(fresh_dir, "stats.json")) as fh:
         assert stats["vocab_size"] == json.load(fh)["vocab_size"]
+
+
+def test_extend_skip_existing_content(tmp_path, corpora):
+    """Content-level dedup on extend (reference md5-presence skip,
+    db.py:114-116): delta docs whose sha256 already exists in the
+    index — or earlier in the delta — are dropped; only genuinely new
+    content is indexed."""
+    base, delta = corpora
+    # delta: 20 genuinely new docs + 10 re-sent copies of base content
+    # (new ids) + an internal duplicate pair
+    resent = [
+        {"doc_id": 200 + i, "content": base[i]["content"]} for i in range(10)
+    ]
+    internal_dup = [{"doc_id": 250, "content": delta[0]["content"]}]
+    mixed = delta[:20] + resent + internal_dup
+
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_items(base), idx, **CFG)
+    stats = extend_index(
+        ray.data.from_items(mixed), idx, delta_id="dd", skip_existing_content=True
+    )
+    assert stats["n_docs"] == 120  # 100 base + 20 new; 11 skipped
+
+    # results equal a fresh build of base + the 20 unique-new docs
+    fresh = str(tmp_path / "fresh")
+    build_index(ray.data.from_items(base + delta[:20]), fresh, **CFG)
+    a, b = IndexReader(idx), IndexReader(fresh)
+    assert abs(a.avgdl - b.avgdl) < 1e-9
+    for q in QUERIES:
+        assert a.search_taat(q, 10) == b.search_taat(q, 10), q
+        assert a.search_bmw(q, 10) == a.search_taat(q, 10), q
+
+    # an all-duplicate delta is a complete no-op
+    stats2 = extend_index(
+        ray.data.from_items(
+            [{"doc_id": 300 + i, "content": base[i]["content"]} for i in range(5)]
+        ),
+        idx, delta_id="alldup", skip_existing_content=True,
+    )
+    assert stats2["n_docs"] == 120
+    assert IndexReader(idx).n_docs == 120
