@@ -20,6 +20,8 @@ IVF_FLAT + top-k search, /root/reference/vector_db.py:33-42,93-103):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -235,3 +237,79 @@ def embedding_near_dups(
              "sim_e6": pd.Series(dtype="int64")}
         )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index (the reference's Milvus collection analogue:
+# create once, then serve searches against the stored structure —
+# vector_db.py:21-42 creates the collection + IVF_FLAT index and
+# load()s it; searches hit the persisted index, not a refit).
+
+
+def build_ivf_index(
+    ds: ray.data.Dataset, index_dir: str, nlist: int = 16, id_col: str = "vec_id",
+) -> dict:
+    """Persist an IVF index: centroids (small npy) + the embedding
+    table partitioned by cluster id (hive `cluster=` dirs, so a probe
+    reads ONLY its clusters' files — the vector-side mirror of the
+    text index's shard pruning). Idempotent via a marker file."""
+    import json as _json
+
+    meta_path = os.path.join(index_dir, "ivf.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return _json.load(f)
+    os.makedirs(index_dir, exist_ok=True)
+    cent = fit_centroids(ds, nlist, id_col=id_col)
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    assigned = ivf_assign(ds, cent)
+    assigned.write_parquet(
+        os.path.join(index_dir, "vectors"), partition_cols=["cluster"]
+    )
+    meta = {"nlist": int(len(cent)), "dim": int(cent.shape[1])}
+    with open(meta_path + ".tmp", "w") as f:
+        _json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
+    return meta
+
+
+class IVFIndexReader:
+    """Serves ANN searches against a persisted IVF index: centroids
+    loaded once in __init__ (the actor-state pattern); each search
+    reads only the probed clusters' partitions."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.cent = np.load(os.path.join(index_dir, "centroids.npy"))
+
+    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+        probes = np.argsort(-(q @ self.cent.T), axis=1)[:, :nprobe]
+        wanted = sorted(set(probes.flatten().tolist()))
+        rows = []
+        for qi in range(q.shape[0]):
+            ids_all, sims_all = [], []
+            for c in probes[qi]:
+                for f in sorted(_glob.glob(os.path.join(
+                        self.index_dir, "vectors", f"cluster={int(c)}", "*.parquet"))):
+                    t = _pq.read_table(f, columns=["vec_id", "embedding"])
+                    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    m = _normalize(_batch_mat(t))
+                    ids_all.append(ids)
+                    sims_all.append(m @ q[qi])
+            if not ids_all:
+                continue
+            ids = np.concatenate(ids_all)
+            sims = np.concatenate(sims_all)
+            idx = np.lexsort((ids, -sims))[: min(k, len(ids))]
+            for rank, j in enumerate(idx, start=1):
+                rows.append(
+                    (qi, rank, int(ids[j]), int(e6(np.array([sims[j]]))[0]))
+                )
+        return pd.DataFrame(rows, columns=["qid", "rank", "vec_id", "sim_e6"]).astype(
+            "int64"
+        )

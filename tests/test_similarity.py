@@ -86,3 +86,30 @@ def test_multimodal_decode_and_features():
 def test_multimodal_real_decode_is_marked_stub():
     with pytest.raises(NotImplementedError):
         multimodal.DecodeStage(decode="real")
+
+
+def test_persisted_ivf_matches_inmemory(tmp_path, emb_ds, emb_rows):
+    queries = np.stack(
+        [np.asarray(emb_rows[i]["embedding"], np.float64) for i in (0, 30, 60)]
+    )
+    """Persisted IVF index (build once, search from disk) returns the
+    same results as the in-memory ivf_knn at the same nlist/nprobe —
+    and exactly equals brute force when every cluster is probed."""
+    from information_retrieval_images_ray.pipelines.similarity import (
+        IVFIndexReader,
+        build_ivf_index,
+        ivf_knn,
+        knn_bruteforce,
+    )
+
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(emb_ds, idx, nlist=8)
+    assert meta["nlist"] == 8
+    reader = IVFIndexReader(idx)
+    got = reader.search(queries, k=10, nprobe=8)
+    want = knn_bruteforce(emb_ds, queries, k=10)
+    assert got.equals(want.astype("int64"))
+    inmem = ivf_knn(emb_ds, queries, k=10, nlist=8, nprobe=8)
+    assert got.equals(inmem.astype("int64"))
+    # idempotent rebuild: marker short-circuits
+    assert build_ivf_index(emb_ds, idx, nlist=8) == meta
