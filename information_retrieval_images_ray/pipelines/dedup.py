@@ -318,6 +318,7 @@ def minhash_near_dups(
     bands: int = 16,
     shingle_n: int = 3,
     tokenizer: str = "simple",
+    max_group: int | None = DEFAULT_MAX_GROUP,
 ) -> pd.DataFrame:
     """MinHash-LSH near-dup pipeline, fully distributed.
 
@@ -333,6 +334,13 @@ def minhash_near_dups(
     (doc_a, doc_b) groupby dedups pairs that matched in several bands.
     The driver sees result pairs only. Exact-Jaccard semantics, when
     wanted, are ``ngram_jaccard_pairs``.
+
+    Hot bands are capped: a ``(band, band_hash)`` bucket holding more
+    than ``max_group`` docs (a duplicate-heavy corpus puts ALL copies
+    of the template in one bucket — O(N^2) pairs in one task) emits a
+    sentinel row instead of pairs; the dropped-bucket count rides the
+    final pair aggregate and is logged, never silent (same contract as
+    ngram_jaccard_pairs / winnow_overlap_pairs).
     """
     sigs = minhash_signatures(ds, num_perm, shingle_n, tokenizer)
     rows_per_band = num_perm // bands
@@ -360,6 +368,11 @@ def minhash_near_dups(
         ids = g["doc_id"].to_numpy(np.int64)
         if len(ids) < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_e6": []}).astype("int64")
+        if max_group is not None and len(ids) > max_group:
+            # sentinel: one (-1, -1) row per dropped hot band bucket
+            return pd.DataFrame(
+                {"doc_a": [-1], "doc_b": [-1], "jaccard_e6": [0]}
+            ).astype("int64")
         sm = np.stack([np.asarray(s, np.uint64) for s in g["signature"]])
         a, b = np.triu_indices(len(ids), k=1)
         est = (sm[a] == sm[b]).mean(axis=1)
@@ -377,7 +390,10 @@ def minhash_near_dups(
         .groupby(["band_id", "band_hash"])
         .map_groups(verify_in_group, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("jaccard_e6", alias_name="jaccard_e6"))
+        .aggregate(
+            Min("jaccard_e6", alias_name="jaccard_e6"),
+            Count(alias_name="n_buckets"),
+        )
         .to_pandas()
     )
     if out.empty:
@@ -385,8 +401,17 @@ def minhash_near_dups(
             {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
              "jaccard_e6": pd.Series(dtype="int64")}
         )
+    sentinel = out["doc_a"] < 0
+    n_dropped = int(out.loc[sentinel, "n_buckets"].sum())
+    if n_dropped:
+        print(f"[minhash_near_dups] {n_dropped} hot band buckets over "
+              f"max_group={max_group} dropped from verification")
     return (
-        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype("int64")
+        out[~sentinel]
+        .drop(columns=["n_buckets"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype("int64")
     )
 
 
@@ -421,11 +446,15 @@ class SimHashStage:
 
 
 def simhash_near_dups(
-    ds: ray.data.Dataset, max_hamming: int = 3, tokenizer: str = "simple"
+    ds: ray.data.Dataset, max_hamming: int = 3, tokenizer: str = "simple",
+    max_group: int | None = DEFAULT_MAX_GROUP,
 ) -> pd.DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via 4-band
     blocking (pigeonhole: <=3 differing bits leave >=1 of 4 16-bit
-    bands identical), then exact verification."""
+    bands identical), then exact verification.
+
+    Band buckets over ``max_group`` docs emit a logged sentinel instead
+    of O(N^2) pairs (the ngram/winnow/minhash hot-key contract)."""
     sigs = ds.map_batches(
         SimHashStage, fn_constructor_kwargs={"tokenizer": tokenizer},
         batch_format="pyarrow", concurrency=(1, 4),
@@ -454,6 +483,11 @@ def simhash_near_dups(
         hs = g["simhash"].to_numpy(np.uint64)
         if len(ids) < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype("int64")
+        if max_group is not None and len(ids) > max_group:
+            # sentinel: one (-1, -1) row per dropped hot band bucket
+            return pd.DataFrame(
+                {"doc_a": [-1], "doc_b": [-1], "hamming": [0]}
+            ).astype("int64")
         a, b = np.triu_indices(len(ids), k=1)
         x = hs[a] ^ hs[b]
         ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
@@ -470,8 +504,14 @@ def simhash_near_dups(
             {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
              "hamming": pd.Series(dtype="int64")}
         )
+    sentinel = pairs["doc_a"] < 0
+    n_dropped = int(sentinel.sum())
+    if n_dropped:
+        print(f"[simhash_near_dups] {n_dropped} hot band buckets over "
+              f"max_group={max_group} dropped from verification")
     return (
-        pairs.drop_duplicates(["doc_a", "doc_b"])
+        pairs[~sentinel]
+        .drop_duplicates(["doc_a", "doc_b"])
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
         .astype("int64")

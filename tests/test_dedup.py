@@ -118,6 +118,28 @@ def test_frequent_shingle_cutoff():
     assert len(capped) == 0
 
 
+def test_minhash_simhash_hot_band_cap(capsys):
+    """A duplicate-heavy corpus puts every copy in the same band
+    buckets; with max_group set the bucket is dropped (logged sentinel)
+    instead of emitting O(N^2) pairs, and the job still completes."""
+    rows = [
+        {"doc_id": i, "text": "same words repeated here again and again ok"}
+        for i in range(12)  # 2x max_group identical docs
+    ]
+    ds = ray.data.from_items(rows)
+    capped = dedup.minhash_near_dups(ds, threshold=0.5, max_group=6)
+    assert len(capped) == 0
+    assert "hot band buckets" in capsys.readouterr().out
+    capped = dedup.simhash_near_dups(ds, max_hamming=3, max_group=6)
+    assert len(capped) == 0
+    assert "hot band buckets" in capsys.readouterr().out
+    # uncapped: all 66 identical pairs surface
+    full = dedup.minhash_near_dups(ds, threshold=0.5, max_group=None)
+    assert len(full) == 66
+    full = dedup.simhash_near_dups(ds, max_hamming=3, max_group=None)
+    assert len(full) == 66
+
+
 def test_winnow_detects_planted_overlap(ds, docs):
     """Winnowing guarantee: any shared token run of length >= w+k-1
     (= 8 here) produces at least one shared fingerprint — the planted
