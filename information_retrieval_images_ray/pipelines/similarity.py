@@ -82,12 +82,7 @@ def knn_bruteforce(
     partials = ds.map_batches(
         PartialTopK, batch_format="pyarrow", concurrency=(1, 4)
     ).to_pandas()
-    rows = []
-    for qi, g in partials.groupby("qid"):
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(g.iterrows(), start=1):
-            rows.append((int(qi), rank, int(r["vec_id"]), int(e6(np.array([r["sim"]]))[0])))
-    return pd.DataFrame(rows, columns=["qid", "rank", "vec_id", "sim_e6"])
+    return _merge_partials(partials, range(q.shape[0]), k)
 
 
 # ---------------------------------------------------------------------------
@@ -197,14 +192,31 @@ def ivf_knn(
     partials = flt.map_batches(
         ProbedTopK, batch_format="pyarrow", concurrency=(1, 4)
     ).to_pandas()
-    rows = []
-    for qi in range(q.shape[0]):
-        g = partials[partials["qid"] == qi].sort_values(
-            ["sim", "vec_id"], ascending=[False, True]
-        ).head(k)
-        for rank, (_, r) in enumerate(g.iterrows(), start=1):
-            rows.append((qi, rank, int(r["vec_id"]), int(e6(np.array([r["sim"]]))[0])))
-    return pd.DataFrame(rows, columns=["qid", "rank", "vec_id", "sim_e6"])
+    return _merge_partials(partials, range(q.shape[0]), k)
+
+
+def _merge_partials(partials: pd.DataFrame, qids, k: int) -> pd.DataFrame:
+    """Vectorized k-way merge of per-batch (qid, vec_id, sim) partials
+    — k x num_batches tiny rows, driver-side by design."""
+    frames = []
+    for qi in qids:
+        g = partials[partials["qid"] == qi]
+        if g.empty:
+            continue
+        ids = g["vec_id"].to_numpy(np.int64)
+        sims = g["sim"].to_numpy(np.float64)
+        idx = np.lexsort((ids, -sims))[: min(k, len(ids))]
+        frames.append(pd.DataFrame({
+            "qid": np.full(len(idx), qi, np.int64),
+            "rank": np.arange(1, len(idx) + 1, dtype=np.int64),
+            "vec_id": ids[idx],
+            "sim_e6": e6(sims[idx]).astype(np.int64),
+        }))
+    if not frames:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ["qid", "rank", "vec_id", "sim_e6"]}
+        )
+    return pd.concat(frames, ignore_index=True)
 
 
 def embedding_near_dups(
@@ -273,43 +285,112 @@ def build_ivf_index(
     return meta
 
 
-class IVFIndexReader:
-    """Serves ANN searches against a persisted IVF index: centroids
-    loaded once in __init__ (the actor-state pattern); each search
-    reads only the probed clusters' partitions."""
+@ray.remote
+class IVFClusterActor:
+    """Owns a disjoint subset of IVF clusters (the ShardQueryActor
+    shape, serving.py:40-67). Cluster parquet is read LAZILY on first
+    probe and cached as normalized numpy — non-probed clusters are
+    never read, repeated queries never re-read parquet (both asserted
+    destructively in tests/test_similarity.py by deleting the files)."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, cluster_ids: list[int]):
+        self.index_dir = index_dir
+        self.owned = set(int(c) for c in cluster_ids)
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _cluster(self, c: int) -> tuple[np.ndarray, np.ndarray]:
+        if c not in self._cache:
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            ids_l, mats = [], []
+            for f in sorted(_glob.glob(os.path.join(
+                    self.index_dir, "vectors", f"cluster={c}", "*.parquet"))):
+                t = _pq.read_table(f, columns=["vec_id", "embedding"])
+                ids_l.append(t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+                mats.append(_normalize(_batch_mat(t)))
+            if ids_l:
+                self._cache[c] = (np.concatenate(ids_l), np.vstack(mats))
+            else:
+                self._cache[c] = (np.empty(0, np.int64), np.empty((0, 1)))
+        return self._cache[c]
+
+    def search(
+        self, q: np.ndarray, probes: np.ndarray, k: int
+    ) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        """Per-query LOCAL top-k over owned ∩ probed clusters:
+        [(qid, ids, sims), ...] — at most k rows per query leave the
+        actor, never the cluster vectors themselves."""
+        out = []
+        for qi in range(q.shape[0]):
+            mine = [int(c) for c in probes[qi] if int(c) in self.owned]
+            ids_l, sims_l = [], []
+            for c in mine:
+                ids, m = self._cluster(c)
+                if len(ids):
+                    ids_l.append(ids)
+                    sims_l.append(m @ q[qi])
+            if not ids_l:
+                continue
+            ids = np.concatenate(ids_l)
+            sims = np.concatenate(sims_l)
+            idx = np.lexsort((ids, -sims))[: min(k, len(ids))]
+            out.append((qi, ids[idx], sims[idx]))
+        return out
+
+    def ready(self) -> bool:
+        return True
+
+
+class IVFIndexReader:
+    """Serves ANN searches against a persisted IVF index through a
+    pool of cluster-partitioned actors: centroids live on the router
+    (tiny — probe selection only); each actor owns nlist/N clusters and
+    caches their vectors across queries. Scoring is scatter-gather —
+    the router merges nq x k x N tiny partials, it never touches
+    cluster parquet itself (the round-2 driver-loop form re-read GBs of
+    probed clusters per query)."""
+
+    def __init__(self, index_dir: str, num_actors: int = 2):
         self.index_dir = index_dir
         self.cent = np.load(os.path.join(index_dir, "centroids.npy"))
+        nlist = len(self.cent)
+        num_actors = max(1, min(num_actors, nlist))
+        assign: list[list[int]] = [[] for _ in range(num_actors)]
+        for c in range(nlist):
+            assign[c % num_actors].append(c)
+        self.actors = [
+            IVFClusterActor.remote(index_dir, cluster_ids) for cluster_ids in assign
+        ]
+        ray.get([a.ready.remote() for a in self.actors])
 
     def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
-        import glob as _glob
-
-        import pyarrow.parquet as _pq
-
         q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
         probes = np.argsort(-(q @ self.cent.T), axis=1)[:, :nprobe]
-        wanted = sorted(set(probes.flatten().tolist()))
+        parts = ray.get([a.search.remote(q, probes, k) for a in self.actors])
         rows = []
         for qi in range(q.shape[0]):
-            ids_all, sims_all = [], []
-            for c in probes[qi]:
-                for f in sorted(_glob.glob(os.path.join(
-                        self.index_dir, "vectors", f"cluster={int(c)}", "*.parquet"))):
-                    t = _pq.read_table(f, columns=["vec_id", "embedding"])
-                    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                    m = _normalize(_batch_mat(t))
-                    ids_all.append(ids)
-                    sims_all.append(m @ q[qi])
-            if not ids_all:
+            ids_l = [ids for part in parts for (pq_, ids, _) in part if pq_ == qi]
+            sims_l = [sims for part in parts for (pq_, _, sims) in part if pq_ == qi]
+            if not ids_l:
                 continue
-            ids = np.concatenate(ids_all)
-            sims = np.concatenate(sims_all)
+            ids = np.concatenate(ids_l)
+            sims = np.concatenate(sims_l)
             idx = np.lexsort((ids, -sims))[: min(k, len(ids))]
-            for rank, j in enumerate(idx, start=1):
-                rows.append(
-                    (qi, rank, int(ids[j]), int(e6(np.array([sims[j]]))[0]))
-                )
-        return pd.DataFrame(rows, columns=["qid", "rank", "vec_id", "sim_e6"]).astype(
-            "int64"
-        )
+            rows.append(pd.DataFrame({
+                "qid": np.full(len(idx), qi, np.int64),
+                "rank": np.arange(1, len(idx) + 1, dtype=np.int64),
+                "vec_id": ids[idx],
+                "sim_e6": e6(sims[idx]),
+            }))
+        if not rows:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ["qid", "rank", "vec_id", "sim_e6"]}
+            )
+        return pd.concat(rows, ignore_index=True).astype("int64")
+
+    def close(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

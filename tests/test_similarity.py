@@ -113,3 +113,43 @@ def test_persisted_ivf_matches_inmemory(tmp_path, emb_ds, emb_rows):
     assert got.equals(inmem.astype("int64"))
     # idempotent rebuild: marker short-circuits
     assert build_ivf_index(emb_ds, idx, nlist=8) == meta
+    reader.close()
+
+
+def test_persisted_ivf_reads_only_probed_clusters(tmp_path, emb_ds, emb_rows):
+    """Destructive spy: delete the parquet of every NON-probed cluster
+    before the first search — if the actors touched them the search
+    would crash, so success proves non-probed clusters are never read.
+    Then delete the PROBED clusters' parquet too and search again —
+    identical results prove repeated queries hit the in-actor cache and
+    never re-read parquet."""
+    import shutil
+
+    import numpy as np
+
+    from information_retrieval_images_ray.pipelines.similarity import (
+        IVFIndexReader,
+        _normalize,
+        build_ivf_index,
+    )
+
+    queries = np.stack(
+        [np.asarray(emb_rows[i]["embedding"], np.float64) for i in (0, 30)]
+    )
+    idx = str(tmp_path / "ivf_spy")
+    build_ivf_index(emb_ds, idx, nlist=8)
+    cent = np.load(f"{idx}/centroids.npy")
+    q = _normalize(queries)
+    probes = set(np.argsort(-(q @ cent.T), axis=1)[:, :2].flatten().tolist())
+    non_probed = [c for c in range(len(cent)) if c not in probes]
+    assert non_probed, "test needs at least one non-probed cluster"
+    for c in non_probed:
+        shutil.rmtree(f"{idx}/vectors/cluster={c}")
+    reader = IVFIndexReader(idx, num_actors=3)
+    first = reader.search(queries, k=10, nprobe=2)
+    assert len(first) == 20
+    for c in probes:
+        shutil.rmtree(f"{idx}/vectors/cluster={c}")
+    second = reader.search(queries, k=10, nprobe=2)
+    assert second.equals(first)
+    reader.close()
