@@ -81,7 +81,7 @@ def bench_code_corpus(num_cpus: int, n_docs: int) -> dict:
 
     from information_retrieval_images_ray.corpus import write_corpus
     from information_retrieval_images_ray.pipelines.build import build_index
-    from information_retrieval_images_ray.pipelines.query import IndexReader, QueryScorer
+    from information_retrieval_images_ray.pipelines.query import IndexReader
     from information_retrieval_images_ray.sources.corpus_source import (
         assign_dense_doc_ids,
         corpus_files,
@@ -156,20 +156,22 @@ def bench_code_corpus(num_cpus: int, n_docs: int) -> dict:
     lat_arr = np.array(lat)
     timings["query_battery_serial"] = float(lat_arr.sum())
 
-    # batch throughput through the actor pool
+    # batch throughput through the SHARD-PARTITIONED actor pool
+    # (pipelines/serving.py): each actor loads only its shard subset
+    # (startup O(index/N)), the router does one df exchange + one
+    # scatter-gather for the whole battery. Bitwise rank/score
+    # identical to the serial reader (tests/test_serving.py). Timed
+    # end-to-end INCLUDING actor startup — "fresh pool answers 200
+    # queries". (The prior map_batches(QueryScorer) form spent ~4 s of
+    # fixed Ray Data pipeline + whole-index-per-actor startup, which
+    # is what halved round-2 pool QPS.)
+    from information_retrieval_images_ray.pipelines.serving import ShardedQueryService
+
     t0 = time.perf_counter()
-    n_hits = (
-        ray.data.from_items(battery)
-        .map_batches(
-            QueryScorer,
-            fn_constructor_kwargs={"index_dir": index_dir, "k": 10, "algo": "bmw"},
-            batch_format="pandas",
-            batch_size=32,
-            concurrency=max(2, num_cpus // 4),
-        )
-        .count()
-    )
+    svc = ShardedQueryService(index_dir, num_actors=max(2, num_cpus // 4))
+    n_hits = len(svc.topk(battery, k=10, algo="bmw"))
     timings["query_battery_pool"] = time.perf_counter() - t0
+    svc.shutdown()
 
     build_sec = timings["index_build"]
     return {

@@ -115,6 +115,11 @@ class IndexBuildConfig(dict):
         # CPU — at cluster scale the build is storage-bandwidth-bound,
         # so fewer bytes written/read is the scaling lever.
         compression="zstd",
+        # dedup=True: content-level dedup at INITIAL build (the
+        # reference's UNIQUE(md5) ingest constraint, db.py:32, which
+        # round 2 only enforced on extend): one doc per distinct
+        # content sha256 (min doc_id wins) survives into the index.
+        dedup=False,
     )
 
     def __init__(self, **kw):
@@ -148,17 +153,86 @@ def build_index(
     termstats_dir = os.path.join(index_dir, "termstats")
     hot_path = os.path.join(index_dir, "hot_terms.json")
 
+    # ---- phase: dedup keep-set (optional, BEFORE tokenize) ------------------
+    # Content dedup at build time (cfg["dedup"]): a thin pre-pass maps
+    # the corpus to (sha256-hex, doc_id) rows, one Min-aggregate
+    # groupby on the digest picks the survivor per distinct content
+    # (combiner-backed: dup-heavy content never concentrates full rows
+    # in one task — only its min id), and the surviving id set is
+    # broadcast to a searchsorted filter in front of the tokenizer.
+    # Costs one extra content-column scan; everything downstream
+    # (stats, termstats, segments, docmeta, compaction, extend) sees a
+    # docterms checkpoint that simply never contained the dups. For
+    # corpora whose id set outgrows a broadcast, swap in a Bloom
+    # filter here (same seam as extend_index's keep set).
+    keep_ids = None
+    keep_dir = os.path.join(index_dir, "dedup_keep")
+    if cfg["dedup"]:
+        if not man.is_done("dedup", fp):
+            _t = time.perf_counter()
+            _clean(keep_dir)
+            import hashlib as _hashlib
+
+            from ray.data.aggregate import Min as _Min
+
+            def sha_rows(batch: pa.Table) -> pa.Table:
+                hx = [
+                    _hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+                    for t in batch["content"].to_pylist()
+                ]
+                return pa.table(
+                    {
+                        "sha": pa.array(hx, pa.string()),
+                        "doc_id": batch["doc_id"].cast(pa.uint64()),
+                    }
+                )
+
+            (
+                source.map_batches(sha_rows, batch_format="pyarrow")
+                .groupby("sha")
+                .aggregate(_Min("doc_id", alias_name="doc_id"))
+                .write_parquet(keep_dir)
+            )
+            man.mark_done(
+                "dedup", input_fingerprint=fp, n_kept=_parquet_rows(keep_dir),
+                duration_s=round(time.perf_counter() - _t, 3),
+            )
+        if not man.is_done("docterms", fp):
+            import pyarrow.dataset as _pads
+
+            kd = _pads.dataset(keep_dir, format="parquet")
+            keep_ids = (
+                np.sort(kd.to_table(columns=["doc_id"])["doc_id"]
+                        .to_numpy().astype(np.uint64))
+                if kd.count_rows()
+                else np.empty(0, dtype=np.uint64)
+            )
+
     # ---- phase: docterms (tokenize + content hash + stage) ------------------
     if not man.is_done("docterms", fp):
         _t = time.perf_counter()
         _clean(docterms_dir)
+        src = source
+        if keep_ids is not None:
+            arr = keep_ids
+
+            def keep_only(batch: pa.Table) -> pa.Table:
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                if len(arr) == 0:
+                    return batch.filter(pa.array(np.zeros(len(ids), bool)))
+                pos = np.searchsorted(arr, ids)
+                pos_c = np.minimum(pos, len(arr) - 1)
+                mask = (pos < len(arr)) & (arr[pos_c] == ids)
+                return batch.filter(pa.array(mask))
+
+            src = source.map_batches(keep_only, batch_format="pyarrow")
         # STATELESS task pool: the tokenizer is module-level compiled
         # regex, so tasks scale elastically with the cluster (an
         # autoscaling actor pool with min=1 never ramps up for short
         # stages; actor pools are reserved for stages with expensive
         # per-worker state, e.g. the QueryScorer's index shards)
         stage = TokenizeStage(tokenizer=cfg["tokenizer"])
-        source.map_batches(
+        src.map_batches(
             stage,
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -836,6 +910,13 @@ def _encode_segments(
 
         st = st.map_batches(only_pending, batch_format="pyarrow")
 
+    if hot_terms:
+        import pyarrow.compute as pc
+
+        hot_arr = pa.array(sorted(hot_terms), pa.string())
+    else:
+        hot_arr = None
+
     def tag_bucket(batch: pa.Table) -> pa.Table:
         shard = batch["shard"].combine_chunks().cast(pa.int32())
         terms = batch["term"].to_pandas()
@@ -843,52 +924,42 @@ def _encode_segments(
             pd.util.hash_pandas_object(terms, index=False).to_numpy()
             % np.uint64(nbuckets)
         ).astype(np.int32)
-        return pa.table(
-            {
-                "term": batch["term"],
-                "doc_id": batch["doc_id"],
-                "tf": batch["tf"],
-                "dl": batch["dl"],
-                "shard": shard,
-                "bucket": pa.array(bucket, pa.int32()),
-            }
-        )
+        cols = {
+            "term": batch["term"],
+            "doc_id": batch["doc_id"],
+            "tf": batch["tf"],
+            "dl": batch["dl"],
+            "shard": shard,
+            "bucket": pa.array(bucket, pa.int32()),
+        }
+        if hot_arr is not None:
+            # salt = -1 for cold terms (whole bucket in one encode
+            # group, exactly the unsalted grouping), doc_id % factor
+            # for hot terms (no single encode task sees a hot term's
+            # whole per-shard posting)
+            salt = np.full(batch.num_rows, -1, np.int32)
+            hot_mask = pc.is_in(batch["term"], value_set=hot_arr).to_numpy(
+                zero_copy_only=False
+            )
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            salt[hot_mask] = (ids[hot_mask] % np.uint64(salt_factor)).astype(np.int32)
+            cols["salt"] = pa.array(salt, pa.int32())
+        return pa.table(cols)
 
     base = st.map_batches(tag_bucket, batch_format="pyarrow", batch_size=None)
-    if hot_terms:
-        import pyarrow.compute as pc
-
-        # NB: the cold + hot branches each re-execute the
-        # read->explode->tag chain (Ray Data has no DAG sharing across
-        # branches; measured: pinning the tagged stream with
-        # .materialize() is SLOWER than the re-read — object-store
-        # residency + copy costs more than a second parquet scan).
-        # Salting therefore costs ~2x the explode work and only pays
-        # off when a single (shard, term) group would exceed task
-        # memory — i.e. shard doc spans in the 10^8+ range. Callers
-        # size hot_df_threshold accordingly (bench.py keeps it off).
-
-        hot_arr = pa.array(sorted(hot_terms), pa.string())
-
-        def cold_part(b: pa.Table) -> pa.Table:
-            return b.filter(pc.invert(pc.is_in(b["term"], value_set=hot_arr)))
-
-        def hot_part(b: pa.Table) -> pa.Table:
-            return _with_salt(
-                b.filter(pc.is_in(b["term"], value_set=hot_arr)), salt_factor
-            )
-
-        cold_seg = (
-            base.map_batches(cold_part, batch_format="pyarrow")
-            .groupby(["shard", "bucket"])
-            .map_groups(
-                make_encode_bucket(avgdl, params, cfg["block_size"]),
-                batch_format="pandas",
-            )
-        )
-        hot_seg = (
-            base.map_batches(hot_part, batch_format="pyarrow")
-            .groupby(["shard", "bucket", "salt"])
+    if hot_arr is not None:
+        # ONE pass, two exchanges: every term (cold salt=-1, hot
+        # salted) goes groupby(shard,bucket,salt) -> per-term
+        # sub-postings -> groupby(shard,bucket) -> blocked merge.
+        # The second exchange moves ENCODED bytes (~index size), not
+        # raw exploded postings; the old design instead ran the whole
+        # read->explode->tag chain twice (cold + hot filter branches —
+        # Ray Data has no DAG sharing) plus a third exchange, which
+        # measured ~4x slower on the salted flagship build. Output is
+        # byte-identical to the unsalted encode (the merge re-blocks
+        # from scratch; tests/test_build_query.py::test_salting_equivalence).
+        return (
+            base.groupby(["shard", "bucket", "salt"])
             .map_groups(encode_sub, batch_format="pandas")
             .groupby(["shard", "bucket"])
             .map_groups(
@@ -896,7 +967,6 @@ def _encode_segments(
                 batch_format="pandas",
             )
         )
-        return cold_seg.union(hot_seg)
     return base.groupby(["shard", "bucket"]).map_groups(
         make_encode_bucket(avgdl, params, cfg["block_size"]),
         batch_format="pandas",
@@ -918,9 +988,3 @@ def _parquet_rows(path: str) -> int:
         pq.read_metadata(f).num_rows
         for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )
-
-
-def _with_salt(batch: pa.Table, salt_factor: int) -> pa.Table:
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    salt = (ids % np.uint64(salt_factor)).astype(np.int32)
-    return batch.append_column("salt", pa.array(salt, pa.int32()))

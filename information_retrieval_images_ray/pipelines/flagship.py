@@ -200,14 +200,59 @@ def run_bm25_queries_delta_dedup(
     return _run_battery(index_dir, queries, k, algo)
 
 
+def run_bm25_queries_dedup_build(
+    sf_dir: str, queries=BM25_QUERIES, k: int = 10, algo: str = "bmw"
+) -> pd.DataFrame:
+    """Initial build with ``dedup=True`` over a corpus where every doc
+    arrives TWICE (full documents table + a doc_id-shifted copy) — the
+    reference's UNIQUE(md5) ingest constraint (db.py:32) enforced at
+    initial build, not just on extend. One doc per distinct content
+    (min doc_id) survives, so the oracle is BM25 over
+    ``SELECT min(doc_id), text ... GROUP BY text`` of the doubled
+    corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # shift by span (max id + 1), not row count — collision-free even
+    # for sparse id spaces; single-column scan, driver holds a scalar
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    span = int(pa.compute.max(ids["doc_id"]).as_py()) + 1
+    index_dir = documents_index_dir(sf_dir, variant=f"dedup-build-{span}")
+    ds = read_documents_table(sf_dir)
+
+    def shift_ids(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.compute.add(batch["doc_id"].cast(pa.uint64()), pa.scalar(span, pa.uint64())),
+        )
+
+    doubled = ds.union(ds.map_batches(shift_ids, batch_format="pyarrow"))
+    build_index(
+        doubled,
+        index_dir,
+        source_files=[f"{sf_dir}/documents.parquet"],
+        tokenizer="simple",
+        num_shards=NUM_SHARDS,
+        hot_df_threshold=HOT_DF_THRESHOLD,
+        salt_factor=SALT_FACTOR,
+        dedup=True,
+    )
+    return _run_battery(index_dir, queries, k, algo)
+
+
 def _run_battery(index_dir: str, queries, k: int, algo: str) -> pd.DataFrame:
     import numpy as np
+    import ray
     import ray.data
 
+    # load the index once, share it with the pool via the object store
+    # (zero-copy per actor; see QueryScorer.reader_ref)
+    reader_ref = ray.put(IndexReader(index_dir))
     qds = ray.data.from_items(list(queries))
     out = qds.map_batches(
         QueryScorer,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "algo": algo},
+        fn_constructor_kwargs={"reader_ref": reader_ref, "k": k, "algo": algo},
         batch_format="pandas",
         concurrency=2,
     ).to_pandas()

@@ -525,10 +525,32 @@ class QueryScorer:
     Usage: ``queries_ds.map_batches(QueryScorer,
     fn_constructor_kwargs={"index_dir": ..., "k": 10},
     batch_format="pandas", concurrency=N)``.
+
+    ``reader_ref`` (an ``ray.ObjectRef`` of an already-loaded
+    ``IndexReader``, from ``ray.put(IndexReader(index_dir))``; the
+    caller must keep the ref alive until the pool finishes) makes
+    pool startup O(1)
+    per actor instead of each actor re-reading + re-decompressing the
+    whole index from parquet: the driver (or any one task) loads once,
+    ``ray.put``s it, and every actor gets zero-copy plasma-backed
+    views of the numpy/Arrow state — one physical copy per NODE, which
+    is exactly the cluster-scale layout (each node's object store
+    holds the index once, all its scorer actors share it).
     """
 
-    def __init__(self, index_dir: str, k: int = 10, algo: str = "taat"):
-        self.reader = IndexReader(index_dir)
+    def __init__(
+        self,
+        index_dir: str | None = None,
+        k: int = 10,
+        algo: str = "taat",
+        reader_ref=None,
+    ):
+        if reader_ref is not None:
+            import ray as _ray
+
+            self.reader = _ray.get(reader_ref)
+        else:
+            self.reader = IndexReader(index_dir)
         self.k = k
         self.algo = algo
 

@@ -158,22 +158,24 @@ def assign_dense_doc_ids(
         keys = pc.binary_join_element_wise(*parts, sep)
         return batch.append_column("_sort_key", keys)
 
-    # 1. ONE storage read total: key the corpus and pin it (spillable)
-    #    — the boundary sample, sizing pass and rank shuffle below all
-    #    consume the pinned copy from the object store. (Previously
-    #    count(), the key sample and the tag pass each re-read the
-    #    source from storage: 3 extra scans of fixed, non-CPU-scaling
-    #    time that dominated scaling efficiency once the CPU work got
-    #    fast. A distributed sort materializes this much data anyway.)
-    keyed = ds.map_batches(make_key, batch_format="pyarrow", batch_size=None).materialize()
+    # The content column never travels more than once: the boundary
+    # sample (2) and the sizing pass (3) run over KEY-COLUMN-ONLY
+    # scans (projection pushdown to parquet: ~1% of corpus bytes),
+    # and only the final rank shuffle (4) reads full rows. The
+    # round-2 design instead .materialize()d the whole keyed corpus —
+    # content included — pinning 2x corpus bytes in the object store
+    # and turning the build into a plasma/spill-bandwidth benchmark;
+    # two cheap key scans beat one full-corpus pin.
+    keys_only = ds.select_columns(list(key_cols))
 
-    # 2. boundaries from a seeded sample of the PINNED keys. Boundary
+    # 2. boundaries from a seeded sample of the keys. Boundary
     #    placement only balances partition sizes — final ids are exact
     #    global ranks regardless of where the cuts land.
-    n_rows = keyed.count()  # metadata-only on a materialized dataset
+    n_rows = ds.count()  # metadata-only for parquet sources
     sample = (
-        keyed.select_columns(["_sort_key"])
-        .random_sample(min(1.0, 20_000 / max(1, n_rows)), seed=42)
+        keys_only.random_sample(min(1.0, 20_000 / max(1, n_rows)), seed=42)
+        .map_batches(make_key, batch_format="pyarrow")
+        .select_columns(["_sort_key"])
     )
     keys = sorted(r["_sort_key"] for r in sample.take_all())
     if not keys:
@@ -190,18 +192,18 @@ def assign_dense_doc_ids(
         pid = np.searchsorted(bounds_arr, k, side="right").astype(np.int32)
         return batch.append_column("_pid", pa.array(pid, pa.int32()))
 
-    tagged = keyed.map_batches(tag, batch_format="pyarrow", batch_size=None)
-
-    # 3. partition sizes via per-batch partials (pre-aggregated combiner)
+    # 3. partition sizes via per-batch partials (pre-aggregated
+    #    combiner) over the key-only scan — fused key+tag+count in one
+    #    map so no intermediate ever holds the full key table
     def partial_counts(batch: pa.Table) -> pa.Table:
-        pid, cnt = np.unique(batch["_pid"].to_numpy(), return_counts=True)
+        pids = tag(make_key(batch))["_pid"].to_numpy()
+        pid, cnt = np.unique(pids, return_counts=True)
         return pa.table({"_pid": pa.array(pid, pa.int32()), "n": pa.array(cnt, pa.int64())})
 
     from ray.data.aggregate import Sum
 
     sizes = (
-        tagged.select_columns(["_pid"])
-        .map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
+        keys_only.map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
         .groupby("_pid")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
@@ -213,7 +215,13 @@ def assign_dense_doc_ids(
     offsets = np.cumsum(offsets)
     offset_map = {p: int(offsets[p]) + int(start_id) for p in range(num_partitions)}
 
-    # 4. the one shuffle: per-partition sort + enumerate
+    # 4. the one full-width pass + the one shuffle: key+tag fused,
+    #    then per-partition sort + enumerate
+    def key_and_tag(batch: pa.Table) -> pa.Table:
+        return tag(make_key(batch))
+
+    tagged = ds.map_batches(key_and_tag, batch_format="pyarrow", batch_size=None)
+
     def enumerate_group(g: pd.DataFrame) -> pd.DataFrame:
         pid = int(g["_pid"].iloc[0])
         sort_cols = ["_sort_key"] + (["content"] if "content" in g.columns else [])

@@ -209,6 +209,47 @@ def test_duplicate_and_empty_docs(built_index, fixture_spec):
     assert len(vals) == 3 and len(set(vals)) == 1
 
 
+def test_dedup_build_equals_plain_build_of_distinct(tmp_path):
+    """build_index(dedup=True) over a corpus containing a full
+    duplicate copy (fresh ids) equals a plain build of the distinct
+    corpus — the reference's UNIQUE(md5) ingest constraint (db.py:32)
+    enforced at initial build."""
+    import pyarrow as pa
+    import ray.data
+
+    texts = [f"alpha beta doc{i} gamma delta" for i in range(30)]
+    dup = tmp_path / "dup"
+    dup.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(list(range(30)) + list(range(100, 130)), pa.uint64()),
+            "content": texts + texts,
+        }),
+        str(dup / "p.parquet"),
+    )
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(30), pa.uint64()), "content": texts}),
+        str(plain / "p.parquet"),
+    )
+    idx_d = str(tmp_path / "idx_d")
+    idx_p = str(tmp_path / "idx_p")
+    s_d = build_index(
+        ray.data.read_parquet(str(dup)), idx_d,
+        source_files=[str(dup / "p.parquet")], num_shards=2, dedup=True,
+    )
+    s_p = build_index(
+        ray.data.read_parquet(str(plain)), idx_p,
+        source_files=[str(plain / "p.parquet")], num_shards=2,
+    )
+    assert s_d["n_docs"] == s_p["n_docs"] == 30
+    assert s_d["doc_id_span"] == s_p["doc_id_span"] == 30
+    r_d, r_p = IndexReader(idx_d), IndexReader(idx_p)
+    for q in ("alpha", "doc5", "beta doc17 gamma"):
+        assert r_d.search_bmw(q, 40) == r_p.search_bmw(q, 40), q
+
+
 def test_degenerate_corpora(tmp_path):
     """Single-doc and all-empty-content corpora build and query
     cleanly (no postings -> no hits, never an exception)."""

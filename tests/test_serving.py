@@ -50,6 +50,34 @@ def test_sharded_service_rank_identical(served_index, num_actors):
         svc.shutdown()
 
 
+def test_shared_reader_pool_rank_identical(served_index):
+    """The throughput batch path — QueryScorer pool sharing ONE
+    ray.put() IndexReader across actors (zero-copy plasma views) —
+    must be bitwise score-identical to the serial whole-index reader."""
+    import ray
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.query import QueryScorer
+
+    reader = IndexReader(served_index)
+    reader_ref = ray.put(reader)
+    out = (
+        ray.data.from_items(QUERIES)
+        .map_batches(
+            QueryScorer,
+            fn_constructor_kwargs={"reader_ref": reader_ref, "k": 10, "algo": "bmw"},
+            batch_format="pandas",
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    for q in QUERIES:
+        got = out[out["qid"] == q["qid"]].sort_values("rank")
+        want = reader.search_bmw(q["query"], 10)
+        assert list(got["doc_id"]) == [d for d, _ in want], q
+        assert list(got["score"]) == [s for _, s in want], q
+
+
 def test_subset_reader_only_loads_owned_shards(served_index):
     sub = IndexReader(served_index, shards=[1, 3])
     assert sub.shards[0] is None and sub.shards[2] is None
