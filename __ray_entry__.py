@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # content-level dedup on extend: a delta of re-sent content is
         # skipped entirely, so the index equals the plain full build
         "q_bm25_delta_dedup": lambda sf: flagship.run_bm25_queries_delta_dedup(sf, k=10, algo="bmw"),
+        # content dedup wired into the INITIAL build (dedup=True):
+        # every doc sent twice, one survivor per distinct content
+        "q_bm25_dedup_build": lambda sf: flagship.run_bm25_queries_dedup_build(sf, k=10, algo="bmw"),
         "q_bm25_compacted": lambda sf: flagship.run_bm25_queries_compacted(sf, k=10, algo="bmw"),
         "q_index_segments": lambda sf: flagship.segment_summary(sf),
         "q_term_stats": lambda sf: analysis.term_stats(docs(sf)),
@@ -127,7 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_multimodal_decode": lambda sf: multimodal.decode_pipeline(
             multimodal.make_binary_corpus(docs(sf))
         ).drop_columns(["payload"]),
-        "q_multimodal_features": lambda sf: multimodal.feature_pipeline(
+        "q_multimodal_features": lambda sf: multimodal.feature_table(
             multimodal.make_binary_corpus(docs(sf))
         ),
         "q_multimodal_resize": lambda sf: multimodal.resize_pipeline(
@@ -159,7 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL
 
 
-def _bm25_cte_body(doc_filter: str = "TRUE", ranked_where: str = "") -> str:
+def _bm25_cte_body(
+    doc_filter: str = "TRUE", ranked_where: str = "", docs_sql: str | None = None
+) -> str:
     """Shared WITH-body: frozen query battery -> tokenized corpus ->
     tf/df/dl/stats -> BM25 ``scored`` -> ``ranked``. Reused by the
     top-k, delta, MAP and overlap oracles.
@@ -167,7 +172,8 @@ def _bm25_cte_body(doc_filter: str = "TRUE", ranked_where: str = "") -> str:
     ``doc_filter`` restricts the CORPUS (compaction semantics: stats
     recomputed over survivors); ``ranked_where`` filters only the
     ranked candidates (tombstone semantics: full-corpus stats, deleted
-    docs excluded from results)."""
+    docs excluded from results); ``docs_sql`` replaces the corpus CTE
+    entirely (dedup-build semantics: survivors of content dedup)."""
     from information_retrieval_images_ray.functions.tokenizer import tokenize_simple
     from information_retrieval_images_ray.pipelines.flagship import BM25_QUERIES
 
@@ -176,8 +182,9 @@ def _bm25_cte_body(doc_filter: str = "TRUE", ranked_where: str = "") -> str:
         for t in sorted(set(tokenize_simple(q["query"]))):
             vals.append(f"({q['qid']}, '{t}')")
     values = ", ".join(vals)
+    docs_cte = docs_sql or f"SELECT doc_id, text FROM documents WHERE {doc_filter}"
     return f"""queries(qid, term) AS (VALUES {values}),
-docs AS (SELECT doc_id, text FROM documents WHERE {doc_filter}),
+docs AS ({docs_cte}),
 tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM docs),
 tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, CAST(len({TOK_SQL}) AS DOUBLE) AS dl FROM docs),
@@ -378,6 +385,14 @@ def oracle_sql() -> dict[str, str]:
         # every top-k before ranking (the tombstone contract)
         "q_bm25_deleted": _bm25_sql(ranked_where="WHERE doc_id % 7 <> 0"),
         "q_bm25_delta_dedup": _bm25_sql(),  # re-sent delta fully skipped
+        # dedup at initial build: corpus = documents + a doc_id-shifted
+        # full copy; one doc per distinct text survives (min doc_id)
+        "q_bm25_dedup_build": _bm25_sql(docs_sql="""
+SELECT min(doc_id) AS doc_id, text FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text FROM documents
+) GROUP BY text"""),
         # compacted: the index IS a fresh build of the filtered corpus
         "q_bm25_compacted": _bm25_sql(doc_filter="doc_id % 7 <> 0"),
         "q_map_at_k": _map_at_k_sql(),
@@ -495,6 +510,34 @@ SELECT doc_id, md5(text) AS payload_md5,
        CAST(strlen(text) // 97 % 97 + 16 AS BIGINT) AS height,
        CAST(3 AS BIGINT) AS channels
 FROM documents
+""",
+        # byte-chunk means of the utf-8 payload (np.array_split
+        # semantics: first n%8 chunks get the extra byte; empty
+        # payload -> the single zero byte), mirrored over
+        # hex(encode(text)) byte extraction
+        "q_multimodal_features": """
+WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  greatest(octet_length(encode(text)), 1) AS n
+           FROM documents),
+b AS (SELECT doc_id, n, u.i AS p,
+        CASE WHEN length(hx) = 0 THEN 0
+             ELSE CAST(concat('0x', substr(hx, CAST(2*u.i + 1 AS INT), 2)) AS INT) END AS byte
+      FROM d CROSS JOIN LATERAL unnest(range(0, n)) AS u(i)),
+ch AS (SELECT doc_id, byte,
+         CASE WHEN p < (n % 8) * (n // 8 + 1) THEN p // (n // 8 + 1)
+              ELSE (n % 8) + (p - (n % 8) * (n // 8 + 1)) // greatest(n // 8, 1) END AS c
+       FROM b),
+m AS (SELECT doc_id, c, avg(byte * 1.0) AS mu FROM ch GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(FLOOR(coalesce(max(CASE WHEN c=0 THEN mu END), 0)*1000000 + 0.5) AS BIGINT) AS f0_e6,
+  CAST(FLOOR(coalesce(max(CASE WHEN c=1 THEN mu END), 0)*1000000 + 0.5) AS BIGINT) AS f1_e6,
+  CAST(FLOOR(coalesce(max(CASE WHEN c=2 THEN mu END), 0)*1000000 + 0.5) AS BIGINT) AS f2_e6,
+  CAST(FLOOR(coalesce(max(CASE WHEN c=3 THEN mu END), 0)*1000000 + 0.5) AS BIGINT) AS f3_e6,
+  CAST(FLOOR(coalesce(max(CASE WHEN c=4 THEN mu END), 0)*1000000 + 0.5) AS BIGINT) AS f4_e6,
+  CAST(FLOOR(coalesce(max(CASE WHEN c=5 THEN mu END), 0)*1000000 + 0.5) AS BIGINT) AS f5_e6,
+  CAST(FLOOR(coalesce(max(CASE WHEN c=6 THEN mu END), 0)*1000000 + 0.5) AS BIGINT) AS f6_e6,
+  CAST(FLOOR(coalesce(max(CASE WHEN c=7 THEN mu END), 0)*1000000 + 0.5) AS BIGINT) AS f7_e6
+FROM m GROUP BY doc_id
 """,
         "q_multimodal_resize": """
 WITH d AS (SELECT doc_id, strlen(text) AS n FROM documents),

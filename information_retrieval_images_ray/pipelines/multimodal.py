@@ -119,6 +119,25 @@ def feature_pipeline(ds: ray.data.Dataset, batch_size: int = 32) -> ray.data.Dat
     )
 
 
+def feature_table(ds: ray.data.Dataset, batch_size: int = 32) -> ray.data.Dataset:
+    """``feature_pipeline`` with the 8-dim vector exploded into
+    fixed-point BIGINT columns (f0_e6..f7_e6) — the SQL-checkable
+    surface of the feature stub (byte-chunk means are exactly
+    expressible over hex(encode(text)) in DuckDB, so this closes the
+    oracle gap the list<float> column left open)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        feats = batch["feature"].combine_chunks()
+        m = feats.flatten().to_numpy(zero_copy_only=False).reshape(len(feats), -1)
+        e6 = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        cols = {"doc_id": batch["doc_id"]}
+        for j in range(m.shape[1]):
+            cols[f"f{j}_e6"] = pa.array(e6[:, j], pa.int64())
+        return pa.table(cols)
+
+    return feature_pipeline(ds, batch_size).map_batches(explode, batch_format="pyarrow")
+
+
 class ResizeStage:
     """Actor-pool resize stub: fit the (fake-)decoded dimensions inside
     ``target`` px preserving aspect ratio — the Ray-side plumbing of an
