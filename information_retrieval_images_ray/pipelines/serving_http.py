@@ -13,6 +13,14 @@ POST /reset-db over FastAPI) re-expressed as a dependency-free stdlib
   POST /delete        {"doc_ids": [int, ...]} -> tombstone count
                       (reference delete_record, vector_db.py:54-58;
                       actors re-sync tombstones on the next /search)
+  POST /extend        {"docs": [{"content": str, ...meta}, ...],
+                       "skip_existing_content": bool=false}
+                      -> {"added": n, "n_docs": total} (reference's
+                      POST /label-images ingest, server.py:46-63:
+                      push new content through the pipeline over HTTP;
+                      delta_id is the content hash, so re-POSTing the
+                      same payload is an idempotent no-op — the
+                      md5-presence skip at request granularity)
 
 Design notes, deliberately NOT the reference's shape where the
 reference got it wrong: the heavy state (index shards) lives in the
@@ -101,6 +109,11 @@ class IndexHTTPServer:
 
                         n_del = delete_docs(outer.index_dir, req.get("doc_ids", []))
                         self._json(200, {"tombstoned": n_del})
+                    elif self.path == "/extend":
+                        self._json(200, outer.extend(
+                            req.get("docs", []),
+                            bool(req.get("skip_existing_content", False)),
+                        ))
                     else:
                         self._json(404, {"error": "unknown route"})
                 except Exception as e:
@@ -127,6 +140,56 @@ class IndexHTTPServer:
                     if key not in r:
                         r[key] = val
         return rows
+
+    def extend(self, docs: list[dict], skip_existing_content: bool = False) -> dict:
+        """Append new docs over HTTP (reference POST /label-images):
+        ids assigned after the current span, delta built through the
+        normal ``extend_index`` path, then the actor pool is swapped
+        for one that owns the new shards. ``delta_id`` is the content
+        hash, so the same payload extends at most once; the Ray delta
+        job runs under ``_lock`` (searches queue behind the extend —
+        the single-router form of a rolling index update)."""
+        import hashlib
+        import json as _json
+        import os
+
+        import ray.data
+
+        from .build import extend_index
+
+        if not docs:
+            return {"added": 0, "error": "no docs"}
+        with self._lock:
+            with open(os.path.join(self.index_dir, "stats.json")) as f:
+                before = _json.load(f)
+            span = before["doc_id_span"]
+            delta_id = hashlib.sha256(
+                "\x00".join((d.get("content") or "") for d in docs).encode("utf-8")
+            ).hexdigest()[:16]
+            rows = [
+                {
+                    "doc_id": span + i,
+                    "content": d.get("content") or "",
+                    "repo": str(d.get("repo") or "http"),
+                    "path": str(d.get("path") or f"http_{delta_id}_{i}.txt"),
+                    "commit": str(d.get("commit") or ""),
+                    "lang": str(d.get("lang") or ""),
+                }
+                for i, d in enumerate(docs)
+            ]
+            stats = extend_index(
+                ray.data.from_items(rows),
+                self.index_dir,
+                delta_id=delta_id,
+                skip_existing_content=skip_existing_content,
+            )
+            added = int(stats["n_docs"]) - int(before["n_docs"])
+            if added:
+                num = max(1, len(self.service.actors))
+                old = self.service
+                self.service = ShardedQueryService(self.index_dir, num_actors=num)
+                old.shutdown()
+        return {"added": added, "n_docs": int(stats["n_docs"])}
 
     def _hydrate(self, doc_ids: list[int]) -> list[dict]:
         df = hydrate_hits(pd.DataFrame({"doc_id": doc_ids}), self.index_dir)

@@ -76,6 +76,28 @@ def test_delete_visible_on_next_search(server):
     assert victim not in {h["doc_id"] for h in hits2}
 
 
+def test_extend_over_http_roundtrip(server):
+    """POST /extend (reference POST /label-images): new content pushed
+    over HTTP becomes searchable, and re-POSTing the same payload is an
+    idempotent no-op (content-hash delta_id)."""
+    srv, _ = server
+    payload = {"docs": [
+        {"content": "qqxtoken alpha bravo fresh doc over http", "lang": "en"},
+        {"content": "another qqxtoken document sent via the wire", "lang": "en"},
+    ]}
+    _, before = _req(srv.port, "/stats")
+    status, out = _req(srv.port, "/extend", payload)
+    assert status == 200 and out["added"] == 2
+    assert out["n_docs"] == before["n_docs"] + 2
+    _, hits = _req(srv.port, "/search", {"query": "qqxtoken", "limit": 5})
+    assert len(hits) == 2
+    assert {h["doc_id"] for h in hits} == {before["doc_id_span"], before["doc_id_span"] + 1}
+    # idempotent re-send: same delta_id, nothing appended
+    status, again = _req(srv.port, "/extend", payload)
+    assert status == 200 and again["added"] == 0
+    assert again["n_docs"] == out["n_docs"]
+
+
 def test_concurrent_searches_and_delete(server):
     """ThreadingHTTPServer + the pool-swap lock: concurrent searches
     racing a delete all succeed (or at worst retry-level errors never
