@@ -86,6 +86,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = np.stack([np.asarray(t.loc[i, "embedding"], np.float64) for i in (0, 1, 2)])
         return fn(embs(sf_dir), q, **kw)
 
+    def ivf_persisted(sf_dir):
+        """Build-once persisted IVF index (cluster-partitioned parquet)
+        searched through the cluster-actor pool; probed exhaustively
+        (nprobe == nlist) so the brute-force top-k SQL is exact."""
+        import hashlib
+        import os
+
+        from information_retrieval_images_ray.state.manifest import fingerprint_file
+
+        src = f"{sf_dir}/embeddings.parquet"
+        key = hashlib.sha256(
+            f"{os.path.abspath(src)}|{fingerprint_file(src)}|nlist8".encode()
+        ).hexdigest()[:16]
+        idx = os.path.join("/tmp", "iri_ray_cache", f"ivfidx_{key}")
+        similarity.build_ivf_index(embs(sf_dir), idx, nlist=8)
+
+        def run(ds_unused, q, k):
+            reader = similarity.IVFIndexReader(idx, num_actors=2)
+            try:
+                return reader.search(q, k=k, nprobe=8)
+            finally:
+                reader.close()
+
+        return knn_queries(sf_dir, run, k=10)
+
     return {
         # -- inverted index / BM25 (S1-S6, M1-M5, T1-T2, A7, G-extras) -------
         "q_bm25_topk": lambda sf: flagship.run_bm25_queries(sf, k=10, algo="bmw"),
@@ -126,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search (T1 vector analogue) --------------------------
         "q_knn_cosine": lambda sf: knn_queries(sf, similarity.knn_bruteforce, k=10),
         "q_ivf_knn": lambda sf: knn_queries(sf, similarity.ivf_knn, k=10, nlist=8, nprobe=8),
+        # persisted IVF index served by the cluster-actor pool
+        "q_ivf_persisted": lambda sf: ivf_persisted(sf),
         # -- multimodal plumbing (A1/A2 stub seam) ---------------------------
         "q_multimodal_decode": lambda sf: multimodal.decode_pipeline(
             multimodal.make_binary_corpus(docs(sf))
@@ -503,6 +530,7 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
         # nprobe (the ANN regime) is covered by the pytest
         # recall-vs-exact assertion instead.
         "q_ivf_knn": _KNN_SQL,
+        "q_ivf_persisted": _KNN_SQL,
         "q_multimodal_decode": """
 SELECT doc_id, md5(text) AS payload_md5,
        CAST(strlen(text) AS BIGINT) AS n_bytes,

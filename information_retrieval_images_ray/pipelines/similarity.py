@@ -220,11 +220,18 @@ def _merge_partials(partials: pd.DataFrame, qids, k: int) -> pd.DataFrame:
 
 
 def embedding_near_dups(
-    ds: ray.data.Dataset, threshold: float = 0.95, block_col: str = "label"
+    ds: ray.data.Dataset, threshold: float = 0.95, block_col: str | None = "label"
 ) -> pd.DataFrame:
     """Pairs with cosine >= threshold, blocked by ``block_col`` so the
-    pairwise computation is a per-group gram matrix (at scale the block
-    is an IVF cluster id from ``ivf_assign``)."""
+    pairwise computation is a per-group gram matrix. ``block_col=None``
+    is the no-labels scale path: a coarse IVF quantizer is fit on a
+    sample and each vector's cluster id becomes the block (candidate
+    recall is then approximate at cluster boundaries — the standard
+    ANN-blocked near-dup trade; raise nlist for tighter blocks)."""
+    if block_col is None:
+        cent = fit_centroids(ds, nlist=16)
+        ds = ivf_assign(ds, cent)
+        block_col = "cluster"
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy(np.int64)

@@ -67,6 +67,24 @@ def test_embedding_near_dups_blocked(emb_ds):
     assert (out["doc_a"] < out["doc_b"]).all()
 
 
+def test_embedding_near_dups_auto_blocking(emb_ds, emb_rows):
+    """block_col=None: blocks come from a fitted IVF quantizer instead
+    of a label column. On the clearly-clustered fixture every reported
+    pair must clear the threshold, and within-cluster near-identical
+    pairs must be found."""
+    out = similarity.embedding_near_dups(emb_ds, threshold=0.9, block_col=None)
+    assert len(out) > 0
+    assert (out["sim_e6"] >= 900_000 - 1).all()
+    # verify against exact pairwise cosine: no false positives
+    import numpy as np
+
+    m = np.stack([np.asarray(r["embedding"], np.float64) for r in emb_rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    for _, r in out.iterrows():
+        assert sims[int(r["doc_a"]), int(r["doc_b"])] >= 0.9 - 1e-9
+
+
 def test_multimodal_decode_and_features():
     docs = ray.data.from_items(
         [{"doc_id": i, "text": "x" * (10 + i * 37)} for i in range(20)]
