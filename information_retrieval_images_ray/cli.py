@@ -59,6 +59,7 @@ def cmd_build(args) -> int:
         num_shards=args.shards,
         hot_df_threshold=args.hot_df_threshold,
         salt_factor=args.salt_factor,
+        dedup=args.dedup,
     )
     print(json.dumps(stats))
     return 0
@@ -216,6 +217,11 @@ def make_parser() -> argparse.ArgumentParser:
         dest="assign_ids",
         action="store_false",
         help="corpus already carries dense uint64 doc_id",
+    )
+    b.add_argument(
+        "--dedup",
+        action="store_true",
+        help="content-level dedup at build: one doc per distinct sha256",
     )
     b.set_defaults(func=cmd_build)
 

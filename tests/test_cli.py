@@ -25,6 +25,28 @@ def test_build_creates_index(cli_index, capsys):
     assert os.path.exists(os.path.join(cli_index, "manifest.json"))
 
 
+def test_build_dedup_flag(tmp_path, capsys):
+    """`build --dedup`: a corpus written twice (two identical file
+    sets) indexes each distinct content once."""
+    corpus = str(tmp_path / "corpus")
+    write_corpus(corpus, 40, seed=33, rows_per_file=40)
+    import shutil
+
+    for f in os.listdir(corpus):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(corpus, f), os.path.join(corpus, "copy_" + f))
+    index = str(tmp_path / "index")
+    rc = main(["build", "--corpus", corpus, "--index", index, "--shards", "2", "--dedup"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 80 rows in (every content twice, plus any generator-planted
+    # dups), one survivor per distinct content
+    from information_retrieval_images_ray.corpus import generate_corpus
+
+    distinct = generate_corpus(40, 33).to_pandas()["content"].nunique()
+    assert stats["n_docs"] == distinct
+
+
 def test_query_returns_ranked_hits(cli_index, capsys):
     rc = main(["query", "getUserName", "--index", cli_index, "-k", "5"])
     assert rc == 0
