@@ -49,8 +49,9 @@ N_LATENCY_QUERIES = 200
 # best-of-N attempts within one session: this VM shows ±4x wall-time
 # swings from host co-tenancy (same code, same input measured 7s and
 # 53s forty minutes apart); min-of-N on identical deterministic work
-# is the standard noise-robust estimator
-N_ATTEMPTS = int(os.environ.get("IRI_BENCH_ATTEMPTS", "2"))
+# is the standard noise-robust estimator. 3 attempts (round 3): with 2
+# the recorded minimum still bounced ±60% across same-day invocations.
+N_ATTEMPTS = int(os.environ.get("IRI_BENCH_ATTEMPTS", "3"))
 
 
 def make_query_battery(n: int, seed: int = 7) -> list[dict]:
