@@ -60,6 +60,15 @@ def build_documents_index(sf_dir: str) -> str:
         num_shards=NUM_SHARDS,
         hot_df_threshold=HOT_DF_THRESHOLD,
         salt_factor=SALT_FACTOR,
+        # sampled hot-term detection (the scale default): the exact df
+        # table is statistics-only — query-time df is the sum of
+        # per-shard df_local and index bytes are identical either way
+        # (salting merge is byte-identical, tested) — so the flagship
+        # comparable doesn't pay a full vocab scan it never reads.
+        # The exact path stays covered: build_index defaults to
+        # exact_termstats=True and every non-flagship pytest build
+        # exercises it.
+        exact_termstats=False,
     )
     return index_dir
 
