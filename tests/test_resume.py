@@ -99,6 +99,51 @@ def test_config_change_invalidates_checkpoints(tmp_path):
     assert man["entries"]["docterms"]["status"] == "done"
 
 
+def test_dedup_build_resumes_after_docterms_crash(tmp_path):
+    """A dedup=True build killed between the dedup keep-set and the
+    docterms phase must, on re-run, reuse the recorded keep set and
+    still produce the deduplicated corpus (not silently re-index the
+    dups)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    texts = [f"res doc{i} words here" for i in range(20)]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(list(range(20)) + list(range(50, 70)), pa.uint64()),
+            "content": texts + texts,
+        }),
+        str(corpus / "p.parquet"),
+    )
+    index_dir = str(tmp_path / "idx")
+    src = [str(corpus / "p.parquet")]
+    stats = build_index(
+        ray.data.read_parquet(str(corpus)), index_dir,
+        source_files=src, num_shards=2, dedup=True,
+    )
+    assert stats["n_docs"] == 20
+    # simulate a crash right after the dedup phase: docterms (and all
+    # downstream phases) vanish, the dedup keep-set entry survives
+    man_path = os.path.join(index_dir, "manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    keep = {k: v for k, v in man["entries"].items() if k == "dedup"}
+    assert keep, "dedup phase must be recorded"
+    man["entries"] = keep
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+    shutil.rmtree(os.path.join(index_dir, "docterms"))
+    os.remove(os.path.join(index_dir, "stats.json"))
+    stats2 = build_index(
+        ray.data.read_parquet(str(corpus)), index_dir,
+        source_files=src, num_shards=2, dedup=True,
+    )
+    assert stats2["n_docs"] == 20  # dups still skipped on resume
+
+
 def test_lineage_metrics_recorded(tmp_path):
     corpus_dir = str(tmp_path / "corpus")
     index_dir = str(tmp_path / "index")
