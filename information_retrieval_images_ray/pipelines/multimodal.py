@@ -21,10 +21,53 @@ zero-copy in the object store.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+
+def parse_image_header(b: bytes) -> tuple[str, int, int, int] | None:
+    """(format, width, height, channels) from real image bytes —
+    PNG / JPEG / GIF header parsing with stdlib struct only (the
+    reference decodes real images, caption_generator.py:10-17; this is
+    the dependency-free metadata half of that decode; pixel decode
+    stays gated on PIL in DecodeStage)."""
+    if len(b) >= 26 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        color_type = b[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+        return "png", w, h, channels
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG: walk segments to SOFn
+        i = 2
+        n = len(b)
+        while i + 9 < n:
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+                i += 2
+                continue
+            if i + 4 > n:
+                return None
+            seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+            # SOF0-SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 10 > n:
+                    return None
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return "jpeg", w, h, b[i + 9]
+            i += 2 + seg_len
+        return None
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h, 3
+    return None
 
 
 def make_binary_corpus(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
@@ -46,23 +89,64 @@ def make_binary_corpus(ds: ray.data.Dataset, text_col: str = "text") -> ray.data
 
 class DecodeStage:
     """Actor-pool decode: payload binary -> (md5, n_bytes, width,
-    height, channels). Fake mode derives dimensions deterministically
-    from the payload length (SQL-parity: width = n%97+16 etc.)."""
+    height, channels).
+
+    - ``decode="fake"`` (default): dimensions derived deterministically
+      from the payload length (SQL-parity: width = n%97+16 etc.) — the
+      oracle-checkable mode for opaque synthetic payloads.
+    - ``decode="real"``: REAL header decode — PNG/JPEG/GIF dimensions +
+      channel count parsed from the bytes (stdlib struct, no image
+      libs; ``parse_image_header``); non-image payloads get format
+      'unknown' and -1 dimensions. Full pixel decode (HxWxC arrays)
+      additionally needs PIL, probed once per actor in __init__ —
+      absent in this container, so ``self.pixels`` stays None and only
+      metadata is emitted (the documented seam boundary).
+    """
 
     def __init__(self, decode: str = "fake"):
         if decode not in ("fake", "real"):
             raise ValueError(decode)
-        if decode == "real":
-            raise NotImplementedError(
-                "real image decode requires PIL/libvips, not present in this "
-                "environment; plug the codec in here (payload bytes -> HxWxC array)"
-            )
         self.decode = decode
+        self.pixels = None
+        if decode == "real":
+            try:  # pragma: no cover - PIL not present in this container
+                from PIL import Image  # noqa: F401
+
+                self.pixels = Image
+            except ImportError:
+                self.pixels = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         md5s = [hashlib.md5(p or b"").hexdigest() for p in payloads]
         n = np.array([len(p or b"") for p in payloads], dtype=np.int64)
+        if self.decode == "real":
+            fmt, ws, hs, cs = [], [], [], []
+            for p in payloads:
+                parsed = parse_image_header(p or b"")
+                if parsed is None:
+                    fmt.append("unknown")
+                    ws.append(-1)
+                    hs.append(-1)
+                    cs.append(-1)
+                else:
+                    f, w, h, c = parsed
+                    fmt.append(f)
+                    ws.append(int(w))
+                    hs.append(int(h))
+                    cs.append(int(c))
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "payload_md5": pa.array(md5s, pa.string()),
+                    "n_bytes": pa.array(n, pa.int64()),
+                    "format": pa.array(fmt, pa.string()),
+                    "width": pa.array(ws, pa.int64()),
+                    "height": pa.array(hs, pa.int64()),
+                    "channels": pa.array(cs, pa.int64()),
+                    "payload": batch["payload"],
+                }
+            )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

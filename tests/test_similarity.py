@@ -101,9 +101,39 @@ def test_multimodal_decode_and_features():
     assert all(abs(v - ord("x")) < 1e-9 for v in feats["feature"].iloc[0])
 
 
-def test_multimodal_real_decode_is_marked_stub():
-    with pytest.raises(NotImplementedError):
-        multimodal.DecodeStage(decode="real")
+def test_multimodal_real_header_decode():
+    """decode='real' parses REAL image dimensions from PNG/JPEG/GIF
+    bytes (stdlib header parsing — only full pixel decode needs PIL)."""
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + bytes([8, 2, 0, 0, 0]))
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
+            + struct.pack(">HH", 480, 640) + bytes([3]) + b"\x00" * 9)
+    assert multimodal.parse_image_header(png) == ("png", 640, 480, 3)
+    assert multimodal.parse_image_header(gif) == ("gif", 320, 200, 3)
+    assert multimodal.parse_image_header(jpeg) == ("jpeg", 640, 480, 3)
+    assert multimodal.parse_image_header(b"not an image") is None
+
+    blobs = ray.data.from_items([
+        {"doc_id": 0, "payload": png, "kind": "blob"},
+        {"doc_id": 1, "payload": gif, "kind": "blob"},
+        {"doc_id": 2, "payload": jpeg, "kind": "blob"},
+        {"doc_id": 3, "payload": b"opaque bytes", "kind": "blob"},
+    ])
+    out = (
+        multimodal.decode_pipeline(blobs, decode="real")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out["format"]) == ["png", "gif", "jpeg", "unknown"]
+    assert list(out["width"]) == [640, 320, 640, -1]
+    assert list(out["height"]) == [480, 200, 480, -1]
+    assert list(out["channels"]) == [3, 3, 3, -1]
 
 
 def test_persisted_ivf_matches_inmemory(tmp_path, emb_ds, emb_rows):
