@@ -365,6 +365,101 @@ FROM ranked WHERE rnk <= 10
 """
 
 
+def _minhash_sql() -> str:
+    """Exact mirror of minhash_near_dups(threshold=0.5, num_perm=64,
+    bands=16, shingle_n=3, max_group=1024): md5-prefix shingle hashes
+    (hashing.md5_u64), the numpy-uint64 wrap (mod 2^64) inside the
+    permutation h_i(x) = (a_i*x + b_i) mod p — reproduced in HUGEINT —
+    banding on the 4-value signature chunks, the hot-bucket cap, and
+    the signature-agreement Jaccard estimate. Coefficients are read
+    straight off MinHashStage so they can never drift."""
+    from information_retrieval_images_ray.pipelines.dedup import (
+        _MERSENNE,
+        MinHashStage,
+    )
+
+    st = MinHashStage(num_perm=64, shingle_n=3)
+    perms = ", ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(st.a, st.b))
+    )
+    p = int(_MERSENNE)
+    w = 1 << 64
+    return f"""
+WITH perms(i, a, b) AS (VALUES {perms}),
+toks AS (SELECT doc_id, {TOK_SQL} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ts[u.i : u.i + 2], ' ') AS s
+       FROM toks CROSS JOIN LATERAL unnest(range(1, greatest(len(ts) - 1, 1))) AS u(i)),
+xh AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) % {p} AS x
+       FROM sh),
+sigj AS (SELECT doc_id, p.i AS perm,
+          min(CAST(((CAST(p.a AS HUGEINT) * x) % {w} + p.b) % {w} % {p} AS UBIGINT)) AS v
+         FROM xh CROSS JOIN perms p GROUP BY 1, 2),
+-- docs with no shingles (fewer than 3 tokens) keep the sentinel
+-- signature value p, exactly MinHashStage's empty-set default
+sig AS (SELECT d.doc_id, p.i AS perm, coalesce(s.v, CAST({p} AS UBIGINT)) AS v
+        FROM (SELECT doc_id FROM documents) d CROSS JOIN perms p
+        LEFT JOIN sigj s ON s.doc_id = d.doc_id AND s.perm = p.i),
+bands AS (SELECT doc_id, perm // 4 AS band_id, list(v ORDER BY perm) AS chunk
+          FROM sig GROUP BY 1, 2),
+elig AS (SELECT band_id, chunk FROM bands GROUP BY 1, 2 HAVING count(*) <= 1024),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a
+         JOIN bands b ON a.band_id = b.band_id AND a.chunk = b.chunk
+              AND a.doc_id < b.doc_id
+         JOIN elig e ON e.band_id = a.band_id AND e.chunk = a.chunk),
+est AS (SELECT c.doc_a, c.doc_b,
+               avg(CASE WHEN sa.v = sb.v THEN 1.0 ELSE 0.0 END) AS j
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+        GROUP BY 1, 2)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(FLOOR(j * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+FROM est WHERE j >= 0.5
+"""
+
+
+def _simhash_sql() -> str:
+    """Exact mirror of simhash_near_dups(max_hamming=3, max_group=1024):
+    md5-prefix term hashes, per-bit tf-weighted sign sums (sums of
+    int-valued doubles — numpy float64 and SQL BIGINT agree exactly),
+    4x16-bit band blocking with the hot-bucket cap, exact Hamming."""
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS ts FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS w
+       FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY 1, 2),
+th AS (SELECT doc_id, w,
+              CAST(concat('0x', substr(md5(term), 1, 16)) AS UBIGINT) AS h
+       FROM tf),
+acc AS (SELECT doc_id, u.i AS bit,
+         sum(CASE WHEN (h >> u.i) & 1 = 1 THEN w ELSE -w END) AS a
+        FROM th CROSS JOIN unnest(range(0, 64)) AS u(i) GROUP BY 1, 2),
+-- token-less docs fingerprint to 0 (all bits clear), like SimHashStage
+bitset AS (SELECT d.doc_id, u.i AS bit,
+            CASE WHEN coalesce(a.a, 0) > 0 THEN 1 ELSE 0 END AS s
+           FROM (SELECT doc_id FROM documents) d
+           CROSS JOIN unnest(range(0, 64)) AS u(i)
+           LEFT JOIN acc a ON a.doc_id = d.doc_id AND a.bit = u.i),
+band AS (SELECT doc_id, bit // 16 AS band_id,
+          sum(s * (1 << CAST(bit % 16 AS INT))) AS bval
+         FROM bitset GROUP BY 1, 2),
+elig AS (SELECT band_id, bval FROM band GROUP BY 1, 2 HAVING count(*) <= 1024),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a
+         JOIN band b ON a.band_id = b.band_id AND a.bval = b.bval
+              AND a.doc_id < b.doc_id
+         JOIN elig e ON e.band_id = a.band_id AND e.bval = a.bval),
+ham AS (SELECT c.doc_a, c.doc_b, sum(CASE WHEN sa.s <> sb.s THEN 1 ELSE 0 END) AS h
+        FROM cand c
+        JOIN bitset sa ON sa.doc_id = c.doc_a
+        JOIN bitset sb ON sb.doc_id = c.doc_b AND sb.bit = sa.bit
+        GROUP BY 1, 2)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(h AS BIGINT) AS hamming
+FROM ham WHERE h <= 3
+"""
+
+
 def _langid_sql() -> str:
     """Exact mirror of LangIdStage: per-language stopword hit counts,
     argmax with alphabetical preference on ties (python's
@@ -484,6 +579,8 @@ SELECT md5(text) AS content_md5, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
        CAST(count(*) AS BIGINT) AS dup_count
 FROM documents GROUP BY 1
 """,
+        "q_minhash_neardup": _minhash_sql(),
+        "q_simhash_neardup": _simhash_sql(),
         "q_ngram_jaccard": f"""
 WITH toks AS (SELECT doc_id, {TOK_SQL} AS ts FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(ts[u.i : u.i + 4], ' ') AS shingle
@@ -659,8 +756,8 @@ FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.t <= p.t
 GROUP BY 1, 2, 3
 """,
         "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
-        # q_minhash_neardup, q_simhash_neardup, q_multimodal_features:
-        # deliberately no SQL oracle (sketch-based / byte-level
-        # operators not expressible in SQL) -> driver rows-only check;
-        # pytest covers their semantics (recall vs exact, planted dups).
+        # Every queries() key has a SQL oracle. The sketch operators
+        # (minhash/simhash) are exactly mirrorable because their hashes
+        # are md5-prefix ints and their float reductions are sums of
+        # int-valued doubles — see _minhash_sql/_simhash_sql.
     }

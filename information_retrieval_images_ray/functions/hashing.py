@@ -39,6 +39,16 @@ def stable_u64(data: str | bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
 
 
+def md5_u64(data: str | bytes) -> int:
+    """64-bit int from the md5 hex prefix — chosen (like ``_md5_60`` in
+    pipelines/dedup.py) because DuckDB mirrors it EXACTLY:
+    ``CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT)`` — which is
+    what makes the MinHash/SimHash sketches SQL-oracle-checkable."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return int(hashlib.md5(data).hexdigest()[:16], 16)
+
+
 def token_fingerprint(tokens: list[str]) -> str:
     """Document fingerprint = md5 of the normalized token stream.
 

@@ -12,12 +12,14 @@ never on content — the standard web-scale layout:
              candidates -> groupby(pair) -> |intersection| + sizes ->
              Jaccard, all inside the pipeline (nothing corpus-sized
              ever reaches the driver)
-  minhash:   per-doc signature (vectorized perms) -> band rows carrying
-             the signature -> groupby(band, band_hash) -> in-group
-             signature-estimated Jaccard (fraction of agreeing minhash
-             values — the standard scalable verification; an unbiased
-             estimator of true Jaccard with std <= 1/(2*sqrt(num_perm)))
-             -> threshold filter in-group -> pair dedup groupby
+  minhash:   per-doc signature (vectorized perms) -> THIN band rows
+             (band_id, band_hash, doc_id — the signature itself never
+             rides the band exchange) -> groupby(band, band_hash) ->
+             candidate pairs -> pair-dedup groupby -> hash-join the
+             candidates back against the signature table (both sides
+             keyed by doc id) -> signature-estimated Jaccard (fraction
+             of agreeing minhash values — unbiased estimator of true
+             Jaccard with std <= 1/(2*sqrt(num_perm))) -> threshold
   simhash:   64-bit weighted fingerprint -> 4x16-bit band blocking
              (pigeonhole: hamming<=3 pairs share >=1 of 4 bands) -> verify
 
@@ -39,7 +41,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min
 
-from ..functions.hashing import stable_u64
+from ..functions.hashing import md5_u64, stable_u64
 from ..functions.tokenizer import get_tokenizer
 from .analysis import e6
 
@@ -225,10 +227,14 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 class MinHashStage:
     """Per-doc MinHash signature over word-shingle 64-bit hashes.
 
-    num_perm permutations h_i(x) = (a_i*x + b_i) mod p, vectorized as a
-    (num_perm, n_shingles) broadcast — one numpy matmul-shaped op per
-    doc. Coefficients come from a fixed seed: signatures are
-    process-independent.
+    num_perm permutations h_i(x) = (a_i*x + b_i) mod p (numpy uint64
+    arithmetic, i.e. a_i*x + b_i wraps mod 2^64 before the mod-p),
+    vectorized as a (num_perm, n_shingles) broadcast — one numpy
+    matmul-shaped op per doc. Coefficients come from a fixed seed and
+    the shingle hash is the md5-prefix ``md5_u64`` — signatures are
+    process-independent AND reproducible in DuckDB (the
+    q_minhash_neardup oracle mirrors this exact computation, wrap
+    included, via HUGEINT arithmetic).
     """
 
     def __init__(self, num_perm: int = 64, shingle_n: int = 3, tokenizer: str = "simple"):
@@ -243,7 +249,7 @@ class MinHashStage:
         sh = _shingles(self._tok(text or ""), self.shingle_n)
         if not sh:
             return np.full(self.num_perm, int(_MERSENNE), dtype=np.uint64)
-        x = np.array([stable_u64(s) for s in sorted(sh)], dtype=np.uint64) % _MERSENNE
+        x = np.array([md5_u64(s) for s in sorted(sh)], dtype=np.uint64) % _MERSENNE
         with np.errstate(over="ignore"):
             hv = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
         return hv.min(axis=1)
@@ -327,91 +333,204 @@ def minhash_near_dups(
     estimator of true Jaccard with std <= 1/(2*sqrt(num_perm)) — the
     standard web-scale form (Broder 1997; exact set intersection of
     candidate pairs does not distribute, since pair shingle sets would
-    have to be co-shuffled per candidate). Estimation happens INSIDE
-    the band group (each band row carries its doc's full signature, the
-    same shape the SimHash path uses for its fingerprint); only pairs
-    whose estimate clears ``threshold`` leave the group, and a final
-    (doc_a, doc_b) groupby dedups pairs that matched in several bands.
-    The driver sees result pairs only. Exact-Jaccard semantics, when
-    wanted, are ``ngram_jaccard_pairs``.
+    have to be co-shuffled per candidate). The layout keeps the band
+    exchange THIN: band rows carry only (band_id, band_hash, doc_id)
+    — never the signature, which at num_perm=64 x bands=16 would
+    replicate 16x the signature bytes into the widest shuffle of the
+    job. Candidate pairs out of the band buckets are deduped by a
+    (doc_a, doc_b) groupby, then hash-joined back against the
+    signature table (once per side) for the estimate; only pairs whose
+    estimate clears ``threshold`` reach the driver. Exact-Jaccard
+    semantics, when wanted, are ``ngram_jaccard_pairs``.
+
+    The signature dataset is materialized once (it feeds the band
+    stage AND both verify joins — at persistent-index scale this is
+    the parquet signature checkpoint; in-session the object store
+    holds it, ~8*num_perm bytes/doc).
 
     Hot bands are capped: a ``(band, band_hash)`` bucket holding more
     than ``max_group`` docs (a duplicate-heavy corpus puts ALL copies
     of the template in one bucket — O(N^2) pairs in one task) emits a
     sentinel row instead of pairs; the dropped-bucket count rides the
-    final pair aggregate and is logged, never silent (same contract as
+    pair aggregate and is logged, never silent (same contract as
     ngram_jaccard_pairs / winnow_overlap_pairs).
     """
-    sigs = minhash_signatures(ds, num_perm, shingle_n, tokenizer)
+    import pyarrow.compute as pc
+
+    # signatures packed to a fixed-width binary column (8*num_perm
+    # bytes, little-endian u64s): Ray's hash join doesn't carry list
+    # payload columns, and the packed form is smaller anyway
+    def to_bin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sig": pa.array(
+                    [
+                        np.asarray(s, dtype=np.uint64).tobytes()
+                        for s in batch["signature"].to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    sigs = (
+        minhash_signatures(ds, num_perm, shingle_n, tokenizer)
+        .map_batches(to_bin, batch_format="pyarrow")
+        .materialize()
+    )
     rows_per_band = num_perm // bands
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        bid, bh, did, sg = [], [], [], []
-        for doc, sig in zip(batch["doc_id"].to_pylist(), batch["signature"].to_pylist()):
+        bid, bh, did = [], [], []
+        for doc, raw in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
+            sig = np.frombuffer(raw, dtype=np.uint64)
             for b in range(bands):
-                chunk = tuple(sig[b * rows_per_band : (b + 1) * rows_per_band])
+                chunk = tuple(
+                    int(v) for v in sig[b * rows_per_band : (b + 1) * rows_per_band]
+                )
                 bid.append(b)
                 bh.append(stable_u64(repr(chunk)))
                 did.append(doc)
-                sg.append(sig)
         return pa.table(
             {
                 "band_id": pa.array(bid, pa.int32()),
                 "band_hash": pa.array(bh, pa.uint64()),
                 "doc_id": pa.array(did, pa.int64()),
-                "signature": pa.array(sg, pa.list_(pa.uint64())),
             }
         )
 
-    def verify_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy(np.int64)
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(np.unique(g["doc_id"].to_numpy(np.int64)))
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_e6": []}).astype("int64")
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
         if max_group is not None and len(ids) > max_group:
             # sentinel: one (-1, -1) row per dropped hot band bucket
-            return pd.DataFrame(
-                {"doc_a": [-1], "doc_b": [-1], "jaccard_e6": [0]}
-            ).astype("int64")
-        sm = np.stack([np.asarray(s, np.uint64) for s in g["signature"]])
+            return pd.DataFrame({"doc_a": [-1], "doc_b": [-1]}).astype("int64")
         a, b = np.triu_indices(len(ids), k=1)
-        est = (sm[a] == sm[b]).mean(axis=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    # candidate pairs (deduped across bands); materialized so the
+    # sentinel count and the verify branch don't re-run the band stage
+    cand = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_buckets"))
+        .materialize()
+    )
+
+    def only(pred):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pred(b["doc_a"]))
+
+        return fn
+
+    n_dropped = (
+        cand.map_batches(only(lambda c: pc.less(c, 0)), batch_format="pyarrow").count()
+    )
+    if n_dropped:
+        print(f"[minhash_near_dups] {n_dropped} hot band buckets over "
+              f"max_group={max_group} dropped from verification")
+
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+         "jaccard_e6": pd.Series(dtype="int64")}
+    )
+    pairs = cand.map_batches(
+        only(lambda c: pc.greater_equal(c, 0)), batch_format="pyarrow"
+    ).select_columns(["doc_a", "doc_b"])
+    if pairs.count() == 0:
+        return empty
+
+    # verify: attach each side's signature with a union+groupby map-side
+    # join (one hash exchange per side, keyed by the doc id), then a
+    # vectorized agreement fraction inside the second group. The same
+    # tagged-union join shape extend_index uses for its content
+    # anti-join — NOT Dataset.join, whose 2.49 hash-shuffle aggregators
+    # flakily resolve keys against a sibling operator's schema when
+    # several hash exchanges share one session.
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["doc_a"].cast(pa.int64()),
+                "other": b["doc_b"].cast(pa.int64()),
+                "sig_other": pa.array([None] * b.num_rows, pa.binary()),
+                "sig": pa.array([None] * b.num_rows, pa.binary()),
+            }
+        )
+
+    def tag_sigs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["doc_id"].cast(pa.int64()),
+                "other": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+                "sig_other": pa.array([None] * b.num_rows, pa.binary()),
+                "sig": b["sig"],
+            }
+        )
+
+    _empty_a = pa.table(
+        {"key": pa.array([], pa.int64()), "other": pa.array([], pa.int64()),
+         "sig_other": pa.array([], pa.binary()), "sig": pa.array([], pa.binary())}
+    )
+
+    def attach_a(g: pd.DataFrame) -> pa.Table:
+        """Group key = doc_a: re-key every pair row by doc_b, carrying
+        doc_a's signature along as sig_other."""
+        mask = g["other"].to_numpy() < 0
+        sig_rows, pr = g[mask], g[~mask]
+        if len(sig_rows) == 0 or len(pr) == 0:
+            return _empty_a
+        s = sig_rows["sig"].iloc[0]
+        return pa.table(
+            {
+                "key": pa.array(pr["other"].to_numpy(np.int64), pa.int64()),
+                "other": pa.array(pr["key"].to_numpy(np.int64), pa.int64()),
+                "sig_other": pa.array([s] * len(pr), pa.binary()),
+                "sig": pa.array([None] * len(pr), pa.binary()),
+            }
+        )
+
+    def verify_b(g: pd.DataFrame) -> pd.DataFrame:
+        """Group key = doc_b: estimate against doc_b's signature."""
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "jaccard_e6": pd.Series(dtype="int64")}
+        )
+        mask = g["other"].to_numpy() < 0
+        sig_rows, pr = g[mask], g[~mask]
+        if len(sig_rows) == 0 or len(pr) == 0:
+            return empty
+        sb = np.frombuffer(sig_rows["sig"].iloc[0], dtype=np.uint64)
+        ma = np.stack(
+            [np.frombuffer(x, dtype=np.uint64) for x in pr["sig_other"]]
+        )
+        est = (ma == sb[None, :]).mean(axis=1)
         keep = est >= threshold
         return pd.DataFrame(
             {
-                "doc_a": ids[a][keep],
-                "doc_b": ids[b][keep],
+                "doc_a": pr["other"].to_numpy(np.int64)[keep],
+                "doc_b": pr["key"].to_numpy(np.int64)[keep],
                 "jaccard_e6": e6(est[keep]),
             }
         ).astype("int64")
 
+    tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        sigs.map_batches(tag_sigs, batch_format="pyarrow")
+    )
+    with_a = tagged.groupby("key").map_groups(attach_a, batch_format="pandas")
     out = (
-        sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(verify_in_group, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(
-            Min("jaccard_e6", alias_name="jaccard_e6"),
-            Count(alias_name="n_buckets"),
-        )
+        with_a.union(sigs.map_batches(tag_sigs, batch_format="pyarrow"))
+        .groupby("key")
+        .map_groups(verify_b, batch_format="pandas")
         .to_pandas()
     )
     if out.empty:
-        return pd.DataFrame(
-            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
-             "jaccard_e6": pd.Series(dtype="int64")}
-        )
-    sentinel = out["doc_a"] < 0
-    n_dropped = int(out.loc[sentinel, "n_buckets"].sum())
-    if n_dropped:
-        print(f"[minhash_near_dups] {n_dropped} hot band buckets over "
-              f"max_group={max_group} dropped from verification")
+        return empty
     return (
-        out[~sentinel]
-        .drop(columns=["n_buckets"])
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
-        .astype("int64")
+        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype("int64")
     )
 
 
@@ -420,7 +539,12 @@ def minhash_near_dups(
 
 
 class SimHashStage:
-    """64-bit SimHash over term hashes weighted by tf."""
+    """64-bit SimHash over term hashes weighted by tf.
+
+    Term hash is the md5-prefix ``md5_u64`` so the whole fingerprint —
+    and therefore the q_simhash_neardup pair output — is exactly
+    reproducible in DuckDB (the per-bit weighted sums are sums of
+    int-valued float64s, so numpy and SQL agree bit-for-bit)."""
 
     def __init__(self, tokenizer: str = "simple"):
         self._tok = get_tokenizer(tokenizer)
@@ -432,7 +556,7 @@ class SimHashStage:
         tf: dict[str, int] = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1
-        hashes = np.array([stable_u64(t) for t in tf], dtype=np.uint64)
+        hashes = np.array([md5_u64(t) for t in tf], dtype=np.uint64)
         weights = np.array(list(tf.values()), dtype=np.float64)
         bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.float64)
         acc = ((bits * 2 - 1) * weights[:, None]).sum(axis=0)

@@ -50,12 +50,17 @@ def parse_image_header(b: bytes) -> tuple[str, int, int, int] | None:
             if marker == 0xFF:  # fill byte
                 i += 1
                 continue
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            # payload-less markers: SOI, TEM, RSTn — and EOI (D9), which
+            # the walk previously treated as length-prefixed, reading two
+            # garbage bytes as a length and skipping past later SOFs
+            if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
             if i + 4 > n:
                 return None
             seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if seg_len < 2:  # malformed length would misalign the walk
+                return None
             # SOF0-SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 if i + 10 > n:

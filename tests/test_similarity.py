@@ -117,6 +117,14 @@ def test_multimodal_real_header_decode():
     assert multimodal.parse_image_header(gif) == ("gif", 320, 200, 3)
     assert multimodal.parse_image_header(jpeg) == ("jpeg", 640, 480, 3)
     assert multimodal.parse_image_header(b"not an image") is None
+    # payload-less markers (here EOI) before the SOF must be stepped
+    # over, not parsed as length-prefixed segments (which read two
+    # garbage bytes as a length and skip past the SOF)
+    jpeg_stray_eoi = b"\xff\xd8" + b"\xff\xd9" + jpeg[2:]
+    assert multimodal.parse_image_header(jpeg_stray_eoi) == ("jpeg", 640, 480, 3)
+    # a malformed segment length (< 2) aborts instead of misaligning
+    bad_len = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 1) + jpeg[2:]
+    assert multimodal.parse_image_header(bad_len) is None
 
     blobs = ray.data.from_items([
         {"doc_id": 0, "payload": png, "kind": "blob"},
