@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from ..functions.tokenizer import get_tokenizer
 
@@ -93,22 +93,60 @@ def doc_lengths(ds: ray.data.Dataset, tokenizer: str = "simple") -> ray.data.Dat
 
 def corpus_stats(ds: ray.data.Dataset, tokenizer: str = "simple") -> pd.DataFrame:
     """Single-row corpus summary (n_docs, total_tokens, avgdl_e6,
-    vocab_size, max_doc_len)."""
-    dl = doc_lengths(ds, tokenizer)
-    agg = dl.aggregate(
-        Count(alias_name="n_docs"),
-        Sum("doc_len", alias_name="total_tokens"),
-        Mean("doc_len", alias_name="avgdl"),
-        Max("doc_len", alias_name="max_doc_len"),
+    vocab_size, max_doc_len) in ONE corpus scan: the per-batch combiner
+    emits term-df partial rows PLUS one sentinel row (term='' — the
+    tokenizer can never produce an empty token) carrying the batch's
+    doc-count / token-sum / max-len partials. A single term groupby
+    then yields both the vocabulary (group count minus the sentinel)
+    and, via the sentinel group, the doc-level aggregates. Previously
+    this was two full corpus reads (doc_lengths + term_stats.count())."""
+    tok = _tok_fn(tokenizer)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df_c: dict[str, int] = {}
+        nd = tt = mx = 0
+        for text in batch["text"].to_pylist():
+            toks = tok(text or "")
+            nd += 1
+            tt += len(toks)
+            mx = max(mx, len(toks))
+            for t in set(toks):
+                df_c[t] = df_c.get(t, 0) + 1
+        terms = [""] + list(df_c)
+        zeros = [0] * len(df_c)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "nd_p": pa.array([nd] + zeros, pa.int64()),
+                "tt_p": pa.array([tt] + zeros, pa.int64()),
+                "mx_p": pa.array([mx] + zeros, pa.int64()),
+            }
+        )
+
+    grouped = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(
+            Sum("nd_p", alias_name="nd"),
+            Sum("tt_p", alias_name="tt"),
+            Max("mx_p", alias_name="mx"),
+        )
     )
-    vocab = term_stats(ds, tokenizer).count()
+    agg = grouped.aggregate(
+        Count(alias_name="n_groups"),
+        Sum("nd", alias_name="n_docs"),
+        Sum("tt", alias_name="total_tokens"),
+        Max("mx", alias_name="max_doc_len"),
+    )
+    n_docs = int(agg["n_docs"])
+    total = int(agg["total_tokens"])
     return pd.DataFrame(
         [
             {
-                "n_docs": int(agg["n_docs"]),
-                "total_tokens": int(agg["total_tokens"]),
-                "avgdl_e6": int(e6(np.array([agg["total_tokens"] / agg["n_docs"]]))[0]),
-                "vocab_size": int(vocab),
+                "n_docs": n_docs,
+                "total_tokens": total,
+                "avgdl_e6": int(e6(np.array([total / n_docs if n_docs else 0.0]))[0]),
+                "vocab_size": int(agg["n_groups"]) - 1,
                 "max_doc_len": int(agg["max_doc_len"]),
             }
         ]

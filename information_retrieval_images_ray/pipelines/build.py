@@ -6,7 +6,7 @@ and main.py:190-228):
 
   read Parquet corpus
     -> map_batches(TokenizeStage)                 [phase docterms]
-    -> Mean/Sum aggregates                        [phase stats]
+    -> footer stats + doc_len sum                 [phase stats]
     -> partial-count combiner + groupby(bucket)   [phase termstats: df]
     -> per doc-shard: groupby(term[, salt])
          .map_groups(encode) (+ salted merge)     [phase segment:k]
@@ -43,7 +43,7 @@ import time
 import numpy as np
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from ..functions.bm25 import BM25Params
 from ..stages.postings import (
@@ -120,6 +120,13 @@ class IndexBuildConfig(dict):
         # round 2 only enforced on extend): one doc per distinct
         # content sha256 (min doc_id wins) survives into the index.
         dedup=False,
+        # keep-set filter routing: survivor-id sets up to this size
+        # are broadcast as a sorted array (exact); larger sets switch
+        # to a Bloom filter sized for dedup_bloom_fp (no false
+        # negatives — survivors are never dropped; a false positive
+        # keeps a duplicate, expected leak logged + in the manifest).
+        dedup_broadcast_max=50_000_000,
+        dedup_bloom_fp=1e-4,
     )
 
     def __init__(self, **kw):
@@ -162,10 +169,12 @@ def build_index(
     # broadcast to a searchsorted filter in front of the tokenizer.
     # Costs one extra content-column scan; everything downstream
     # (stats, termstats, segments, docmeta, compaction, extend) sees a
-    # docterms checkpoint that simply never contained the dups. For
-    # corpora whose id set outgrows a broadcast, swap in a Bloom
-    # filter here (same seam as extend_index's keep set).
-    keep_ids = None
+    # docterms checkpoint that simply never contained the dups. When
+    # the survivor-id set outgrows ``dedup_broadcast_max`` the filter
+    # becomes a Bloom filter (functions/bloom.py) — survivors can
+    # never be dropped (no false negatives); a false positive keeps a
+    # duplicate at ~dedup_bloom_fp, logged and manifest-recorded.
+    keep_filter = None  # ("exact", sorted ids) | ("bloom", BloomFilter)
     keep_dir = os.path.join(index_dir, "dedup_keep")
     if cfg["dedup"]:
         if not man.is_done("dedup", fp):
@@ -201,28 +210,46 @@ def build_index(
             import pyarrow.dataset as _pads
 
             kd = _pads.dataset(keep_dir, format="parquet")
-            keep_ids = (
-                np.sort(kd.to_table(columns=["doc_id"])["doc_id"]
-                        .to_numpy().astype(np.uint64))
-                if kd.count_rows()
-                else np.empty(0, dtype=np.uint64)
-            )
+            n_kept = kd.count_rows()
+            if n_kept > cfg["dedup_broadcast_max"]:
+                from ..functions.bloom import BloomFilter
+
+                bf = BloomFilter(n_kept, fp_rate=cfg["dedup_bloom_fp"])
+                # streamed off the keep table in batches — at cluster
+                # scale this becomes a distributed build (per-task
+                # partial filters OR-merged), same seam
+                for b in kd.to_batches(columns=["doc_id"]):
+                    bf.add_many(b["doc_id"].to_numpy().astype(np.uint64))
+                print(f"[dedup] keep-set of {n_kept} ids exceeds "
+                      f"dedup_broadcast_max={cfg['dedup_broadcast_max']}; "
+                      f"using Bloom filter (m={bf.m} bits, k={bf.k}, "
+                      f"expected_fp={bf.expected_fp():.2e})")
+                keep_filter = ("bloom", bf)
+            elif n_kept:
+                keep_filter = ("exact", np.sort(
+                    kd.to_table(columns=["doc_id"])["doc_id"]
+                    .to_numpy().astype(np.uint64)))
+            else:
+                keep_filter = ("exact", np.empty(0, dtype=np.uint64))
 
     # ---- phase: docterms (tokenize + content hash + stage) ------------------
     if not man.is_done("docterms", fp):
         _t = time.perf_counter()
         _clean(docterms_dir)
         src = source
-        if keep_ids is not None:
-            arr = keep_ids
+        if keep_filter is not None:
+            kind, state = keep_filter
 
             def keep_only(batch: pa.Table) -> pa.Table:
                 ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-                if len(arr) == 0:
-                    return batch.filter(pa.array(np.zeros(len(ids), bool)))
-                pos = np.searchsorted(arr, ids)
-                pos_c = np.minimum(pos, len(arr) - 1)
-                mask = (pos < len(arr)) & (arr[pos_c] == ids)
+                if kind == "bloom":
+                    mask = state.contains(ids)
+                elif len(state) == 0:
+                    mask = np.zeros(len(ids), bool)
+                else:
+                    pos = np.searchsorted(state, ids)
+                    pos_c = np.minimum(pos, len(state) - 1)
+                    mask = (pos < len(state)) & (state[pos_c] == ids)
                 return batch.filter(pa.array(mask))
 
             src = source.map_batches(keep_only, batch_format="pyarrow")
@@ -240,8 +267,13 @@ def build_index(
         rows = _parquet_rows(docterms_dir)  # metadata-only, no Ray execution
         from ..state.manifest import fingerprint_file
 
+        dd_info = {}
+        if keep_filter is not None:
+            dd_info["dedup_filter"] = keep_filter[0]
+            if keep_filter[0] == "bloom":
+                dd_info["dedup_expected_fp"] = keep_filter[1].expected_fp()
         man.mark_done(
-            "docterms", input_fingerprint=fp, rows=rows,
+            "docterms", input_fingerprint=fp, rows=rows, **dd_info,
             duration_s=round(time.perf_counter() - _t, 3),
             # abspath-keyed per-file fingerprints: the delta-extend
             # path diffs new corpus files against this record
@@ -253,18 +285,56 @@ def build_index(
     # ---- phase: stats -------------------------------------------------------
     if not man.is_done("stats", fp):
         _t = time.perf_counter()
-        dt = ray.data.read_parquet(docterms_dir, columns=["doc_id", "doc_len"])
-        agg = dt.aggregate(
-            Count(alias_name="n_docs"),
-            Mean("doc_len", alias_name="avgdl"),
-            Sum("doc_len", alias_name="total_tokens"),
-            Max("doc_id", alias_name="max_doc_id"),
-        )
-        span = int(agg["max_doc_id"]) + 1
+        # n_docs and max_doc_id come from the parquet FOOTERS the
+        # docterms write just produced (row counts + per-row-group
+        # column statistics — no data read, no Ray job); total_tokens
+        # is a driver-side single-column read while the corpus is
+        # below DRIVER_STATS_MAX_DOCS (~160MB of int64 at the cap).
+        # Past the cap — or if a writer omitted statistics — the
+        # distributed aggregate takes over. This removes a fixed ~1s
+        # Ray job from the build's non-scaling critical path.
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        n_docs = 0
+        max_id = -1
+        footer_ok = True
+        files = sorted(_glob.glob(os.path.join(docterms_dir, "*.parquet")))
+        for f in files:
+            md = _pq.read_metadata(f)
+            n_docs += md.num_rows
+            idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+            for rg in range(md.num_row_groups):
+                st_ = md.row_group(rg).column(idx).statistics
+                if st_ is None or not st_.has_min_max:
+                    footer_ok = False
+                    break
+                max_id = max(max_id, int(st_.max))
+            if not footer_ok:
+                break
+        DRIVER_STATS_MAX_DOCS = 20_000_000
+        if footer_ok and 0 < n_docs <= DRIVER_STATS_MAX_DOCS:
+            import pyarrow.dataset as _pads
+
+            tbl = _pads.dataset(files, format="parquet").to_table(columns=["doc_len"])
+            total_tokens = int(pa.compute.sum(tbl["doc_len"]).as_py() or 0)
+        else:
+            dt = ray.data.read_parquet(docterms_dir, columns=["doc_id", "doc_len"])
+            agg = dt.aggregate(
+                Count(alias_name="n_docs"),
+                Sum("doc_len", alias_name="total_tokens"),
+                Max("doc_id", alias_name="max_doc_id"),
+            )
+            n_docs = int(agg["n_docs"])
+            total_tokens = int(agg["total_tokens"])
+            max_id = int(agg["max_doc_id"])
+        span = max_id + 1
+        avgdl = total_tokens / n_docs if n_docs else 0.0
         stats = {
-            "n_docs": int(agg["n_docs"]),
-            "avgdl": float(agg["avgdl"]),
-            "total_tokens": int(agg["total_tokens"]),
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "total_tokens": total_tokens,
             "doc_id_span": span,
             "num_shards": cfg["num_shards"],
             "shard_bounds": shard_bounds(span, cfg["num_shards"]),
@@ -277,7 +347,7 @@ def build_index(
             # rescales old shards' bounds by avgdl_now/encode_avgdl to
             # keep them safe upper bounds (see extend_index)
             "encode_avgdl": {
-                str(s): float(agg["avgdl"]) for s in range(cfg["num_shards"])
+                str(s): avgdl for s in range(cfg["num_shards"])
             },
         }
         with open(stats_path + ".tmp", "w") as f:

@@ -21,6 +21,16 @@ POST /reset-db over FastAPI) re-expressed as a dependency-free stdlib
                       delta_id is the content hash, so re-POSTing the
                       same payload is an idempotent no-op — the
                       md5-presence skip at request granularity)
+  POST /reset         {"confirm": true} -> {"removed": dir} — delete
+                      the whole index and retire the pool (reference
+                      POST /reset-db, server.py:104-116, which calls a
+                      nonexistent delete_entire_db — here it works and
+                      is guarded exactly like the CLI's `reset --yes`:
+                      without confirm it's a 400 no-op). Afterwards
+                      /search//stats return 409 until a rebuilt index
+                      is re-attached via POST /reload (or a restart).
+  POST /reload        {} -> {"n_docs": n} — attach a (re)built index
+                      from disk by swapping in a fresh actor pool.
 
 Design notes, deliberately NOT the reference's shape where the
 reference got it wrong: the heavy state (index shards) lives in the
@@ -54,7 +64,10 @@ class IndexHTTPServer:
     def __init__(self, index_dir: str, num_actors: int = 2, port: int = 0,
                  host: str = "127.0.0.1"):
         self.index_dir = index_dir
-        self.service = ShardedQueryService(index_dir, num_actors=num_actors)
+        self.num_actors = num_actors
+        self.service: ShardedQueryService | None = ShardedQueryService(
+            index_dir, num_actors=num_actors
+        )
         self._tomb_count = -1  # force tombstone sync on first search
         # ThreadingHTTPServer handles requests concurrently; the
         # tombstone re-sync swaps the shared actor pool, so it must be
@@ -77,10 +90,17 @@ class IndexHTTPServer:
 
             def do_GET(self):
                 try:
+                    if outer.service is None and self.path != "/stats":
+                        self._json(409, {"error": "index was reset; rebuild and POST /reload"})
+                        return
                     if self.path == "/stats":
                         import os
 
-                        with open(os.path.join(outer.index_dir, "stats.json")) as f:
+                        path = os.path.join(outer.index_dir, "stats.json")
+                        if not os.path.exists(path):
+                            self._json(404, {"error": "no index (reset or never built)"})
+                            return
+                        with open(path) as f:
                             self._json(200, json.load(f))
                     elif self.path.startswith("/doc/"):
                         doc_id = int(self.path.split("/doc/", 1)[1])
@@ -98,6 +118,18 @@ class IndexHTTPServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/reset":
+                        if not req.get("confirm") is True:
+                            self._json(400, {"error": "refusing: pass {\"confirm\": true}"})
+                        else:
+                            self._json(200, outer.reset())
+                        return
+                    if self.path == "/reload":
+                        self._json(200, outer.reload())
+                        return
+                    if outer.service is None:
+                        self._json(409, {"error": "index was reset; rebuild and POST /reload"})
+                        return
                     if self.path == "/search":
                         self._json(200, outer.search(
                             req.get("query", ""),
@@ -186,9 +218,12 @@ class IndexHTTPServer:
             added = int(stats["n_docs"]) - int(before["n_docs"])
             if added:
                 num = max(1, len(self.service.actors))
-                old = self.service
+                # swap by DROPPING the old pool's handles (no ray.kill):
+                # a search mid-flight on the old pool holds its own
+                # reference, so its actors drain naturally and are
+                # GC-collected once the last in-flight call returns —
+                # killing them here turned concurrent searches into 500s
                 self.service = ShardedQueryService(self.index_dir, num_actors=num)
-                old.shutdown()
         return {"added": added, "n_docs": int(stats["n_docs"])}
 
     def _hydrate(self, doc_ids: list[int]) -> list[dict]:
@@ -218,21 +253,47 @@ class IndexHTTPServer:
         search: when the tombstone set grew, the actor pool is
         replaced (cheap at actor count; at scale this is a rolling
         restart or a tombstone broadcast). Caller holds ``_lock``.
-        The NEW pool is built before the old one is shut down so
-        concurrent searches always see a valid service; a search that
-        is already mid-flight on the old pool when its actors die
-        surfaces as a retryable 500 — the standard rolling-restart
-        contract."""
+        The old pool is not killed — its handles are dropped, so a
+        search already mid-flight on it completes normally and the
+        actors are GC-collected afterwards (a graceful rolling swap
+        with no 500 window)."""
         from .maintenance import load_tombstones
 
         n = len(load_tombstones(self.index_dir))
         if n != self._tomb_count:
             if self._tomb_count >= 0:
                 num = max(1, len(self.service.actors))
-                old = self.service
                 self.service = ShardedQueryService(self.index_dir, num_actors=num)
-                old.shutdown()
             self._tomb_count = n
+
+    def reset(self) -> dict:
+        """Delete the index and retire the pool (reference POST
+        /reset-db). Confirmation is enforced by the HTTP handler; the
+        old pool's handles are dropped (in-flight searches drain)."""
+        import shutil
+
+        with self._lock:
+            self.service = None
+            self._tomb_count = -1
+            shutil.rmtree(self.index_dir, ignore_errors=True)
+        return {"removed": self.index_dir}
+
+    def reload(self) -> dict:
+        """(Re-)attach the on-disk index with a fresh actor pool —
+        used after an out-of-band rebuild following /reset."""
+        import os
+
+        with self._lock:
+            if not os.path.exists(os.path.join(self.index_dir, "stats.json")):
+                raise FileNotFoundError(f"{self.index_dir} has no built index")
+            self.service = ShardedQueryService(
+                self.index_dir, num_actors=self.num_actors
+            )
+            self._tomb_count = -1
+        import json as _json
+
+        with open(os.path.join(self.index_dir, "stats.json")) as f:
+            return {"n_docs": int(_json.load(f)["n_docs"])}
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> "IndexHTTPServer":
@@ -245,4 +306,5 @@ class IndexHTTPServer:
         self.httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)
-        self.service.shutdown()
+        if self.service is not None:
+            self.service.shutdown()

@@ -271,24 +271,34 @@ def build_ivf_index(
     """Persist an IVF index: centroids (small npy) + the embedding
     table partitioned by cluster id (hive `cluster=` dirs, so a probe
     reads ONLY its clusters' files — the vector-side mirror of the
-    text index's shard pruning). Idempotent via a marker file."""
+    text index's shard pruning). Idempotent via the ivf.json marker,
+    and CRASH-SAFE: everything is built in a sibling ``.build`` dir
+    and renamed into place atomically — a killed or concurrent build
+    can never leave marker-less partial cluster files that a rebuild's
+    write_parquet would append duplicate vectors next to."""
     import json as _json
+    import shutil as _shutil
 
     meta_path = os.path.join(index_dir, "ivf.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             return _json.load(f)
-    os.makedirs(index_dir, exist_ok=True)
+    build_dir = index_dir.rstrip("/") + ".build"
+    if os.path.exists(build_dir):  # leftover from a crashed build
+        _shutil.rmtree(build_dir)
+    os.makedirs(build_dir)
     cent = fit_centroids(ds, nlist, id_col=id_col)
-    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    np.save(os.path.join(build_dir, "centroids.npy"), cent)
     assigned = ivf_assign(ds, cent)
     assigned.write_parquet(
-        os.path.join(index_dir, "vectors"), partition_cols=["cluster"]
+        os.path.join(build_dir, "vectors"), partition_cols=["cluster"]
     )
     meta = {"nlist": int(len(cent)), "dim": int(cent.shape[1])}
-    with open(meta_path + ".tmp", "w") as f:
+    with open(os.path.join(build_dir, "ivf.json"), "w") as f:
         _json.dump(meta, f)
-    os.replace(meta_path + ".tmp", meta_path)
+    if os.path.exists(index_dir):  # marker-less partial from an old crash
+        _shutil.rmtree(index_dir)
+    os.rename(build_dir, index_dir)
     return meta
 
 

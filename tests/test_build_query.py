@@ -249,6 +249,28 @@ def test_dedup_build_equals_plain_build_of_distinct(tmp_path):
     for q in ("alpha", "doc5", "beta doc17 gamma"):
         assert r_d.search_bmw(q, 40) == r_p.search_bmw(q, 40), q
 
+    # Bloom keep-set path: a forced-tiny broadcast cap routes the same
+    # dedup build through the Bloom filter (manifest-recorded, expected
+    # FP logged) and the index still equals the plain distinct build —
+    # no false negatives by construction; at this corpus size and
+    # fp=1e-4 no false positive occurs (deterministic hashing).
+    import json as _json
+
+    idx_b = str(tmp_path / "idx_b")
+    s_b = build_index(
+        ray.data.read_parquet(str(dup)), idx_b,
+        source_files=[str(dup / "p.parquet")], num_shards=2, dedup=True,
+        dedup_broadcast_max=1,
+    )
+    assert s_b["n_docs"] == 30 and s_b["doc_id_span"] == 30
+    with open(f"{idx_b}/manifest.json") as f:
+        entry = _json.load(f)["entries"]["docterms"]
+    assert entry["dedup_filter"] == "bloom"
+    assert 0 < entry["dedup_expected_fp"] <= 1e-3
+    r_b = IndexReader(idx_b)
+    for q in ("alpha", "doc5", "beta doc17 gamma"):
+        assert r_b.search_bmw(q, 40) == r_p.search_bmw(q, 40), q
+
 
 def test_degenerate_corpora(tmp_path):
     """Single-doc and all-empty-content corpora build and query

@@ -98,6 +98,50 @@ def test_extend_over_http_roundtrip(server):
     assert again["n_docs"] == out["n_docs"]
 
 
+def test_reset_and_reload_roundtrip(tmp_path):
+    """POST /reset (guarded like the CLI's `reset --yes`) deletes the
+    index; /search and /stats then refuse; an out-of-band rebuild plus
+    POST /reload brings the server back. Reference surface: POST
+    /reset-db (server.py:104-116) — which calls a nonexistent method;
+    this one round-trips."""
+    rng = np.random.default_rng(33)
+    rows = [
+        {
+            "doc_id": i,
+            "content": " ".join(WORDS[j] for j in rng.integers(0, len(WORDS), 30)),
+            "lang": "en",
+        }
+        for i in range(30)
+    ]
+    idx = str(tmp_path / "residx")
+    build_index(ray.data.from_items(rows), idx, tokenizer="simple", num_shards=2)
+    srv = IndexHTTPServer(idx, num_actors=2, port=0).start()
+    try:
+        # unconfirmed reset refuses (400) and leaves the index serving
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(srv.port, "/reset", {})
+        assert ei.value.code == 400
+        status, _ = _req(srv.port, "/search", {"query": "alpha", "limit": 3})
+        assert status == 200
+        # confirmed reset deletes and retires the pool
+        status, out = _req(srv.port, "/reset", {"confirm": True})
+        assert status == 200 and out["removed"] == idx
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(srv.port, "/stats")
+        assert ei.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(srv.port, "/search", {"query": "alpha"})
+        assert ei.value.code == 409
+        # out-of-band rebuild, then /reload re-attaches a fresh pool
+        build_index(ray.data.from_items(rows), idx, tokenizer="simple", num_shards=2)
+        status, out = _req(srv.port, "/reload", {})
+        assert status == 200 and out["n_docs"] == 30
+        status, hits = _req(srv.port, "/search", {"query": "alpha", "limit": 3})
+        assert status == 200 and len(hits) > 0
+    finally:
+        srv.close()
+
+
 def test_concurrent_searches_and_delete(server):
     """ThreadingHTTPServer + the pool-swap lock: concurrent searches
     racing a delete all succeed (or at worst retry-level errors never

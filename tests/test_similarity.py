@@ -172,6 +172,37 @@ def test_persisted_ivf_matches_inmemory(tmp_path, emb_ds, emb_rows):
     reader.close()
 
 
+def test_persisted_ivf_build_crash_safe(tmp_path, emb_ds, emb_rows):
+    """A crashed build (marker-less partial cluster files) must not
+    leak duplicate vectors into the rebuilt index: the rebuild replaces
+    the partial dir atomically instead of write_parquet appending next
+    to it. Top-k after the rebuild equals brute force exactly (a
+    duplicated vector would surface as a repeated vec_id)."""
+    import os
+
+    from information_retrieval_images_ray.pipelines.similarity import (
+        IVFIndexReader,
+        build_ivf_index,
+        knn_bruteforce,
+    )
+
+    idx = str(tmp_path / "ivf_crash")
+    # simulate the crash: a full build with the marker removed
+    build_ivf_index(emb_ds, idx, nlist=8)
+    os.remove(os.path.join(idx, "ivf.json"))
+    # rebuild over the partial leftovers
+    meta = build_ivf_index(emb_ds, idx, nlist=8)
+    assert meta["nlist"] == 8 and os.path.exists(os.path.join(idx, "ivf.json"))
+    queries = np.stack(
+        [np.asarray(emb_rows[i]["embedding"], np.float64) for i in (0, 30)]
+    )
+    reader = IVFIndexReader(idx)
+    got = reader.search(queries, k=10, nprobe=8)
+    assert got.equals(knn_bruteforce(emb_ds, queries, k=10).astype("int64"))
+    assert got.groupby("qid")["vec_id"].nunique().eq(10).all()  # no dup rows
+    reader.close()
+
+
 def test_persisted_ivf_reads_only_probed_clusters(tmp_path, emb_ds, emb_rows):
     """Destructive spy: delete the parquet of every NON-probed cluster
     before the first search — if the actors touched them the search
