@@ -42,7 +42,19 @@ def tf_partial(tf, doc_len, avgdl: float, params: BM25Params = BM25Params()):
 
 
 def rank_topk(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, float]]:
-    """Deterministic top-k with (score desc, doc_id asc) tie-break."""
+    """Deterministic top-k with (score desc, doc_id asc) tie-break.
+
+    O(n) selection first (np.partition for the k-th largest score, keep
+    only candidates >= it — ties at the boundary survive, so the
+    doc_id-asc tie-break is decided by the final lexsort over the small
+    candidate set, byte-identical to lexsorting everything). A full
+    lexsort of every scored doc was the dominant cost of stopword-ish
+    queries on large corpora (1.6M scored docs -> top-10)."""
+    n = len(doc_ids)
+    if n > 4 * k and n > 1024:
+        kth = np.partition(scores, n - k)[n - k]  # k-th largest score
+        sel = scores >= kth
+        doc_ids, scores = doc_ids[sel], scores[sel]
     order = np.lexsort((doc_ids, -scores))[:k]
     return [(int(doc_ids[i]), float(scores[i])) for i in order]
 

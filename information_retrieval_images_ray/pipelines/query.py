@@ -82,7 +82,8 @@ class _ShardIndex:
     O(vocab) python-object heap.
     """
 
-    def __init__(self, seg_dir: str, lo: int, hi: int, bound_scale: float = 1.0):
+    def __init__(self, seg_dir: str, lo: int, hi: int, bound_scale: float = 1.0,
+                 cache_bytes: int = 0):
         """``bound_scale`` >= 1 rescales the stored block-max tables:
         after a delta extend raises global avgdl, bounds encoded with
         the older (smaller) avgdl are no longer upper bounds of the
@@ -93,7 +94,21 @@ class _ShardIndex:
         only pruning is affected, and only by slack."""
         import pyarrow.compute as pc
 
+        from collections import OrderedDict
+
         self.lo, self.hi = lo, hi
+        # LRU of per-term decoded BM25 partials, keyed by row index:
+        # (doc_ids int64, tf_partial float64) — everything score-side
+        # except the per-query idf weight, which just scales it. Zipf
+        # query workloads hit the same hot terms constantly; decoding
+        # a 1M-posting stopword list (varbyte + cumsum + gather) per
+        # query was the large-corpus latency floor. Budget-bounded
+        # (``cache_bytes`` total per shard), evicts least-recent.
+        self._part_cache: "OrderedDict[int, tuple[np.ndarray, np.ndarray]]" = (
+            OrderedDict()
+        )
+        self._cache_budget = int(cache_bytes)
+        self._cache_used = 0
         scale = max(1.0, float(bound_scale))
         files = sorted(glob.glob(os.path.join(seg_dir, "*.parquet")))
         if not files:
@@ -166,6 +181,50 @@ class _ShardIndex:
         i = self.find(term)
         return None if i is None else self.row(i)
 
+    def partial(
+        self, i: int, block_size: int, doc_len: np.ndarray,
+        k1: float, b: float, avgdl: float,
+    ) -> tuple[np.ndarray | None, np.ndarray]:
+        """BM25 tf-partial for row ``i`` — decoded+computed once and
+        LRU-cached within the budget. The partial depends only on
+        index-constant state (tf, dl, avgdl, k1, b); a query's
+        contribution is ``idf_weight * partial``.
+
+        Returns ``(doc_ids int64, partial)`` sparse form, or
+        ``(None, dense partial over the shard span)`` for stopword-like
+        terms (df >= half the span): the dense form replaces the
+        accumulator's 1-per-posting scatter-add with one SIMD array add
+        AND is smaller (span*8 < df*16 bytes). Non-matching docs hold
+        0.0, which is never a valid BM25 partial (tf>=1 => partial>0),
+        so they can't leak into results."""
+        hit = self._part_cache.get(i)
+        if hit is not None:
+            self._part_cache.move_to_end(i)
+            return hit
+        ids_u, tfs = decode_all_blocks(self.row(i), block_size)
+        ids = ids_u.astype(np.int64)
+        tfs_f = tfs.astype(np.float64)
+        dl = doc_len[ids]
+        part = tfs_f * (k1 + 1.0) / (tfs_f + k1 * (1.0 - b + b * dl / avgdl))
+        span = self.hi - self.lo
+        if 2 * len(ids) >= span:
+            dense = np.zeros(span, dtype=np.float64)
+            dense[ids - self.lo] = part
+            entry = (None, dense)
+            nbytes = dense.nbytes
+        else:
+            entry = (ids, part)
+            nbytes = ids.nbytes + part.nbytes
+        if nbytes <= self._cache_budget:
+            while self._cache_used + nbytes > self._cache_budget and self._part_cache:
+                _, (old_ids, old_part) = self._part_cache.popitem(last=False)
+                self._cache_used -= old_part.nbytes + (
+                    old_ids.nbytes if old_ids is not None else 0
+                )
+            self._part_cache[i] = entry
+            self._cache_used += nbytes
+        return entry
+
 
 class IndexReader:
     """Loads a built index directory; provides search().
@@ -174,11 +233,16 @@ class IndexReader:
     analogue vector_db.py:12-31).
     """
 
-    def __init__(self, index_dir: str, shards: list[int] | None = None):
+    def __init__(self, index_dir: str, shards: list[int] | None = None,
+                 cache_bytes: int = 256 << 20):
         """``shards=None`` loads the whole index; a list of shard ids
         loads only those (the sharded-serving mode: each actor of a
         pool owns a disjoint subset — global df is then resolved by a
-        per-query df exchange, see pipelines/serving.py)."""
+        per-query df exchange, see pipelines/serving.py).
+
+        ``cache_bytes`` bounds the reader-wide decoded-partial LRU
+        (split evenly across owned shards; 0 disables) — hot terms'
+        postings decode once, repeat queries reuse them."""
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.params = BM25Params(self.stats["k1"], self.stats["b"])
@@ -186,6 +250,9 @@ class IndexReader:
         self.tokenize = get_tokenizer(self.stats["tokenizer"])
         self.n_docs = self.stats["n_docs"]
         self.avgdl = self.stats["avgdl"]
+        # df/doc-span ratio above which a term is "dense" (stopword-
+        # like); an all-dense query routes to the exhaustive scan
+        self.dense_query_cutoff = 0.1
         bounds = self.stats["shard_bounds"]
         self.num_shards = self.stats["num_shards"]
         self.owned = list(range(self.num_shards)) if shards is None else sorted(shards)
@@ -231,10 +298,11 @@ class IndexReader:
             return self.avgdl / v if v > 0 else 1.0  # avgdl 0 = empty corpus
 
         owned_set = set(self.owned)
+        per_shard_cache = int(cache_bytes) // max(1, len(self.owned))
         self.shards = [
             _ShardIndex(
                 segment_shard_dir(index_dir, s), bounds[s], bounds[s + 1],
-                bound_scale=_scale(s),
+                bound_scale=_scale(s), cache_bytes=per_shard_cache,
             )
             if s in owned_set
             else None
@@ -302,16 +370,16 @@ class IndexReader:
         for t, w, locs in self._term_infos(terms, weights):
             for s, i in locs:
                 sh = self.shards[s]
-                row = sh.row(i)
-                ids, tfs = self._decode_full(row)
-                dl = self.doc_len[ids.astype(np.int64)]
-                tfs_f = tfs.astype(np.float64)
-                part = tfs_f * (k1 + 1.0) / (tfs_f + k1 * (1.0 - b + b * dl / self.avgdl))
+                ids, part = sh.partial(i, self.block_size, self.doc_len,
+                                       k1, b, self.avgdl)
                 a = acc.get(s)
                 if a is None:
                     a = np.zeros(sh.hi - sh.lo, dtype=np.float64)
                     acc[s] = a
-                a[ids.astype(np.int64) - sh.lo] += w * part
+                if ids is None:  # dense stopword-term form: one SIMD add
+                    a += w * part
+                else:
+                    a[ids - sh.lo] += w * part
         all_ids, all_scores = [], []
         for s, a in acc.items():
             nz = np.flatnonzero(a)
@@ -348,6 +416,21 @@ class IndexReader:
             # flat tf distributions block-max skipping degenerates to a
             # per-block python loop — the canonical fast path is one
             # vectorized exhaustive scan (bitwise-identical scores)
+            return self.search_taat(query, k, weights)
+        # dense-query dispatch: when EVERY term is stopword-like (df
+        # over this reader's shards >= dense_query_cutoff of its doc
+        # span), nearly every doc matches every term, block-max tables
+        # are flat, and no window's upper bound ever drops below the
+        # heap threshold — BMW then pays its per-window bookkeeping on
+        # top of a full decode. The vectorized exhaustive scan wins
+        # (and is bitwise rank/score-identical by construction; with
+        # one selective term present, WAND's skipping stays worth it).
+        owned_docs = sum(sh.hi - sh.lo for sh in self.shards if sh is not None)
+        cutoff = self.dense_query_cutoff * max(1, owned_docs)
+        if all(
+            sum(self.shards[s].df_local_at(i) for s, i in locs) >= cutoff
+            for _, _, locs in infos
+        ):
             return self.search_taat(query, k, weights)
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
         for s, sh in enumerate(self.shards):

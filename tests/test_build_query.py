@@ -78,6 +78,29 @@ def test_rank_identity_taat_and_bmw(built_index, fixture_spec):
             )
 
 
+def test_partial_cache_warm_equals_cold(built_index, fixture_spec):
+    """The decoded-partial LRU (and its dense stopword-term form) must
+    be invisible to results: repeated searches on one reader equal the
+    first, and a cache-disabled reader returns the same thing bitwise.
+    The fixture queries include hot (dense-form) and rare terms."""
+    spec, _ = fixture_spec
+    _, index_dir, _ = built_index
+    cached = IndexReader(index_dir)  # default cache on
+    plain = IndexReader(index_dir, cache_bytes=0)
+    for q in spec["queries"]:
+        cold = cached.search_taat(q["query"], 10)
+        warm = cached.search_taat(q["query"], 10)   # cache-hit path
+        off = plain.search_taat(q["query"], 10)
+        assert cold == warm == off, q
+        assert cached.search_bmw(q["query"], 10) == off, q
+    # the dense form actually engaged for at least one hot term
+    assert any(
+        ids is None
+        for sh in cached.shards if sh is not None
+        for (ids, _) in sh._part_cache.values()
+    )
+
+
 def test_query_scorer_actor_pool(built_index, fixture_spec):
     """Batch-of-queries via map_batches actor pool (T1 Ray mapping)."""
     import ray.data
