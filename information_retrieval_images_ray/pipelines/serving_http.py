@@ -74,6 +74,12 @@ class IndexHTTPServer:
         # serialized (two racing deletes+searches would otherwise both
         # shut the pool down and leak one replacement)
         self._lock = threading.Lock()
+        # Serializes ingests against each other and against /reset
+        # WITHOUT blocking searches: the extend's Ray delta job runs
+        # under this lock only, and ``_lock`` is taken just for the
+        # O(actors) pool swap at the end — the rolling-index-update
+        # form. Lock order is always _extend_lock -> _lock.
+        self._extend_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -178,9 +184,13 @@ class IndexHTTPServer:
         ids assigned after the current span, delta built through the
         normal ``extend_index`` path, then the actor pool is swapped
         for one that owns the new shards. ``delta_id`` is the content
-        hash, so the same payload extends at most once; the Ray delta
-        job runs under ``_lock`` (searches queue behind the extend —
-        the single-router form of a rolling index update)."""
+        hash, so the same payload extends at most once. The Ray delta
+        job runs under ``_extend_lock`` only — searches keep flowing
+        against the CURRENT pool for its whole duration (they see the
+        pre-extend index, exactly a rolling index update's semantics);
+        ``_lock`` is taken just for the O(actors) swap at the end.
+        Concurrent extends serialize on ``_extend_lock`` (both the
+        doc-id span read and the delta build must not interleave)."""
         import hashlib
         import json as _json
         import os
@@ -191,7 +201,9 @@ class IndexHTTPServer:
 
         if not docs:
             return {"added": 0, "error": "no docs"}
-        with self._lock:
+        with self._extend_lock:
+            if self.service is None:  # reset raced in before us
+                raise RuntimeError("index was reset; rebuild and POST /reload")
             with open(os.path.join(self.index_dir, "stats.json")) as f:
                 before = _json.load(f)
             span = before["doc_id_span"]
@@ -217,13 +229,15 @@ class IndexHTTPServer:
             )
             added = int(stats["n_docs"]) - int(before["n_docs"])
             if added:
-                num = max(1, len(self.service.actors))
-                # swap by DROPPING the old pool's handles (no ray.kill):
-                # a search mid-flight on the old pool holds its own
-                # reference, so its actors drain naturally and are
-                # GC-collected once the last in-flight call returns —
-                # killing them here turned concurrent searches into 500s
-                self.service = ShardedQueryService(self.index_dir, num_actors=num)
+                with self._lock:
+                    num = max(1, len(self.service.actors))
+                    # swap by DROPPING the old pool's handles (no
+                    # ray.kill): a search mid-flight on the old pool
+                    # holds its own reference, so its actors drain
+                    # naturally and are GC-collected once the last
+                    # in-flight call returns — killing them here turned
+                    # concurrent searches into 500s
+                    self.service = ShardedQueryService(self.index_dir, num_actors=num)
         return {"added": added, "n_docs": int(stats["n_docs"])}
 
     def _hydrate(self, doc_ids: list[int]) -> list[dict]:
@@ -269,10 +283,13 @@ class IndexHTTPServer:
     def reset(self) -> dict:
         """Delete the index and retire the pool (reference POST
         /reset-db). Confirmation is enforced by the HTTP handler; the
-        old pool's handles are dropped (in-flight searches drain)."""
+        old pool's handles are dropped (in-flight searches drain).
+        Takes ``_extend_lock`` first (the global lock order), so a
+        reset waits for an in-flight ingest rather than deleting the
+        index directory out from under its delta job."""
         import shutil
 
-        with self._lock:
+        with self._extend_lock, self._lock:
             self.service = None
             self._tomb_count = -1
             shutil.rmtree(self.index_dir, ignore_errors=True)

@@ -142,6 +142,43 @@ def test_reset_and_reload_roundtrip(tmp_path):
         srv.close()
 
 
+def test_searches_flow_during_extend(server):
+    """An in-flight POST /extend must not block searches: the Ray
+    delta job runs under the ingest lock only, searches keep hitting
+    the current pool (pre-extend view) and the swap happens at the
+    end. At least one search must complete WHILE the extend thread is
+    still running (the extend is a multi-second Ray job; a search is
+    milliseconds — under the old whole-job lock, zero complete)."""
+    import threading
+    import time
+
+    srv, _ = server
+    payload = {"docs": [
+        {"content": f"zzconcur{i} golf hotel concurrent ingest", "lang": "en"}
+        for i in range(5)
+    ]}
+    result = {}
+
+    def do_extend():
+        result["resp"] = _req(srv.port, "/extend", payload)
+
+    t = threading.Thread(target=do_extend)
+    t.start()
+    completed_during = 0
+    while t.is_alive():
+        status, hits = _req(srv.port, "/search", {"query": "golf", "limit": 5})
+        assert status == 200 and len(hits) > 0
+        if t.is_alive():
+            completed_during += 1
+        time.sleep(0.01)
+    t.join()
+    assert result["resp"][0] == 200 and result["resp"][1]["added"] == 5
+    assert completed_during > 0  # searches flowed during the ingest
+    # and the ingested docs are searchable after the swap
+    _, hits = _req(srv.port, "/search", {"query": "zzconcur3", "limit": 5})
+    assert len(hits) == 1
+
+
 def test_concurrent_searches_and_delete(server):
     """ThreadingHTTPServer + the pool-swap lock: concurrent searches
     racing a delete all succeed (or at worst retry-level errors never
