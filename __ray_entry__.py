@@ -128,6 +128,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # every doc sent twice, one survivor per distinct content
         "q_bm25_dedup_build": lambda sf: flagship.run_bm25_queries_dedup_build(sf, k=10, algo="bmw"),
         "q_bm25_compacted": lambda sf: flagship.run_bm25_queries_compacted(sf, k=10, algo="bmw"),
+        # query-time metadata filter: rank only docs whose docmeta
+        # lang matches; corpus stats stay GLOBAL (tombstone-style
+        # semantics), so the oracle is ranked_where on the full CTE
+        "q_bm25_filtered": lambda sf: flagship.run_bm25_queries_filtered(sf, lang="fr", k=10, algo="bmw"),
         "q_index_segments": lambda sf: flagship.segment_summary(sf),
         "q_term_stats": lambda sf: analysis.term_stats(docs(sf)),
         "q_doc_lengths": lambda sf: analysis.doc_lengths(docs(sf)),
@@ -517,6 +521,11 @@ SELECT min(doc_id) AS doc_id, text FROM (
 ) GROUP BY text"""),
         # compacted: the index IS a fresh build of the filtered corpus
         "q_bm25_compacted": _bm25_sql(doc_filter="doc_id % 7 <> 0"),
+        # search-time filter: full-corpus stats, only lang=fr docs
+        # ranked (WHERE binds before row_number in the ranked CTE)
+        "q_bm25_filtered": _bm25_sql(
+            ranked_where="WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'fr')"
+        ),
         "q_map_at_k": _map_at_k_sql(),
         "q_overlap_topk": _overlap_topk_sql(),
         "q_ndcg_at_k": _ndcg_sql(),

@@ -159,7 +159,10 @@ def cmd_query(args) -> int:
     from .pipelines.query import IndexReader, hydrate_hits
 
     reader = IndexReader(args.index)
-    hits = getattr(reader, f"search_{args.algo}")(args.query, args.k)
+    doc_filter = ("lang", args.lang) if args.lang else None
+    hits = getattr(reader, f"search_{args.algo}")(
+        args.query, args.k, doc_filter=doc_filter
+    )
     if args.hydrate:
         import pandas as pd
 
@@ -254,6 +257,8 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--algo", default="bmw", choices=["bmw", "taat"])
     q.add_argument("--hydrate", action="store_true")
+    q.add_argument("--lang", default=None,
+                   help="restrict results to docs with this docmeta lang")
     q.set_defaults(func=cmd_query)
 
     v = sub.add_parser("serve", help="HTTP JSON API over the index actor pool")

@@ -81,6 +81,23 @@ def run_bm25_queries(
     return _run_battery(build_documents_index(sf_dir), queries, k, algo)
 
 
+def run_bm25_queries_filtered(
+    sf_dir: str, lang: str = "fr", queries=BM25_QUERIES, k: int = 10,
+    algo: str = "bmw",
+) -> pd.DataFrame:
+    """The battery with a query-time metadata filter: only docs whose
+    docmeta ``lang`` matches are ranked; corpus stats (idf, avgdl)
+    stay GLOBAL — the tombstone semantics of a search-time
+    restriction, not a per-language rebuild. The reference scores
+    every caption unconditionally (server.py:147-166); this is the
+    metadata-predicate retrieval an LLM-data pipeline needs. Oracle:
+    the full-corpus BM25 CTE with ranked_where on documents.lang."""
+    return _run_battery(
+        build_documents_index(sf_dir), queries, k, algo,
+        doc_filter=("lang", lang),
+    )
+
+
 def run_bm25_queries_delta(
     sf_dir: str, queries=BM25_QUERIES, k: int = 10, algo: str = "bmw"
 ) -> pd.DataFrame:
@@ -250,7 +267,9 @@ def run_bm25_queries_dedup_build(
     return _run_battery(index_dir, queries, k, algo)
 
 
-def _run_battery(index_dir: str, queries, k: int, algo: str) -> pd.DataFrame:
+def _run_battery(
+    index_dir: str, queries, k: int, algo: str, doc_filter=None
+) -> pd.DataFrame:
     import numpy as np
     import ray
     import ray.data
@@ -261,7 +280,10 @@ def _run_battery(index_dir: str, queries, k: int, algo: str) -> pd.DataFrame:
     qds = ray.data.from_items(list(queries))
     out = qds.map_batches(
         QueryScorer,
-        fn_constructor_kwargs={"reader_ref": reader_ref, "k": k, "algo": algo},
+        fn_constructor_kwargs={
+            "reader_ref": reader_ref, "k": k, "algo": algo,
+            "doc_filter": doc_filter,
+        },
         batch_format="pandas",
         concurrency=2,
     ).to_pandas()

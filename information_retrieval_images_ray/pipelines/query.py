@@ -279,6 +279,11 @@ class IndexReader:
             t = pq.read_table(f, columns=["doc_id", "doc_len"])
             ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             self.doc_len[ids] = t["doc_len"].to_numpy(zero_copy_only=False)
+        # kept for lazy metadata-filter masks (meta_mask); building one
+        # is a column-pruned docmeta read, done only when a filtered
+        # search is actually issued, then cached per (col, value)
+        self._meta_files = meta_files
+        self._mask_cache: dict[tuple[str, str], np.ndarray] = {}
 
         # tombstoned docs (pipelines/maintenance.delete_docs) are
         # excluded from every top-k; stats stay stale until compaction
@@ -333,6 +338,33 @@ class IndexReader:
                 out[t] = df
         return out
 
+    def meta_mask(self, col: str, value: str) -> np.ndarray:
+        """Dense bool mask over the doc-id span: docmeta[col] == value,
+        filled for OWNED shards only (a sharded reader filters exactly
+        the docs it scores, so the service's scatter-gather stays
+        correct). One column-pruned docmeta read per (col, value) per
+        reader, cached; nothing vocab- or corpus-text-sized loads."""
+        import pyarrow.compute as pc
+
+        key = (col, value)
+        m = self._mask_cache.get(key)
+        if m is None:
+            m = np.zeros(len(self.doc_len), dtype=bool)
+            for f in self._meta_files:
+                t = pq.read_table(f, columns=["doc_id", col])
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                eq = pc.fill_null(pc.equal(t[col], pa.scalar(value)), False)
+                m[ids] = eq.to_numpy(zero_copy_only=False)
+            self._mask_cache[key] = m
+        return m
+
+    def _resolve_filter(self, doc_filter) -> np.ndarray | None:
+        """None | precomputed bool mask | ("col", "value") tuple."""
+        if doc_filter is None or isinstance(doc_filter, np.ndarray):
+            return doc_filter
+        col, value = doc_filter
+        return self.meta_mask(col, value)
+
     def _term_infos(
         self, terms: list[str], weights: dict[str, float] | None = None
     ) -> list[tuple[str, float, list[tuple[int, int]]]]:
@@ -362,8 +394,14 @@ class IndexReader:
 
     # -- exhaustive TAAT ------------------------------------------------------
     def search_taat(
-        self, query: str, k: int = 10, weights: dict[str, float] | None = None
+        self, query: str, k: int = 10, weights: dict[str, float] | None = None,
+        doc_filter=None,
     ) -> list[tuple[int, float]]:
+        """``doc_filter``: optional search-time metadata restriction —
+        ("col", "value") against docmeta, or a precomputed bool mask
+        over the doc-id span. Corpus stats (idf, avgdl) stay GLOBAL;
+        only result membership is restricted (tombstone semantics)."""
+        mask = self._resolve_filter(doc_filter)
         terms = self._query_terms(query)
         acc: dict[int, np.ndarray] = {}  # shard -> local score array
         k1, b = self.params.k1, self.params.b
@@ -389,6 +427,9 @@ class IndexReader:
             return []
         ids = np.concatenate(all_ids)
         scores = np.concatenate(all_scores)
+        if mask is not None:
+            keep = mask[ids.astype(np.int64)]
+            ids, scores = ids[keep], scores[keep]
         if len(self.tombstones):
             from .maintenance import is_tombstoned
 
@@ -398,7 +439,8 @@ class IndexReader:
 
     # -- block-max WAND (vectorized block-at-a-time variant) ------------------
     def search_bmw(
-        self, query: str, k: int = 10, weights: dict[str, float] | None = None
+        self, query: str, k: int = 10, weights: dict[str, float] | None = None,
+        doc_filter=None,
     ) -> list[tuple[int, float]]:
         """Block-max top-k (Ding & Suel BMW, windowed variant): the doc
         space is swept in windows ending at the nearest block boundary
@@ -416,7 +458,7 @@ class IndexReader:
             # flat tf distributions block-max skipping degenerates to a
             # per-block python loop — the canonical fast path is one
             # vectorized exhaustive scan (bitwise-identical scores)
-            return self.search_taat(query, k, weights)
+            return self.search_taat(query, k, weights, doc_filter=doc_filter)
         # dense-query dispatch: when EVERY term is stopword-like (df
         # over this reader's shards >= dense_query_cutoff of its doc
         # span), nearly every doc matches every term, block-max tables
@@ -431,7 +473,13 @@ class IndexReader:
             sum(self.shards[s].df_local_at(i) for s, i in locs) >= cutoff
             for _, _, locs in infos
         ):
-            return self.search_taat(query, k, weights)
+            return self.search_taat(query, k, weights, doc_filter=doc_filter)
+        # masking only WITHHOLDS docs from the heap: window upper
+        # bounds stay valid (they over-estimate the filtered subset),
+        # so pruning remains admissible — just less tight (theta grows
+        # from filtered survivors only). Scores of survivors are
+        # accumulated identically, hence still bitwise == search_taat.
+        mask = self._resolve_filter(doc_filter)
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
         for s, sh in enumerate(self.shards):
             if sh is None:
@@ -442,12 +490,13 @@ class IndexReader:
                 for (ss, i) in locs
                 if ss == s
             ]  # infos follow sorted `terms` -> cursors stay term-sorted
-            self._bmw_shard(sh, cursors, k, heap)
+            self._bmw_shard(sh, cursors, k, heap, mask)
         out = sorted(heap, key=lambda e: (-e[0], -e[1]))[:k]
         return [(-negid, score) for score, negid in out]
 
     def _bmw_shard(self, sh: _ShardIndex, cursors: list["_BlockCursor"], k: int,
-                   heap: list[tuple[float, int]]) -> None:
+                   heap: list[tuple[float, int]],
+                   mask: np.ndarray | None = None) -> None:
         if not cursors:
             return
         k1, b = self.params.k1, self.params.b
@@ -498,6 +547,9 @@ class IndexReader:
                         tfs_f * (k1 + 1.0)
                         / (tfs_f + k1 * (1.0 - b + b * dl / avgdl))
                     )
+                if mask is not None:  # filtered-out docs never enter the heap
+                    keepm = mask[all_ids.astype(np.int64)]
+                    all_ids, scores = all_ids[keepm], scores[keepm]
                 if len(self.tombstones):  # deleted docs never enter the heap
                     from .maintenance import is_tombstoned
 
@@ -627,6 +679,7 @@ class QueryScorer:
         k: int = 10,
         algo: str = "taat",
         reader_ref=None,
+        doc_filter=None,
     ):
         if reader_ref is not None:
             import ray as _ray
@@ -636,6 +689,11 @@ class QueryScorer:
             self.reader = IndexReader(index_dir)
         self.k = k
         self.algo = algo
+        # resolve ("col", value) -> mask ONCE per actor, not per batch
+        # (the plasma-shared reader's mask cache is per-actor local)
+        self.doc_filter = (
+            self.reader._resolve_filter(doc_filter) if doc_filter is not None else None
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         search = (
@@ -643,7 +701,9 @@ class QueryScorer:
         )
         out = {"qid": [], "rank": [], "doc_id": [], "score": []}
         for qid, query in zip(batch["qid"], batch["query"]):
-            for rank, (doc, score) in enumerate(search(query, self.k), start=1):
+            for rank, (doc, score) in enumerate(
+                search(query, self.k, doc_filter=self.doc_filter), start=1
+            ):
                 out["qid"].append(qid)
                 out["rank"].append(rank)
                 out["doc_id"].append(doc)

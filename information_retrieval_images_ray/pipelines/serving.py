@@ -53,13 +53,17 @@ class ShardQueryActor:
         k: int,
         weights_per_query: list[dict[str, float]],
         algo: str = "bmw",
+        doc_filter=None,
     ) -> list[tuple[int, int, float]]:
         """[(qid, doc_id, score), ...] — top-k per query over OWNED
-        shards only."""
+        shards only. ``doc_filter`` is a ("col", value) docmeta
+        predicate; each actor masks exactly the docs it owns (the
+        reader's mask covers owned shards), so the merged result
+        equals a whole-index filtered search."""
         search = getattr(self.reader, f"search_{algo}")
         out = []
         for q, w in zip(queries, weights_per_query):
-            for doc, score in search(q["query"], k, weights=w):
+            for doc, score in search(q["query"], k, weights=w, doc_filter=doc_filter):
                 out.append((q["qid"], doc, score))
         return out
 
@@ -91,7 +95,8 @@ class ShardedQueryService:
 
         self._tok = get_tokenizer(self.tokenizer_mode)
 
-    def topk(self, queries: list[dict], k: int = 10, algo: str = "bmw") -> list[dict]:
+    def topk(self, queries: list[dict], k: int = 10, algo: str = "bmw",
+             doc_filter=None) -> list[dict]:
         """queries: [{"qid": int, "query": str}] ->
         [{"qid", "rank", "doc_id", "score"}], rank-identical to a
         whole-index IndexReader."""
@@ -112,7 +117,10 @@ class ShardedQueryService:
         # phase 2: scatter-gather per-actor top-k, merge with the
         # engine-wide tie-break
         parts = ray.get(
-            [a.search.remote(queries, k, weights_per_query, algo) for a in self.actors]
+            [
+                a.search.remote(queries, k, weights_per_query, algo, doc_filter)
+                for a in self.actors
+            ]
         )
         by_qid: dict[int, list[tuple[float, int]]] = defaultdict(list)
         for rows in parts:

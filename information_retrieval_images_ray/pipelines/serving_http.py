@@ -141,6 +141,7 @@ class IndexHTTPServer:
                             req.get("query", ""),
                             int(req.get("limit", 10)),
                             bool(req.get("hydrate", True)),
+                            lang=req.get("lang"),
                         ))
                     elif self.path == "/delete":
                         from .maintenance import delete_docs
@@ -162,11 +163,15 @@ class IndexHTTPServer:
         self._thread: threading.Thread | None = None
 
     # -- core ops (also usable without HTTP) ---------------------------------
-    def search(self, query: str, k: int = 10, hydrate: bool = True) -> list[dict]:
+    def search(self, query: str, k: int = 10, hydrate: bool = True,
+               lang: str | None = None) -> list[dict]:
+        """``lang`` restricts results to docs with that docmeta lang
+        (query-time filter; global stats — see IndexReader.search_*)."""
         with self._lock:
             self._sync_tombstones()
             svc = self.service
-        hits = svc.topk([{"qid": 0, "query": query}], k=k)
+        doc_filter = ("lang", lang) if lang else None
+        hits = svc.topk([{"qid": 0, "query": query}], k=k, doc_filter=doc_filter)
         rows = [
             {"rank": h["rank"], "doc_id": int(h["doc_id"]), "score": h["score"]}
             for h in hits

@@ -35,7 +35,7 @@ def server(tmp_path_factory):
         {
             "doc_id": i,
             "content": " ".join(WORDS[j] for j in rng.integers(0, len(WORDS), 40)),
-            "lang": "en",
+            "lang": "en" if i % 2 == 0 else "fr",
         }
         for i in range(60)
     ]
@@ -56,10 +56,22 @@ def test_search_matches_reader(server):
     assert all("content_sha256" in h and "lang" in h for h in hits)  # hydrated
 
 
+def test_search_lang_filter(server):
+    srv, idx = server
+    reader = IndexReader(idx)
+    status, hits = _req(
+        srv.port, "/search", {"query": "alpha dup", "limit": 5, "lang": "fr"}
+    )
+    assert status == 200
+    want = reader.search_bmw("alpha dup", 5, doc_filter=("lang", "fr"))
+    assert [(h["doc_id"], h["score"]) for h in hits] == [(d, s) for d, s in want]
+    assert hits and all(h["lang"] == "fr" for h in hits)  # hydrated + filtered
+
+
 def test_doc_and_stats_routes(server):
     srv, _ = server
     status, doc = _req(srv.port, "/doc/3")
-    assert status == 200 and doc["doc_id"] == 3 and doc["lang"] == "en"
+    assert status == 200 and doc["doc_id"] == 3 and doc["lang"] == "fr"
     status, stats = _req(srv.port, "/stats")
     assert status == 200 and stats["n_docs"] == 60
     with pytest.raises(urllib.error.HTTPError):
