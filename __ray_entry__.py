@@ -86,10 +86,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = np.stack([np.asarray(t.loc[i, "embedding"], np.float64) for i in (0, 1, 2)])
         return fn(embs(sf_dir), q, **kw)
 
-    def ivf_persisted(sf_dir):
+    def ivf_persisted(sf_dir, filter_col=None, filter_value=None):
         """Build-once persisted IVF index (cluster-partitioned parquet)
         searched through the cluster-actor pool; probed exhaustively
-        (nprobe == nlist) so the brute-force top-k SQL is exact."""
+        (nprobe == nlist) so the brute-force top-k SQL is exact.
+        ``filter_col``/``filter_value`` exercise pre-filtered ANN: the
+        metadata predicate is applied inside the cluster actors BEFORE
+        scoring, so only matching vectors enter the matmul."""
         import hashlib
         import os
 
@@ -105,7 +108,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def run(ds_unused, q, k):
             reader = similarity.IVFIndexReader(idx, num_actors=2)
             try:
-                return reader.search(q, k=k, nprobe=8)
+                return reader.search(
+                    q, k=k, nprobe=8,
+                    filter_col=filter_col, filter_value=filter_value,
+                )
             finally:
                 reader.close()
 
@@ -157,6 +163,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ivf_knn": lambda sf: knn_queries(sf, similarity.ivf_knn, k=10, nlist=8, nprobe=8),
         # persisted IVF index served by the cluster-actor pool
         "q_ivf_persisted": lambda sf: ivf_persisted(sf),
+        # pre-filtered ANN: equality predicate on a metadata column
+        # applied inside the cluster actors before scoring (the vector
+        # mirror of q_bm25_filtered's query-time metadata filter)
+        "q_ivf_filtered": lambda sf: ivf_persisted(
+            sf, filter_col="label", filter_value=3
+        ),
         # -- multimodal plumbing (A1/A2 stub seam) ---------------------------
         "q_multimodal_decode": lambda sf: multimodal.decode_pipeline(
             multimodal.make_binary_corpus(docs(sf))
@@ -367,6 +379,16 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
        CAST(FLOOR(sim*1000000 + 0.5) AS BIGINT) AS sim_e6
 FROM ranked WHERE rnk <= 10
 """
+
+# q_ivf_filtered: same exhaustive-probe setup (nprobe == nlist makes
+# IVF exact), but candidates restricted to label = 3 BEFORE scoring —
+# queries still come from the unfiltered table (vec_id 0, 1, 2).
+_KNN_FILTERED_SQL = _KNN_SQL.replace(
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
+    " FROM embeddings WHERE label = 3)",
+)
+assert _KNN_FILTERED_SQL != _KNN_SQL
 
 
 def _minhash_sql() -> str:
@@ -637,6 +659,7 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
         # recall-vs-exact assertion instead.
         "q_ivf_knn": _KNN_SQL,
         "q_ivf_persisted": _KNN_SQL,
+        "q_ivf_filtered": _KNN_FILTERED_SQL,
         "q_multimodal_decode": """
 SELECT doc_id, md5(text) AS payload_md5,
        CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -314,16 +314,36 @@ class IVFClusterActor:
         self.index_dir = index_dir
         self.owned = set(int(c) for c in cluster_ids)
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # metadata columns for filtered ANN, cached per (cluster, col)
+        # in the same row order as _cache[c] (same sorted file walk)
+        self._col_cache: dict[tuple[int, str], np.ndarray] = {}
+
+    def _cluster_files(self, c: int) -> list[str]:
+        import glob as _glob
+
+        return sorted(_glob.glob(os.path.join(
+            self.index_dir, "vectors", f"cluster={c}", "*.parquet")))
+
+    def _col(self, c: int, col: str) -> np.ndarray:
+        key = (c, col)
+        if key not in self._col_cache:
+            import pyarrow.parquet as _pq
+
+            parts = [
+                _pq.read_table(f, columns=[col])[col].to_numpy(zero_copy_only=False)
+                for f in self._cluster_files(c)
+            ]
+            self._col_cache[key] = (
+                np.concatenate(parts) if parts else np.empty(0)
+            )
+        return self._col_cache[key]
 
     def _cluster(self, c: int) -> tuple[np.ndarray, np.ndarray]:
         if c not in self._cache:
-            import glob as _glob
-
             import pyarrow.parquet as _pq
 
             ids_l, mats = [], []
-            for f in sorted(_glob.glob(os.path.join(
-                    self.index_dir, "vectors", f"cluster={c}", "*.parquet"))):
+            for f in self._cluster_files(c):
                 t = _pq.read_table(f, columns=["vec_id", "embedding"])
                 ids_l.append(t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64))
                 mats.append(_normalize(_batch_mat(t)))
@@ -334,17 +354,24 @@ class IVFClusterActor:
         return self._cache[c]
 
     def search(
-        self, q: np.ndarray, probes: np.ndarray, k: int
+        self, q: np.ndarray, probes: np.ndarray, k: int,
+        filter_col: str | None = None, filter_value=None,
     ) -> list[tuple[int, np.ndarray, np.ndarray]]:
         """Per-query LOCAL top-k over owned ∩ probed clusters:
         [(qid, ids, sims), ...] — at most k rows per query leave the
-        actor, never the cluster vectors themselves."""
+        actor, never the cluster vectors themselves. ``filter_col``
+        restricts candidates to rows whose metadata column equals
+        ``filter_value`` BEFORE the matmul (pre-filtered ANN: the
+        filtered-out vectors don't even get scored)."""
         out = []
         for qi in range(q.shape[0]):
             mine = [int(c) for c in probes[qi] if int(c) in self.owned]
             ids_l, sims_l = [], []
             for c in mine:
                 ids, m = self._cluster(c)
+                if len(ids) and filter_col is not None:
+                    keep = self._col(c, filter_col) == filter_value
+                    ids, m = ids[keep], m[keep]
                 if len(ids):
                     ids_l.append(ids)
                     sims_l.append(m @ q[qi])
@@ -382,10 +409,14 @@ class IVFIndexReader:
         ]
         ray.get([a.ready.remote() for a in self.actors])
 
-    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4,
+               filter_col: str | None = None, filter_value=None) -> pd.DataFrame:
         q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
         probes = np.argsort(-(q @ self.cent.T), axis=1)[:, :nprobe]
-        parts = ray.get([a.search.remote(q, probes, k) for a in self.actors])
+        parts = ray.get([
+            a.search.remote(q, probes, k, filter_col, filter_value)
+            for a in self.actors
+        ])
         rows = []
         for qi in range(q.shape[0]):
             ids_l = [ids for part in parts for (pq_, ids, _) in part if pq_ == qi]

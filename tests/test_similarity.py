@@ -203,6 +203,38 @@ def test_persisted_ivf_build_crash_safe(tmp_path, emb_ds, emb_rows):
     reader.close()
 
 
+def test_persisted_ivf_filtered(tmp_path, emb_ds, emb_rows):
+    """Pre-filtered ANN: an equality predicate on a metadata column is
+    applied inside the cluster actors BEFORE scoring. With every
+    cluster probed the result must exactly equal brute force over the
+    filtered subset, and every returned id must satisfy the filter."""
+    from information_retrieval_images_ray.pipelines.similarity import (
+        IVFIndexReader,
+        build_ivf_index,
+    )
+
+    queries = np.stack(
+        [np.asarray(emb_rows[i]["embedding"], np.float64) for i in (0, 30, 60)]
+    )
+    idx = str(tmp_path / "ivf_filtered")
+    build_ivf_index(emb_ds, idx, nlist=8)
+    reader = IVFIndexReader(idx, num_actors=3)
+    got = reader.search(queries, k=10, nprobe=8, filter_col="label", filter_value=2)
+    label2 = {r["vec_id"] for r in emb_rows if r["label"] == 2}
+    assert set(got["vec_id"]) <= label2
+    assert got.groupby("qid")["rank"].count().eq(10).all()
+    # brute force restricted to the filtered subset
+    sub = [r for r in emb_rows if r["label"] == 2]
+    for qi in range(3):
+        want = _brute(sub, queries[qi], 10)
+        assert list(got[got["qid"] == qi].sort_values("rank")["vec_id"]) == want
+    # unfiltered search on the same (already-cached) actors still sees
+    # every label — the filter must not mutate the cached cluster state
+    full = reader.search(queries, k=10, nprobe=8)
+    assert not set(full["vec_id"]) <= label2
+    reader.close()
+
+
 def test_persisted_ivf_reads_only_probed_clusters(tmp_path, emb_ds, emb_rows):
     """Destructive spy: delete the parquet of every NON-probed cluster
     before the first search — if the actors touched them the search
