@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         evaluation,
         flagship,
+        hybrid,
         multimodal,
         relational,
         similarity,
@@ -169,6 +170,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ivf_filtered": lambda sf: ivf_persisted(
             sf, filter_col="label", filter_value=3
         ),
+        # hybrid retrieval: BM25 top-20 over documents fused with
+        # cosine top-20 over embeddings by reciprocal rank fusion
+        # (query vector = embedding of vec_id == qid)
+        "q_hybrid_rrf": lambda sf: hybrid.hybrid_rrf_documents(
+            sf, k=10, n_each=20
+        ),
         # -- multimodal plumbing (A1/A2 stub seam) ---------------------------
         "q_multimodal_decode": lambda sf: multimodal.decode_pipeline(
             multimodal.make_binary_corpus(docs(sf))
@@ -255,6 +262,44 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
        CAST(doc_id AS BIGINT) AS doc_id,
        CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS score_e6
 FROM ranked WHERE rnk <= 10
+"""
+
+
+def _hybrid_rrf_sql(n_each: int = 20, k0: int = 60) -> str:
+    """RRF fusion of the BM25 battery (top-n_each from the shared CTE)
+    and brute-force cosine top-n_each (anchor vector = embedding of
+    vec_id == qid): rrf = coalesce(1/(k0+r_lex), 0) +
+    coalesce(1/(k0+r_vec), 0), re-ranked (rrf desc, doc_id)."""
+    from information_retrieval_images_ray.pipelines.flagship import BM25_QUERIES
+
+    qids = ", ".join(str(q["qid"]) for q in BM25_QUERIES)
+    return f"""
+WITH {_bm25_cte_body()},
+vq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       FROM embeddings WHERE vec_id IN ({qids})),
+ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+vscored AS (SELECT vq.qid, ve.vec_id AS doc_id,
+                   list_cosine_similarity(ve.emb, vq.qe) AS sim
+            FROM vq CROSS JOIN ve),
+vranked AS (SELECT qid, doc_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS rnk
+            FROM vscored),
+tb AS (SELECT qid, doc_id, rnk FROM ranked WHERE rnk <= {n_each}),
+vb AS (SELECT qid, doc_id, rnk FROM vranked WHERE rnk <= {n_each}),
+ids AS (SELECT qid, doc_id FROM tb UNION SELECT qid, doc_id FROM vb),
+fused AS (SELECT i.qid, i.doc_id,
+                 coalesce(1.0/({k0} + tb.rnk), 0.0)
+               + coalesce(1.0/({k0} + vb.rnk), 0.0) AS rrf
+          FROM ids i
+          LEFT JOIN tb ON tb.qid = i.qid AND tb.doc_id = i.doc_id
+          LEFT JOIN vb ON vb.qid = i.qid AND vb.doc_id = i.doc_id),
+rr AS (SELECT qid, doc_id, rrf,
+              row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rnk
+       FROM fused)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(FLOOR(rrf*1000000 + 0.5) AS BIGINT) AS rrf_e6
+FROM rr WHERE rnk <= 10
 """
 
 
@@ -660,6 +705,7 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
         "q_ivf_knn": _KNN_SQL,
         "q_ivf_persisted": _KNN_SQL,
         "q_ivf_filtered": _KNN_FILTERED_SQL,
+        "q_hybrid_rrf": _hybrid_rrf_sql(),
         "q_multimodal_decode": """
 SELECT doc_id, md5(text) AS payload_md5,
        CAST(strlen(text) AS BIGINT) AS n_bytes,

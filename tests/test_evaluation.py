@@ -59,3 +59,45 @@ def test_overlap_empty_lists():
     empty = pd.DataFrame(columns=["qid", "doc_id"])
     out = overlap_topk(empty, empty, [6], k=10)
     assert out.loc[0, "common"] == 0 and out.loc[0, "overlap_e6"] == 0
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF fusion
+
+
+def test_rrf_fuse_semantics():
+    """A doc present in BOTH rankings outscores a doc that leads only
+    one of them: 1/(60+2)+1/(60+2) > 1/(60+1). Absent side contributes
+    exactly 0, ties break on doc_id, ranks are dense from 1."""
+    import pandas as pd
+
+    from information_retrieval_images_ray.pipelines.hybrid import rrf_fuse
+
+    lex = pd.DataFrame({"qid": [1, 1, 1], "doc_id": [10, 20, 30], "rank": [1, 2, 3]})
+    vec = pd.DataFrame({"qid": [1, 1, 1], "doc_id": [40, 20, 50], "rank": [1, 2, 3]})
+    out = rrf_fuse(lex, vec, k=10, k0=60)
+    assert list(out["doc_id"]) == [20, 10, 40, 30, 50]
+    assert list(out["rank"]) == [1, 2, 3, 4, 5]
+    top = out.set_index("doc_id")["rrf_e6"]
+    assert top[20] == int(2 / 62 * 1_000_000 + 0.5)
+    assert top[10] == top[40] == int(1 / 61 * 1_000_000 + 0.5)
+    assert top[30] == top[50] == int(1 / 63 * 1_000_000 + 0.5)
+    # equal-score pairs ordered by doc_id
+    assert list(out["doc_id"]).index(10) < list(out["doc_id"]).index(40)
+
+
+def test_rrf_fuse_multi_query_and_k():
+    import pandas as pd
+
+    from information_retrieval_images_ray.pipelines.hybrid import rrf_fuse
+
+    lex = pd.DataFrame({
+        "qid": [1, 1, 2, 2], "doc_id": [10, 20, 11, 21], "rank": [1, 2, 1, 2]
+    })
+    vec = pd.DataFrame({"qid": [2], "doc_id": [99], "rank": [1]})
+    out = rrf_fuse(lex, vec, k=2, k0=60)
+    assert list(out[out["qid"] == 1]["doc_id"]) == [10, 20]
+    # for qid 2: doc 11 (lex rank 1) and doc 99 (vec rank 1) tie on
+    # score -> doc_id order; k=2 cuts doc 21
+    assert list(out[out["qid"] == 2]["doc_id"]) == [11, 99]
+    assert out.groupby("qid")["rank"].max().eq(2).all()
