@@ -143,7 +143,8 @@ def cmd_serve(args) -> int:
     from .pipelines.serving_http import IndexHTTPServer
 
     srv = IndexHTTPServer(
-        args.index, num_actors=args.actors, port=args.port, host=args.host
+        args.index, num_actors=args.actors, port=args.port, host=args.host,
+        vector_index_dir=args.vector_index,
     )
     print(json.dumps({"listening": f"http://{args.host}:{srv.port}"}), flush=True)
     try:
@@ -267,6 +268,8 @@ def make_parser() -> argparse.ArgumentParser:
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--actors", type=int, default=2)
     v.add_argument("--num-cpus", type=int, default=None)
+    v.add_argument("--vector-index", default=None,
+                   help="persisted IVF index dir; enables POST /hybrid")
     v.set_defaults(func=cmd_serve)
 
     s = sub.add_parser("show", help="index stats + per-shard summary")

@@ -31,6 +31,18 @@ POST /reset-db over FastAPI) re-expressed as a dependency-free stdlib
                       is re-attached via POST /reload (or a restart).
   POST /reload        {} -> {"n_docs": n} — attach a (re)built index
                       from disk by swapping in a fresh actor pool.
+  POST /hybrid        {"query": str, "vector": [float, ...],
+                       "limit": int=10, "n_each": int=20,
+                       "nprobe": int=4, "hydrate": bool=true}
+                      -> RRF fusion of the BM25 ranking for ``query``
+                      and the ANN ranking for ``vector`` against the
+                      persisted IVF index the server was started with
+                      (``vector_index_dir=``; 409 when absent). The
+                      vector comes from the client — the reference
+                      computes embeddings with an external model API
+                      (gemini_api.py), which this container cannot do,
+                      so the contract is the vector-DB-standard
+                      "client supplies the query vector".
 
 Design notes, deliberately NOT the reference's shape where the
 reference got it wrong: the heavy state (index shards) lives in the
@@ -62,9 +74,11 @@ class IndexHTTPServer:
     stops the listener and kills the actor pool."""
 
     def __init__(self, index_dir: str, num_actors: int = 2, port: int = 0,
-                 host: str = "127.0.0.1"):
+                 host: str = "127.0.0.1", vector_index_dir: str | None = None):
         self.index_dir = index_dir
         self.num_actors = num_actors
+        self.vector_index_dir = vector_index_dir
+        self._ivf = None  # lazy IVFIndexReader over vector_index_dir
         self.service: ShardedQueryService | None = ShardedQueryService(
             index_dir, num_actors=num_actors
         )
@@ -153,6 +167,22 @@ class IndexHTTPServer:
                             req.get("docs", []),
                             bool(req.get("skip_existing_content", False)),
                         ))
+                    elif self.path == "/hybrid":
+                        if outer.vector_index_dir is None:
+                            self._json(409, {"error": "no vector index attached (vector_index_dir)"})
+                            return
+                        vec = req.get("vector")
+                        if not isinstance(vec, list) or not vec:
+                            self._json(400, {"error": "\"vector\" must be a non-empty list of floats"})
+                            return
+                        self._json(200, outer.hybrid(
+                            req.get("query", ""),
+                            vec,
+                            k=int(req.get("limit", 10)),
+                            n_each=int(req.get("n_each", 20)),
+                            nprobe=int(req.get("nprobe", 4)),
+                            hydrate=bool(req.get("hydrate", True)),
+                        ))
                     else:
                         self._json(404, {"error": "unknown route"})
                 except Exception as e:
@@ -175,6 +205,71 @@ class IndexHTTPServer:
         rows = [
             {"rank": h["rank"], "doc_id": int(h["doc_id"]), "score": h["score"]}
             for h in hits
+        ]
+        if hydrate and rows:
+            meta = {m["doc_id"]: m for m in self._hydrate([r["doc_id"] for r in rows])}
+            for r in rows:
+                for key, val in meta.get(r["doc_id"], {}).items():
+                    if key not in r:
+                        r[key] = val
+        return rows
+
+    def _ivf_reader(self):
+        """Lazily attach the persisted IVF index's cluster-actor pool
+        (caller holds ``_lock``). Lives for the server's lifetime —
+        cluster caches warm across requests."""
+        if self._ivf is None:
+            from .similarity import IVFIndexReader
+
+            self._ivf = IVFIndexReader(self.vector_index_dir, num_actors=self.num_actors)
+        return self._ivf
+
+    def hybrid(self, query: str, vector: list[float], k: int = 10,
+               n_each: int = 20, nprobe: int = 4, hydrate: bool = True) -> list[dict]:
+        """Reciprocal-rank fusion of the BM25 top-``n_each`` for
+        ``query`` (sharded scorer pool, tombstone-aware) and the ANN
+        top-``n_each`` for ``vector`` (persisted-IVF cluster actors).
+        The vector side overfetches by the tombstone count and drops
+        tombstoned ids with a dense re-rank, so both rankings range
+        over live docs before fusing. Rows carry provenance
+        (bm25_rank / vec_rank, null when only the other side hit)."""
+        from .hybrid import rrf_fuse
+        from .maintenance import load_tombstones
+
+        if self.vector_index_dir is None:
+            raise RuntimeError("no vector index attached (vector_index_dir)")
+        with self._lock:
+            self._sync_tombstones()
+            svc = self.service
+            ivf = self._ivf_reader()
+        tombs = load_tombstones(self.index_dir)
+
+        hits = svc.topk([{"qid": 0, "query": query}], k=n_each)
+        lex = pd.DataFrame({
+            "qid": np.zeros(len(hits), np.int64),
+            "doc_id": np.array([h["doc_id"] for h in hits], np.int64),
+            "rank": np.array([h["rank"] for h in hits], np.int64),
+        })
+        q = np.asarray(vector, np.float64)[None, :]
+        vec = ivf.search(q, k=n_each + min(len(tombs), 64), nprobe=nprobe)
+        vec = vec.rename(columns={"vec_id": "doc_id"})
+        if tombs:
+            vec = vec[~vec["doc_id"].isin(list(tombs))]
+        vec = vec.sort_values("rank").head(n_each).reset_index(drop=True)
+        vec["rank"] = np.arange(1, len(vec) + 1, dtype=np.int64)
+
+        fused = rrf_fuse(lex, vec, k=k)
+        lex_rank = dict(zip(lex["doc_id"], lex["rank"]))
+        vec_rank = dict(zip(vec["doc_id"], vec["rank"]))
+        rows = [
+            {
+                "rank": int(r["rank"]),
+                "doc_id": int(r["doc_id"]),
+                "rrf": r["rrf_e6"] / 1_000_000,
+                "bm25_rank": int(lex_rank[r["doc_id"]]) if r["doc_id"] in lex_rank else None,
+                "vec_rank": int(vec_rank[r["doc_id"]]) if r["doc_id"] in vec_rank else None,
+            }
+            for _, r in fused.iterrows()
         ]
         if hydrate and rows:
             meta = {m["doc_id"]: m for m in self._hydrate([r["doc_id"] for r in rows])}
@@ -330,3 +425,5 @@ class IndexHTTPServer:
             self._thread.join(timeout=5)
         if self.service is not None:
             self.service.shutdown()
+        if self._ivf is not None:
+            self._ivf.close()

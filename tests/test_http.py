@@ -212,3 +212,106 @@ def test_concurrent_searches_and_delete(server):
         fut.result()
     _, after = _req(srv.port, "/search", {"query": "delta golf", "limit": 10})
     assert victim not in {h["doc_id"] for h in after}
+
+
+# ---------------------------------------------------------------------------
+# POST /hybrid (BM25 + client-vector RRF over an attached IVF index)
+
+
+@pytest.fixture(scope="module")
+def hybrid_server(tmp_path_factory):
+    rng = np.random.default_rng(33)
+    rows = [
+        {
+            "doc_id": i,
+            "content": " ".join(WORDS[j] for j in rng.integers(0, len(WORDS), 40)),
+            "lang": "en",
+        }
+        for i in range(60)
+    ]
+    emb = [
+        {"vec_id": i, "embedding": rng.normal(size=8).astype(np.float32).tolist()}
+        for i in range(60)
+    ]
+    idx = str(tmp_path_factory.mktemp("hyidx"))
+    vidx = str(tmp_path_factory.mktemp("hyvec")) + "/ivf"
+    build_index(ray.data.from_items(rows), idx, tokenizer="simple", num_shards=2)
+    from information_retrieval_images_ray.pipelines.similarity import build_ivf_index
+
+    build_ivf_index(ray.data.from_items(emb), vidx, nlist=8)
+    srv = IndexHTTPServer(idx, num_actors=2, port=0, vector_index_dir=vidx).start()
+    yield srv, idx, emb
+    srv.close()
+
+
+def test_hybrid_matches_reference_fusion(hybrid_server):
+    """/hybrid == rrf_fuse(reader top-20, exact cosine top-20) when
+    every cluster is probed; provenance ranks round-trip."""
+    import pandas as pd
+
+    from information_retrieval_images_ray.pipelines.hybrid import rrf_fuse
+
+    srv, idx, emb = hybrid_server
+    qvec = list(map(float, emb[7]["embedding"]))
+    status, hits = _req(srv.port, "/hybrid", {
+        "query": "alpha dup", "vector": qvec, "limit": 10,
+        "n_each": 20, "nprobe": 8,
+    })
+    assert status == 200 and len(hits) == 10
+
+    reader = IndexReader(idx)
+    lex_hits = reader.search_bmw("alpha dup", 20)
+    lex = pd.DataFrame({
+        "qid": 0,
+        "doc_id": [d for d, _ in lex_hits],
+        "rank": np.arange(1, len(lex_hits) + 1),
+    })
+    m = np.stack([np.asarray(e["embedding"], np.float64) for e in emb])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = np.asarray(qvec, np.float64)
+    sims = m @ (q / np.linalg.norm(q))
+    ids = np.array([e["vec_id"] for e in emb])
+    order = np.lexsort((ids, -sims))[:20]
+    vec = pd.DataFrame({
+        "qid": 0, "doc_id": ids[order], "rank": np.arange(1, 21)
+    })
+    want = rrf_fuse(lex, vec, k=10)
+    assert [h["doc_id"] for h in hits] == list(want["doc_id"])
+    assert [h["rank"] for h in hits] == list(want["rank"])
+    # self-match doc 7 is vec rank 1; provenance survives fusion
+    h7 = next(h for h in hits if h["doc_id"] == 7)
+    assert h7["vec_rank"] == 1
+    lexset = set(lex["doc_id"])
+    for h in hits:
+        assert (h["bm25_rank"] is not None) == (h["doc_id"] in lexset)
+        assert "content_sha256" in h  # hydrated
+
+
+def test_hybrid_respects_tombstones(hybrid_server):
+    srv, _, emb = hybrid_server
+    qvec = list(map(float, emb[9]["embedding"]))
+    _, before = _req(srv.port, "/hybrid", {
+        "query": "bravo", "vector": qvec, "limit": 10, "nprobe": 8,
+    })
+    assert 9 in {h["doc_id"] for h in before}  # self-match present
+    _req(srv.port, "/delete", {"doc_ids": [9]})
+    _, after = _req(srv.port, "/hybrid", {
+        "query": "bravo", "vector": qvec, "limit": 10, "nprobe": 8,
+    })
+    assert 9 not in {h["doc_id"] for h in after}
+    assert len(after) == 10  # overfetch backfills the dropped doc
+
+
+def test_hybrid_error_contracts(server, hybrid_server):
+    import urllib.error
+
+    srv_plain, _ = server
+    srv_h, _, _ = hybrid_server
+    # no vector index attached -> 409
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(srv_plain.port, "/hybrid", {"query": "x", "vector": [1.0, 0.0]})
+    assert e.value.code == 409
+    # missing/empty vector -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(srv_h.port, "/hybrid", {"query": "x"})
+    assert e.value.code == 400
