@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprints": lambda sf: analysis.fingerprints(docs(sf)),
         "q_token_count_by_lang": lambda sf: analysis.token_count_by_lang(docs(sf)),
         "q_langid": lambda sf: analysis.langid(docs(sf)),
+        # keyword extraction: top-5 TF-IDF terms per doc (df from the
+        # combiner, broadcast idf, per-doc top-k inside the map task)
+        "q_tfidf_terms": lambda sf: analysis.tfidf_top_terms(docs(sf), k=5),
         # -- dedup (D1 + near-dup family) ------------------------------------
         "q_exact_dedup": lambda sf: dedup.exact_dedup_groups(docs(sf)),
         "q_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(docs(sf), n=5),
@@ -645,6 +648,21 @@ FROM t
 SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM documents
 """,
         "q_langid": _langid_sql(),
+        "q_tfidf_terms": f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS s
+           FROM tf JOIN df ON df.term = tf.term CROSS JOIN n),
+r AS (SELECT doc_id, term, s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rnk
+      FROM scored)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS BIGINT) AS "rank", term,
+       CAST(FLOOR(s*1000000 + 0.5) AS BIGINT) AS tfidf_e6
+FROM r WHERE rnk <= 5
+""",
         "q_token_count_by_lang": f"""
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len({TOK_SQL})) AS BIGINT) AS total_tokens

@@ -288,3 +288,64 @@ def langid(ds: ray.data.Dataset, tokenizer: str = "simple") -> ray.data.Dataset:
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset, k: int = 5, tokenizer: str = "simple"
+) -> ray.data.Dataset:
+    """Keyword extraction: the top-``k`` terms per doc by
+    tf * ln(N / df), tie-break (score desc, term asc) — the classic
+    TF-IDF summary an LLM-data pipeline uses for doc tagging.
+
+    Scale shape: df comes from the term_stats combiner (partial counts
+    per batch, one SMALL vocab-sized groupby), is broadcast once via
+    ray.put, and the scoring pass then computes each doc's final top-k
+    entirely inside its map task — the (doc, term) explosion never
+    leaves the worker and there is NO doc-keyed shuffle at all. For
+    corpora whose vocabulary outgrows a broadcast (rare: vocab grows
+    ~sublinearly), the seam is a term-keyed exchange of the docterms
+    table joined against df, then a doc-keyed re-exchange — the
+    documented fallback, not built until needed."""
+    tok = _tok_fn(tokenizer)
+    n_docs = float(ds.count())
+    stats = term_stats(ds, tokenizer).to_pandas()
+    idf = dict(zip(
+        stats["term"],
+        np.log(n_docs / stats["df"].to_numpy(np.float64)),
+    ))
+    idf_ref = ray.put(idf)
+
+    class TopTerms:
+        def __init__(self):
+            self.idf = ray.get(idf_ref)  # zero-copy-ish, once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_id, out_rank, out_term, out_s = [], [], [], []
+            for doc_id, text in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                cnt: dict[str, int] = {}
+                for t in tok(text or ""):
+                    cnt[t] = cnt.get(t, 0) + 1
+                if not cnt:
+                    continue
+                terms = sorted(cnt)  # pre-sorted so stable sort ties on term asc
+                scores = np.array(
+                    [cnt[t] * self.idf[t] for t in terms], np.float64
+                )
+                order = np.argsort(-scores, kind="stable")[: min(k, len(terms))]
+                for r, j in enumerate(order, 1):
+                    out_id.append(doc_id)
+                    out_rank.append(r)
+                    out_term.append(terms[j])
+                    out_s.append(scores[j])
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "rank": pa.array(out_rank, pa.int64()),
+                    "term": pa.array(out_term, pa.string()),
+                    "tfidf_e6": pa.array(e6(np.array(out_s)), pa.int64()),
+                }
+            )
+
+    return ds.map_batches(TopTerms, batch_format="pyarrow", concurrency=(1, 4))
