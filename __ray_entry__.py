@@ -208,6 +208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_session_windows": lambda sf: streaming.session_windows_events(sf),
         "q_event_asof": lambda sf: streaming.event_asof_join(sf),
         "q_distinct_langs": lambda sf: relational.distinct_langs(sf),
+        # grouped top-k (QUALIFY shape): k longest docs per lang,
+        # per-batch combiner so the exchange moves k rows per batch
+        "q_grouped_topk": lambda sf: relational.grouped_topk_docs(sf, k=3),
     }
 
 
@@ -852,6 +855,15 @@ FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.t <= p.t
 GROUP BY 1, 2, 3
 """,
         "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "q_grouped_topk": f"""
+WITH dl AS (SELECT doc_id, lang, len({TOK_SQL}) AS n_tokens FROM documents),
+r AS (SELECT lang, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rnk
+      FROM dl)
+SELECT lang, CAST(rnk AS BIGINT) AS "rank", CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM r WHERE rnk <= 3
+""",
         # Every queries() key has a SQL oracle. The sketch operators
         # (minhash/simhash) are exactly mirrorable because their hashes
         # are md5-prefix ints and their float reductions are sums of

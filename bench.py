@@ -27,6 +27,13 @@ input and reports throughput at both plus scaling efficiency
 (= (thr_32/thr_8) / (32/8); north_rule target >= 0.8). Results are
 recorded in BASELINE.md.
 
+``--ann``: the vector-path analogue — persisted-IVF index build over
+``$IRI_ANN_VECTORS`` (default 1M) deterministic clustered vectors
+(dim 64, nlist 256) + cluster-actor-pool serving: 200-query batch
+scatter-gather, serial p50/p99, recall@10 vs brute force. Prints its
+own JSON line; recorded in BASELINE.md (not part of the default
+cross-round metric).
+
 Only this script owns a Ray session (ray.init/ray.shutdown); the
 library never initialises Ray.
 """
@@ -187,6 +194,166 @@ def bench_code_corpus(num_cpus: int, n_docs: int) -> dict:
     }
 
 
+def _write_vector_corpus(out_dir: str, n: int, dim: int, ncent: int,
+                         num_cpus: int) -> None:
+    """Deterministic clustered vector corpus (cached): vec_id -> center
+    (vec_id % ncent) + per-batch-seeded noise, written distributed."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        rng = np.random.default_rng(int(ids[0]) + 12345)
+        cent = np.random.default_rng(1).normal(size=(ncent, dim))
+        cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+        c = (ids % ncent).astype(np.int64)
+        m = (cent[c] + 0.15 * rng.normal(size=(len(ids), dim))).astype(np.float32)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), pa.float32()), dim
+        )
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "embedding": emb,
+            "label": pa.array(c % 16, pa.int32()),
+        })
+
+    (
+        ray.data.range(n, override_num_blocks=max(num_cpus * 4, 32))
+        .map_batches(gen, batch_format="pyarrow")
+        .write_parquet(out_dir)
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def _ann_battery(nq: int, dim: int, ncent: int, seed: int = 99):
+    """Deterministic query vectors near random centers (same family as
+    the corpus, so nprobe pruning is exercised realistically)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cent = np.random.default_rng(1).normal(size=(ncent, dim))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    picks = rng.integers(0, ncent, size=nq)
+    return cent[picks] + 0.15 * rng.normal(size=(nq, dim))
+
+
+def bench_ann(num_cpus: int, n_vectors: int, dim: int = 64,
+              nlist: int = 256, nprobe: int = 8) -> dict:
+    """Vector-path scale benchmark: persisted IVF build over a
+    clustered synthetic corpus + serving through the cluster-actor
+    pool. Phases: index build (centroid fit + assign + hive-partitioned
+    write), reader attach, 200-query batch scatter-gather, 100
+    serial-query latency, recall@10 vs brute force on 20 queries."""
+    import numpy as np
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.similarity import (
+        IVFIndexReader,
+        build_ivf_index,
+        knn_bruteforce,
+    )
+
+    corpus_dir = os.path.join(BENCH_ROOT, f"vectors_{n_vectors}_{dim}")
+    _write_vector_corpus(corpus_dir, n_vectors, dim, nlist, num_cpus)
+
+    def vectors():
+        return ray.data.read_parquet(corpus_dir)
+
+    run_dir = os.path.join(BENCH_ROOT, f"ann_cpu{num_cpus}")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    index_dir = os.path.join(run_dir, "ivf")
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    build_ivf_index(vectors(), index_dir, nlist=nlist)
+    timings["ann_index_build"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    reader = IVFIndexReader(index_dir, num_actors=max(2, num_cpus // 4))
+    timings["ann_reader_attach"] = time.perf_counter() - t0
+
+    battery = _ann_battery(200, dim, nlist)
+    # cold pass: includes each probed cluster's lazy first-touch
+    # parquet read into the actor caches (a fresh pool serving its
+    # first battery); warm pass: the steady-state scatter-gather
+    t0 = time.perf_counter()
+    batch_hits = reader.search(battery, k=10, nprobe=nprobe)
+    timings["ann_query_batch_cold"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    reader.search(battery, k=10, nprobe=nprobe)
+    timings["ann_query_batch_warm"] = time.perf_counter() - t0
+
+    lat = []
+    for i in range(100):
+        tq = time.perf_counter()
+        reader.search(battery[i : i + 1], k=10, nprobe=nprobe)
+        lat.append(time.perf_counter() - tq)
+    lat_arr = np.array(lat)
+    timings["ann_query_serial"] = float(lat_arr.sum())
+
+    # recall@10 vs exact brute force on the first 20 queries
+    exact = knn_bruteforce(vectors(), battery[:20], k=10)
+    recalls = []
+    for qi in range(20):
+        e = set(exact[exact["qid"] == qi]["vec_id"])
+        a = set(batch_hits[batch_hits["qid"] == qi]["vec_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    reader.close()
+
+    return {
+        "timings": timings,
+        "n_vectors": n_vectors,
+        "dim": dim,
+        "nlist": nlist,
+        "nprobe": nprobe,
+        "build_sec": timings["ann_index_build"],
+        "vectors_per_sec_build": n_vectors / timings["ann_index_build"],
+        "batch_qps_cold": 200 / timings["ann_query_batch_cold"],
+        "batch_qps_warm": 200 / timings["ann_query_batch_warm"],
+        "ann_p50_ms": float(np.percentile(lat_arr, 50) * 1e3),
+        "ann_p99_ms": float(np.percentile(lat_arr, 99) * 1e3),
+        "recall_at_10": float(np.mean(recalls)),
+    }
+
+
+def run_ann(num_cpus: int, n_vectors: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    try:
+        attempts = [bench_ann(num_cpus, n_vectors) for _ in range(N_ATTEMPTS)]
+        best = min(attempts, key=lambda a: a["build_sec"])
+        out = {
+            "metric": "persisted-IVF build + ANN query (synthetic clustered vectors)",
+            "value": round(sum(best["timings"].values()), 4),
+            "unit": "sec",
+            "queries": {k: round(v, 4) for k, v in best["timings"].items()},
+            "num_cpus": num_cpus,
+            "build_attempts": [round(a["build_sec"], 3) for a in attempts],
+        }
+        for k in ("n_vectors", "dim", "nlist", "nprobe"):
+            out[k] = best[k]
+        for k in ("vectors_per_sec_build", "batch_qps_cold", "batch_qps_warm",
+                  "ann_p50_ms", "ann_p99_ms", "recall_at_10"):
+            out[k] = round(best[k], 4)
+        return out
+    finally:
+        ray.shutdown()
+
+
 def bench_documents_flagship(sf_dir: str) -> dict:
     """Fresh build + query of the driver's documents table (the shared
     cross-round comparable)."""
@@ -311,12 +478,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--code-only", action="store_true")
+    ap.add_argument("--ann", action="store_true",
+                    help="vector-path bench: persisted-IVF build + ANN query "
+                    "over $IRI_ANN_VECTORS (default 1e6) synthetic vectors")
+    ap.add_argument("--n-vectors", type=int,
+                    default=int(os.environ.get("IRI_ANN_VECTORS", "1000000")))
     ap.add_argument("--n-docs", type=int, default=N_DOCS)
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
 
-    if args.scaling:
+    if args.ann:
+        out = run_ann(args.num_cpus, args.n_vectors)
+    elif args.scaling:
         # scaling runs use a larger corpus so parallel work dominates
         # fixed pipeline-startup overhead (unless --n-docs was given)
         n = args.n_docs if args.n_docs != N_DOCS else int(

@@ -208,3 +208,60 @@ def distinct_langs(sf_dir: str) -> pd.DataFrame:
     get_all_md5_hashes, vector_db.py:119-123)."""
     vals = sorted(_read(sf_dir, "documents", ["lang"]).unique("lang"))
     return pd.DataFrame({"lang": vals})
+
+
+def grouped_topk_docs(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-k: the ``k`` longest docs (token count) per lang,
+    tie-break (n_tokens desc, doc_id asc) — the windowed-rank /
+    QUALIFY shape (row_number() OVER (PARTITION BY ...) <= k).
+
+    Scale shape: each batch emits only its own per-lang top-k (the
+    combiner), so the exchange moves at most k x num_batches rows per
+    lang — never the corpus; the final per-lang rank is a map_groups
+    over those slivers."""
+    from ..functions.tokenizer import get_tokenizer
+
+    tok = get_tokenizer("simple")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.array(
+            [len(tok(t or "")) for t in batch["text"].to_pylist()], np.int64
+        )
+        keep = np.zeros(len(ids), dtype=bool)
+        by_lang: dict[str, list[int]] = {}
+        for i, lang in enumerate(langs):
+            by_lang.setdefault(lang, []).append(i)
+        for idxs in by_lang.values():
+            sub = np.asarray(idxs)
+            order = np.lexsort((ids[sub], -n_tok[sub]))[:k]
+            keep[sub[order]] = True
+        return pa.table({
+            "lang": pa.array([langs[i] for i in np.flatnonzero(keep)], pa.string()),
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_tokens": pa.array(n_tok[keep], pa.int64()),
+        })
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(np.int64)
+        n = g["n_tokens"].to_numpy(np.int64)
+        order = np.lexsort((ids, -n))[: min(k, len(ids))]
+        return pd.DataFrame({
+            "lang": g["lang"].iloc[0],
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            "doc_id": ids[order],
+            "n_tokens": n[order],
+        })
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["lang", "rank"]).reset_index(drop=True)
+        .astype({"rank": "int64", "doc_id": "int64", "n_tokens": "int64"})
+    )
