@@ -118,6 +118,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return knn_queries(sf_dir, run, k=10)
 
+    def ivf_lifecycle(sf_dir, mode):
+        """Persisted-IVF maintenance keys (the vector-side mirror of
+        q_bm25_delta / q_bm25_deleted / q_bm25_compacted):
+
+        - ``extended``: build over vec_id % 4 != 0, then
+          extend_ivf_index with the FULL table (overlapping delta —
+          only the % 4 == 0 rows are new). Exhaustive probing makes
+          the all-rows cosine top-k SQL exact.
+        - ``deleted``: build over everything, tombstone vec_id % 7 == 0;
+          oracle excludes them.
+        - ``compacted``: build-subset + extend + delete + compact
+          (refit=False) — results must equal the ``deleted`` oracle,
+          proving compaction is invisible to searches.
+
+        Each mode owns a fingerprint-keyed cache dir; the mutation
+        sequence is idempotent (extend anti-joins, delete set-unions,
+        compact generation-swaps), and a 'lifecycle' marker in ivf.json
+        short-circuits repeat driver runs."""
+        import hashlib
+        import json
+        import os
+
+        import pyarrow.compute as pc
+
+        from information_retrieval_images_ray.state.manifest import fingerprint_file
+
+        src = f"{sf_dir}/embeddings.parquet"
+        key = hashlib.sha256(
+            f"{os.path.abspath(src)}|{fingerprint_file(src)}|nlist8|{mode}".encode()
+        ).hexdigest()[:16]
+        idx = os.path.join("/tmp", "iri_ray_cache", f"ivfidx_{key}")
+
+        meta_path = os.path.join(idx, "ivf.json")
+        done = False
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                done = json.load(f).get("lifecycle") == mode
+        if not done:
+            def subset(b):
+                return b.filter(pc.not_equal(pc.bit_wise_and(b["vec_id"], 3), 0))
+
+            if mode == "extended":
+                similarity.build_ivf_index(
+                    embs(sf_dir).map_batches(subset, batch_format="pyarrow"),
+                    idx, nlist=8)
+                similarity.extend_ivf_index(embs(sf_dir), idx)
+            elif mode == "deleted":
+                similarity.build_ivf_index(embs(sf_dir), idx, nlist=8)
+            elif mode == "compacted":
+                similarity.build_ivf_index(
+                    embs(sf_dir).map_batches(subset, batch_format="pyarrow"),
+                    idx, nlist=8)
+                similarity.extend_ivf_index(embs(sf_dir), idx)
+            if mode in ("deleted", "compacted"):
+                import pyarrow.parquet as pq
+
+                all_ids = pq.read_table(src, columns=["vec_id"])["vec_id"].to_pylist()
+                similarity.delete_ivf_vectors(
+                    idx, [i for i in all_ids if i % 7 == 0])
+            if mode == "compacted":
+                similarity.compact_ivf_index(idx)
+            meta = similarity._read_ivf_meta(idx)
+            meta["lifecycle"] = mode
+            similarity._write_ivf_meta(idx, meta)
+
+        def run(ds_unused, q, k):
+            reader = similarity.IVFIndexReader(idx, num_actors=2)
+            try:
+                return reader.search(q, k=k, nprobe=8)
+            finally:
+                reader.close()
+
+        return knn_queries(sf_dir, run, k=10)
+
     return {
         # -- inverted index / BM25 (S1-S6, M1-M5, T1-T2, A7, G-extras) -------
         "q_bm25_topk": lambda sf: flagship.run_bm25_queries(sf, k=10, algo="bmw"),
@@ -173,6 +247,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ivf_filtered": lambda sf: ivf_persisted(
             sf, filter_col="label", filter_value=3
         ),
+        # persisted-IVF maintenance lifecycle (the vector mirror of
+        # q_bm25_delta / q_bm25_deleted / q_bm25_compacted)
+        "q_ivf_extended": lambda sf: ivf_lifecycle(sf, "extended"),
+        "q_ivf_deleted": lambda sf: ivf_lifecycle(sf, "deleted"),
+        "q_ivf_compacted": lambda sf: ivf_lifecycle(sf, "compacted"),
         # hybrid retrieval: BM25 top-20 over documents fused with
         # cosine top-20 over embeddings by reciprocal rank fusion
         # (query vector = embedding of vec_id == qid)
@@ -438,6 +517,16 @@ _KNN_FILTERED_SQL = _KNN_SQL.replace(
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
     " FROM embeddings WHERE label = 3)",
+)
+
+# q_ivf_deleted / q_ivf_compacted: vec_id % 7 == 0 is tombstoned
+# (then physically dropped by compact) — candidates exclude them,
+# queries still come from the unfiltered table (a deleted vector
+# remains a perfectly good query).
+_KNN_DELETED_SQL = _KNN_SQL.replace(
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
+    " FROM embeddings WHERE vec_id % 7 <> 0)",
 )
 assert _KNN_FILTERED_SQL != _KNN_SQL
 
@@ -726,6 +815,13 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
         "q_ivf_knn": _KNN_SQL,
         "q_ivf_persisted": _KNN_SQL,
         "q_ivf_filtered": _KNN_FILTERED_SQL,
+        # maintenance lifecycle: extend re-adds every row (oracle = all
+        # rows); delete/compact exclude the tombstoned % 7 ids — the
+        # compacted key matching the SAME oracle proves compaction is
+        # invisible to searches
+        "q_ivf_extended": _KNN_SQL,
+        "q_ivf_deleted": _KNN_DELETED_SQL,
+        "q_ivf_compacted": _KNN_DELETED_SQL,
         "q_hybrid_rrf": _hybrid_rrf_sql(),
         "q_multimodal_decode": """
 SELECT doc_id, md5(text) AS payload_md5,

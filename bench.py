@@ -257,6 +257,7 @@ def bench_ann(num_cpus: int, n_vectors: int, dim: int = 64,
     from information_retrieval_images_ray.pipelines.similarity import (
         IVFIndexReader,
         build_ivf_index,
+        extend_ivf_index,
         knn_bruteforce,
     )
 
@@ -307,6 +308,32 @@ def bench_ann(num_cpus: int, n_vectors: int, dim: int = 64,
         recalls.append(len(e & a) / max(1, len(e)))
     reader.close()
 
+    # incremental extend: a 10% delta of fresh ids (the maintenance
+    # path — anti-join against every indexed epoch's vec_id column,
+    # assign to the existing centroids, land a new epoch dir)
+    import pyarrow.compute as pc
+
+    n_delta = max(1, n_vectors // 10)
+
+    def shift(b):
+        import pyarrow as pa
+
+        return b.set_column(
+            b.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(b["vec_id"], pa.scalar(n_vectors, pa.int64())),
+        )
+
+    delta = (
+        vectors()
+        .map_batches(lambda b: b.filter(pc.less(b["vec_id"], n_delta)),
+                     batch_format="pyarrow")
+        .map_batches(shift, batch_format="pyarrow")
+    )
+    t0 = time.perf_counter()
+    ext_meta = extend_ivf_index(delta, index_dir)
+    timings["ann_index_extend"] = time.perf_counter() - t0
+    assert ext_meta["added"] == n_delta, ext_meta
+
     return {
         "timings": timings,
         "n_vectors": n_vectors,
@@ -317,6 +344,7 @@ def bench_ann(num_cpus: int, n_vectors: int, dim: int = 64,
         "vectors_per_sec_build": n_vectors / timings["ann_index_build"],
         "batch_qps_cold": 200 / timings["ann_query_batch_cold"],
         "batch_qps_warm": 200 / timings["ann_query_batch_warm"],
+        "extend_vectors_per_sec": n_delta / timings["ann_index_extend"],
         "ann_p50_ms": float(np.percentile(lat_arr, 50) * 1e3),
         "ann_p99_ms": float(np.percentile(lat_arr, 99) * 1e3),
         "recall_at_10": float(np.mean(recalls)),

@@ -263,6 +263,52 @@ def embedding_near_dups(
 # create once, then serve searches against the stored structure —
 # vector_db.py:21-42 creates the collection + IVF_FLAT index and
 # load()s it; searches hit the persisted index, not a refit).
+#
+# Index layout (maintenance-aware, mirroring the text index's
+# build/extend/delete/compact lifecycle in pipelines/build.py +
+# pipelines/maintenance.py):
+#
+#   index_dir/
+#     ivf.json            {"nlist","dim","epochs":[...],"n_tombstones":N}
+#     centroids.npy       coarse quantizer (fixed across extends)
+#     vectors/            epoch 0, hive cluster= partitioned parquet
+#     vectors_ep1/ ...    appended epochs (extend_ivf_index)
+#     tombstones.parquet  deleted vec_ids (delete_ivf_vectors)
+#
+# Every mutation is crash-safe: data dirs are built in a sibling
+# ``.build`` dir and os.rename'd into place; ivf.json is rewritten
+# via tmp + os.replace LAST, so a crash at any point leaves either
+# the old meta (orphan data dirs are ignored and reclaimed by the
+# next mutation) or the new meta over complete data — never a
+# half-written epoch that a reader or retry would double-count.
+
+
+def _read_ivf_meta(index_dir: str) -> dict:
+    import json as _json
+
+    with open(os.path.join(index_dir, "ivf.json")) as f:
+        meta = _json.load(f)
+    meta.setdefault("epochs", ["vectors"])  # pre-maintenance indexes
+    meta.setdefault("n_tombstones", 0)
+    return meta
+
+
+def _write_ivf_meta(index_dir: str, meta: dict) -> None:
+    import json as _json
+
+    tmp = os.path.join(index_dir, "ivf.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "ivf.json"))
+
+
+def _tombstone_ids(index_dir: str) -> np.ndarray:
+    path = os.path.join(index_dir, "tombstones.parquet")
+    if not os.path.exists(path):
+        return np.empty(0, np.int64)
+    import pyarrow.parquet as _pq
+
+    return _pq.read_table(path)["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def build_ivf_index(
@@ -276,13 +322,11 @@ def build_ivf_index(
     and renamed into place atomically — a killed or concurrent build
     can never leave marker-less partial cluster files that a rebuild's
     write_parquet would append duplicate vectors next to."""
-    import json as _json
     import shutil as _shutil
 
     meta_path = os.path.join(index_dir, "ivf.json")
     if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            return _json.load(f)
+        return _read_ivf_meta(index_dir)
     build_dir = index_dir.rstrip("/") + ".build"
     if os.path.exists(build_dir):  # leftover from a crashed build
         _shutil.rmtree(build_dir)
@@ -293,13 +337,200 @@ def build_ivf_index(
     assigned.write_parquet(
         os.path.join(build_dir, "vectors"), partition_cols=["cluster"]
     )
-    meta = {"nlist": int(len(cent)), "dim": int(cent.shape[1])}
-    with open(os.path.join(build_dir, "ivf.json"), "w") as f:
-        _json.dump(meta, f)
+    meta = {
+        "nlist": int(len(cent)), "dim": int(cent.shape[1]),
+        "epochs": ["vectors"], "n_tombstones": 0, "gen": 0,
+        "centroids": "centroids.npy",
+    }
+    _write_ivf_meta(build_dir, meta)
     if os.path.exists(index_dir):  # marker-less partial from an old crash
         _shutil.rmtree(index_dir)
     os.rename(build_dir, index_dir)
     return meta
+
+
+def extend_ivf_index(
+    ds_new: ray.data.Dataset, index_dir: str, id_col: str = "vec_id",
+) -> dict:
+    """Incrementally add vectors to a persisted IVF index WITHOUT a
+    rebuild — the vector-side analogue of the text index's pending-work
+    ``extend`` (build.py extend_index): anti-join the delta against the
+    already-indexed ids, assign the genuinely-new vectors to the
+    EXISTING centroids (the standard IVF grow path — the coarse
+    quantizer is fixed; ``compact_ivf_index(refit=True)`` re-trains it
+    when the distribution has drifted), and land them as a new epoch
+    dir. Idempotent: re-extending the same delta adds 0 rows and writes
+    nothing.
+
+    Scale shape: the delta is the small (pending-work) side — its id
+    column is collected and broadcast; the INDEXED side is only ever
+    scanned column-pruned (``vec_id`` alone) with an ``is_in`` filter,
+    so at most |delta| collision ids reach the driver and the stored
+    vectors never move. For deltas too large to hold as a driver id
+    set, the text side's tagged-union distributed anti-join is the
+    documented seam (build.py extend_index uses it for content keys).
+
+    Crash-safe: the epoch parquet is written to ``.build`` and renamed
+    in, then ivf.json is swapped via os.replace. A crash between the
+    two leaves an orphan dir that is ignored (not in ``epochs``) and
+    reclaimed by the next extend."""
+    import pyarrow.compute as pc
+    import shutil as _shutil
+
+    meta = _read_ivf_meta(index_dir)
+    cent = np.load(os.path.join(index_dir, meta.get("centroids", "centroids.npy")))
+
+    delta_ids = set(
+        int(i)
+        for b in ds_new.select_columns([id_col]).iter_batches(batch_format="pyarrow")
+        for i in b[id_col].to_pylist()
+    )
+    if not delta_ids:
+        return {**meta, "added": 0}
+
+    probe = pa.array(sorted(delta_ids), pa.int64())
+    existing: set[int] = set()
+    for ep in meta["epochs"]:
+        hits = (
+            ray.data.read_parquet(
+                os.path.join(index_dir, ep), columns=[id_col]
+            )
+            .map_batches(
+                lambda b: b.filter(pc.is_in(b[id_col].cast(pa.int64()), value_set=probe)),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        # an all-filtered (zero-collision) scan loses its schema
+        if id_col in hits.columns:
+            existing.update(int(i) for i in hits[id_col])
+    new_ids = delta_ids - existing
+    if not new_ids:
+        return {**meta, "added": 0}
+
+    keep = pa.array(sorted(new_ids), pa.int64())
+    fresh = ds_new.map_batches(
+        lambda b: b.filter(pc.is_in(b[id_col].cast(pa.int64()), value_set=keep)),
+        batch_format="pyarrow",
+    )
+    epoch = f"vectors_ep{len(meta['epochs'])}"
+    build_dir = os.path.join(index_dir, epoch + ".build")
+    final_dir = os.path.join(index_dir, epoch)
+    for d in (build_dir, final_dir):  # orphans from a crashed extend
+        if os.path.exists(d):
+            _shutil.rmtree(d)
+    ivf_assign(fresh, cent).write_parquet(build_dir, partition_cols=["cluster"])
+    os.rename(build_dir, final_dir)
+    meta["epochs"] = meta["epochs"] + [epoch]
+    _write_ivf_meta(index_dir, meta)
+    return {**meta, "added": len(new_ids)}
+
+
+def delete_ivf_vectors(index_dir: str, vec_ids) -> dict:
+    """Tombstone vectors in a persisted IVF index (the text side's
+    delete_docs analogue, pipelines/maintenance.py): ids land in a
+    single tombstones.parquet that readers load once per actor and
+    apply while caching clusters — the stored vectors are untouched
+    until ``compact_ivf_index`` rewrites them out. Idempotent (set
+    union). The tombstone set is one int64 column — fine to hundreds
+    of millions of ids; beyond that it becomes a per-epoch parquet dir
+    consulted per cluster (documented seam)."""
+    import pyarrow.parquet as _pq
+
+    meta = _read_ivf_meta(index_dir)
+    merged = np.union1d(
+        _tombstone_ids(index_dir), np.asarray(sorted(set(int(i) for i in vec_ids)), np.int64)
+    )
+    tmp = os.path.join(index_dir, "tombstones.parquet.tmp")
+    _pq.write_table(pa.table({"vec_id": pa.array(merged, pa.int64())}), tmp)
+    os.replace(tmp, os.path.join(index_dir, "tombstones.parquet"))
+    meta["n_tombstones"] = int(len(merged))
+    _write_ivf_meta(index_dir, meta)
+    return meta
+
+
+def compact_ivf_index(index_dir: str, refit: bool = False, nlist: int | None = None) -> dict:
+    """Rewrite a persisted IVF index in place: fold every epoch into
+    one fresh generation dir, drop tombstoned rows for good, and clear
+    the tombstone file — the text side's ``compact_index`` analogue.
+    With ``refit=False`` the centroids (and therefore every search
+    result) are IDENTICAL before and after — compaction is pure storage
+    hygiene; ``refit=True`` re-trains the coarse quantizer on the
+    surviving vectors (use after heavy extends drifted the
+    distribution). Cluster assignment is recomputed from the centroids
+    (deterministic argmax — cheaper and type-safer than trusting the
+    hive partition column round-trip).
+
+    Crash-safe by generation naming + publish-last: the compacted data
+    lands in ``vectors_g{N}`` (never colliding with a live dir), the
+    meta swap via os.replace is the single commit point, and old
+    dirs/tombstones are removed only AFTER the publish — a crash at
+    any step leaves either the old meta over intact old data or the
+    new meta over complete new data, with orphans reclaimed by the
+    final cleanup of the next compact."""
+    import pyarrow.compute as pc
+    import shutil as _shutil
+
+    import glob as _glob
+
+    meta = _read_ivf_meta(index_dir)
+    gen = int(meta.get("gen", 0)) + 1
+    tomb = _tombstone_ids(index_dir)
+    # explicit file list: read_parquet doesn't expand a LIST of dirs,
+    # and the hive `cluster` partition column is recomputed anyway
+    files = [
+        f
+        for ep in meta["epochs"]
+        for f in sorted(_glob.glob(
+            os.path.join(index_dir, ep, "**", "*.parquet"), recursive=True))
+    ]
+    ds = ray.data.read_parquet(files)
+    if "cluster" in ds.schema().names:
+        ds = ds.drop_columns(["cluster"])
+    if len(tomb):
+        dead = ray.put(pa.array(tomb, pa.int64()))
+
+        def drop_dead(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.invert(pc.is_in(b["vec_id"].cast(pa.int64()), value_set=ray.get(dead)))
+            )
+
+        ds = ds.map_batches(drop_dead, batch_format="pyarrow")
+
+    cent_file = meta.get("centroids", "centroids.npy")
+    if refit:
+        cent = fit_centroids(ds, nlist or meta["nlist"])
+        cent_file = f"centroids_g{gen}.npy"
+        np.save(os.path.join(index_dir, cent_file), cent)
+    else:
+        cent = np.load(os.path.join(index_dir, cent_file))
+
+    out_name = f"vectors_g{gen}"
+    build_dir = os.path.join(index_dir, out_name + ".build")
+    for d in (build_dir, os.path.join(index_dir, out_name)):
+        if os.path.exists(d):  # orphan from a crashed compact
+            _shutil.rmtree(d)
+    ivf_assign(ds, cent).write_parquet(build_dir, partition_cols=["cluster"])
+    os.rename(build_dir, os.path.join(index_dir, out_name))
+
+    new_meta = {
+        "nlist": int(len(cent)), "dim": int(cent.shape[1]),
+        "epochs": [out_name], "n_tombstones": 0, "gen": gen,
+        "centroids": cent_file,
+    }
+    _write_ivf_meta(index_dir, new_meta)  # the commit point
+
+    # post-publish cleanup (safe to lose to a crash: orphans are
+    # never referenced by the meta and get reclaimed here next time)
+    for entry in os.listdir(index_dir):
+        p = os.path.join(index_dir, entry)
+        if os.path.isdir(p) and entry.startswith("vectors") and entry != out_name:
+            _shutil.rmtree(p)
+        elif entry.startswith("centroids") and entry != cent_file:
+            os.remove(p)
+        elif entry.startswith("tombstones.parquet"):
+            os.remove(p)
+    return new_meta
 
 
 @ray.remote
@@ -310,10 +541,20 @@ class IVFClusterActor:
     never read, repeated queries never re-read parquet (both asserted
     destructively in tests/test_similarity.py by deleting the files)."""
 
-    def __init__(self, index_dir: str, cluster_ids: list[int]):
+    def __init__(self, index_dir: str, cluster_ids: list[int],
+                 epochs: list[str] | None = None, tomb_ref=None):
         self.index_dir = index_dir
         self.owned = set(int(c) for c in cluster_ids)
+        self.epochs = list(epochs) if epochs else ["vectors"]
+        # tombstoned vec_ids (delete_ivf_vectors): the reader ray.puts
+        # the array once and passes the ref, which Ray dereferences to
+        # a zero-copy view on arrival; applied while caching so the hot
+        # search path never re-filters
+        self.tomb = tomb_ref
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # live-row mask per cluster IN FILE ORDER, so metadata columns
+        # read later align with the tombstone-filtered _cache rows
+        self._mask: dict[int, np.ndarray] = {}
         # metadata columns for filtered ANN, cached per (cluster, col)
         # in the same row order as _cache[c] (same sorted file walk)
         self._col_cache: dict[tuple[int, str], np.ndarray] = {}
@@ -321,21 +562,25 @@ class IVFClusterActor:
     def _cluster_files(self, c: int) -> list[str]:
         import glob as _glob
 
-        return sorted(_glob.glob(os.path.join(
-            self.index_dir, "vectors", f"cluster={c}", "*.parquet")))
+        return [
+            f
+            for ep in self.epochs
+            for f in sorted(_glob.glob(os.path.join(
+                self.index_dir, ep, f"cluster={c}", "*.parquet")))
+        ]
 
     def _col(self, c: int, col: str) -> np.ndarray:
         key = (c, col)
         if key not in self._col_cache:
             import pyarrow.parquet as _pq
 
+            self._cluster(c)  # ensure the live-row mask exists
             parts = [
                 _pq.read_table(f, columns=[col])[col].to_numpy(zero_copy_only=False)
                 for f in self._cluster_files(c)
             ]
-            self._col_cache[key] = (
-                np.concatenate(parts) if parts else np.empty(0)
-            )
+            vals = np.concatenate(parts) if parts else np.empty(0)
+            self._col_cache[key] = vals[self._mask[c]] if len(vals) else vals
         return self._col_cache[key]
 
     def _cluster(self, c: int) -> tuple[np.ndarray, np.ndarray]:
@@ -348,9 +593,16 @@ class IVFClusterActor:
                 ids_l.append(t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64))
                 mats.append(_normalize(_batch_mat(t)))
             if ids_l:
-                self._cache[c] = (np.concatenate(ids_l), np.vstack(mats))
+                ids, m = np.concatenate(ids_l), np.vstack(mats)
             else:
-                self._cache[c] = (np.empty(0, np.int64), np.empty((0, 1)))
+                ids, m = np.empty(0, np.int64), np.empty((0, 1))
+            keep = (
+                ~np.isin(ids, self.tomb)
+                if self.tomb is not None and len(ids)
+                else np.ones(len(ids), dtype=bool)
+            )
+            self._mask[c] = keep
+            self._cache[c] = (ids[keep], m[keep] if len(ids) else m)
         return self._cache[c]
 
     def search(
@@ -398,14 +650,22 @@ class IVFIndexReader:
 
     def __init__(self, index_dir: str, num_actors: int = 2):
         self.index_dir = index_dir
-        self.cent = np.load(os.path.join(index_dir, "centroids.npy"))
+        self.meta = _read_ivf_meta(index_dir)
+        self.cent = np.load(
+            os.path.join(index_dir, self.meta.get("centroids", "centroids.npy"))
+        )
+        tomb = _tombstone_ids(index_dir)
+        tomb_ref = ray.put(tomb) if len(tomb) else None
         nlist = len(self.cent)
         num_actors = max(1, min(num_actors, nlist))
         assign: list[list[int]] = [[] for _ in range(num_actors)]
         for c in range(nlist):
             assign[c % num_actors].append(c)
         self.actors = [
-            IVFClusterActor.remote(index_dir, cluster_ids) for cluster_ids in assign
+            IVFClusterActor.remote(
+                index_dir, cluster_ids, self.meta["epochs"], tomb_ref
+            )
+            for cluster_ids in assign
         ]
         ray.get([a.ready.remote() for a in self.actors])
 
