@@ -13,6 +13,15 @@ index engine:
   python -m information_retrieval_images_ray compact --index DIR --out DIR
   python -m information_retrieval_images_ray reset   --index DIR --yes
 
+Vector-index verbs (the persisted-IVF lifecycle, mirroring the text
+verbs — reference vector_db.py create/insert/delete/search):
+
+  python -m information_retrieval_images_ray vec-build   --vectors PQ --index DIR
+  python -m information_retrieval_images_ray vec-extend  --vectors PQ --index DIR
+  python -m information_retrieval_images_ray vec-delete  --index DIR IDS...
+  python -m information_retrieval_images_ray vec-compact --index DIR [--refit]
+  python -m information_retrieval_images_ray vec-search  --index DIR "[...]" -k K
+
 ``extend`` diffs the corpus listing against the manifest's ingested
 files and indexes only the NEW files (the reference's re-run-to-extend
 workflow, main.py --create-label re-runs skipping done rows).
@@ -204,6 +213,77 @@ def cmd_reset(args) -> int:
     return 0
 
 
+def cmd_vec_build(args) -> int:
+    """Build (or resume) a persisted IVF index from a parquet table
+    with (vec_id, embedding[, metadata...]) columns — the reference's
+    create_collection + IVF_FLAT index (vector_db.py:21-42)."""
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.similarity import build_ivf_index
+
+    meta = build_ivf_index(
+        ray.data.read_parquet(args.vectors), args.index, nlist=args.nlist
+    )
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_vec_extend(args) -> int:
+    """Incrementally add vectors (anti-joined against the indexed
+    ids, assigned to the existing centroids)."""
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.similarity import extend_ivf_index
+
+    meta = extend_ivf_index(ray.data.read_parquet(args.vectors), args.index)
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_vec_delete(args) -> int:
+    """Tombstone vec_ids (reference delete_record, vector_db.py:54-58)."""
+    from .pipelines.similarity import delete_ivf_vectors
+
+    meta = delete_ivf_vectors(args.index, [int(x) for x in args.ids])
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_vec_compact(args) -> int:
+    """Fold epochs + drop tombstoned vectors; --refit re-trains the
+    coarse quantizer on the survivors."""
+    _ensure_ray(args.num_cpus)
+    from .pipelines.similarity import compact_ivf_index
+
+    meta = compact_ivf_index(args.index, refit=args.refit, nlist=args.nlist)
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_vec_search(args) -> int:
+    """ANN top-k for a JSON query vector (client-supplied, the
+    vector-DB-standard contract)."""
+    _ensure_ray(args.num_cpus)
+    import numpy as np
+
+    from .pipelines.similarity import IVFIndexReader
+
+    vec = np.asarray(json.loads(args.vector), np.float64)
+    reader = IVFIndexReader(args.index, num_actors=args.actors)
+    try:
+        out = reader.search(
+            vec[None, :], k=args.k, nprobe=args.nprobe,
+            filter_col=args.filter_col,
+            filter_value=json.loads(args.filter_value) if args.filter_value else None,
+        )
+    finally:
+        reader.close()
+    print(out.drop(columns=["qid"]).to_json(orient="records"))
+    return 0
+
+
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="information_retrieval_images_ray")
     sub = p.add_subparsers(dest="verb", required=True)
@@ -280,6 +360,45 @@ def make_parser() -> argparse.ArgumentParser:
     r.add_argument("--index", required=True)
     r.add_argument("--yes", action="store_true")
     r.set_defaults(func=cmd_reset)
+
+    vb = sub.add_parser("vec-build", help="build a persisted IVF vector index")
+    vb.add_argument("--vectors", required=True, help="parquet with vec_id + embedding")
+    vb.add_argument("--index", required=True)
+    vb.add_argument("--nlist", type=int, default=16)
+    vb.add_argument("--num-cpus", type=int, default=None)
+    vb.set_defaults(func=cmd_vec_build)
+
+    ve = sub.add_parser("vec-extend", help="add new vectors to a persisted IVF index")
+    ve.add_argument("--vectors", required=True)
+    ve.add_argument("--index", required=True)
+    ve.add_argument("--num-cpus", type=int, default=None)
+    ve.set_defaults(func=cmd_vec_extend)
+
+    vd = sub.add_parser("vec-delete", help="tombstone vec_ids")
+    vd.add_argument("ids", nargs="+")
+    vd.add_argument("--index", required=True)
+    vd.set_defaults(func=cmd_vec_delete)
+
+    vc = sub.add_parser("vec-compact", help="fold epochs, drop tombstoned vectors")
+    vc.add_argument("--index", required=True)
+    vc.add_argument("--refit", action="store_true",
+                    help="re-train the coarse quantizer on the survivors")
+    vc.add_argument("--nlist", type=int, default=None,
+                    help="nlist for --refit (default: keep current)")
+    vc.add_argument("--num-cpus", type=int, default=None)
+    vc.set_defaults(func=cmd_vec_compact)
+
+    vs = sub.add_parser("vec-search", help="ANN top-k for a JSON query vector")
+    vs.add_argument("vector", help='JSON list of floats, e.g. "[0.1, 0.2, ...]"')
+    vs.add_argument("--index", required=True)
+    vs.add_argument("-k", type=int, default=10)
+    vs.add_argument("--nprobe", type=int, default=4)
+    vs.add_argument("--actors", type=int, default=2)
+    vs.add_argument("--filter-col", default=None)
+    vs.add_argument("--filter-value", default=None,
+                    help="JSON-encoded equality value for --filter-col")
+    vs.add_argument("--num-cpus", type=int, default=None)
+    vs.set_defaults(func=cmd_vec_search)
     return p
 
 

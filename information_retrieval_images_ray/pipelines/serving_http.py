@@ -31,6 +31,15 @@ POST /reset-db over FastAPI) re-expressed as a dependency-free stdlib
                       is re-attached via POST /reload (or a restart).
   POST /reload        {} -> {"n_docs": n} — attach a (re)built index
                       from disk by swapping in a fresh actor pool.
+  POST /knn           {"vector": [float, ...], "limit": int=10,
+                       "nprobe": int=4, "filter_col": str|null,
+                       "filter_value": any, "hydrate": bool=true}
+                      -> pure ANN ranking over the attached persisted
+                      IVF index (the reference's search_by_embedding
+                      endpoint, vector_db.py:93-103 / server.py:147 —
+                      client supplies the query vector). Tombstone-
+                      aware like /hybrid; 409 when no vector index is
+                      attached.
   POST /hybrid        {"query": str, "vector": [float, ...],
                        "limit": int=10, "n_each": int=20,
                        "nprobe": int=4, "hydrate": bool=true}
@@ -167,6 +176,22 @@ class IndexHTTPServer:
                             req.get("docs", []),
                             bool(req.get("skip_existing_content", False)),
                         ))
+                    elif self.path == "/knn":
+                        if outer.vector_index_dir is None:
+                            self._json(409, {"error": "no vector index attached (vector_index_dir)"})
+                            return
+                        vec = req.get("vector")
+                        if not isinstance(vec, list) or not vec:
+                            self._json(400, {"error": "\"vector\" must be a non-empty list of floats"})
+                            return
+                        self._json(200, outer.knn(
+                            vec,
+                            k=int(req.get("limit", 10)),
+                            nprobe=int(req.get("nprobe", 4)),
+                            filter_col=req.get("filter_col"),
+                            filter_value=req.get("filter_value"),
+                            hydrate=bool(req.get("hydrate", True)),
+                        ))
                     elif self.path == "/hybrid":
                         if outer.vector_index_dir is None:
                             self._json(409, {"error": "no vector index attached (vector_index_dir)"})
@@ -224,6 +249,45 @@ class IndexHTTPServer:
             self._ivf = IVFIndexReader(self.vector_index_dir, num_actors=self.num_actors)
         return self._ivf
 
+    def knn(self, vector: list[float], k: int = 10, nprobe: int = 4,
+            filter_col: str | None = None, filter_value=None,
+            hydrate: bool = True) -> list[dict]:
+        """Pure ANN top-k for a client-supplied query vector against
+        the attached persisted IVF index (reference
+        search_by_embedding, vector_db.py:93-103). Overfetches by the
+        tombstone count and dense-re-ranks so deleted docs never
+        surface — same contract as /hybrid's vector side."""
+        from .maintenance import load_tombstones
+
+        if self.vector_index_dir is None:
+            raise RuntimeError("no vector index attached (vector_index_dir)")
+        with self._lock:
+            ivf = self._ivf_reader()
+        tombs = load_tombstones(self.index_dir)
+        q = np.asarray(vector, np.float64)[None, :]
+        vec = ivf.search(
+            q, k=k + min(len(tombs), 64), nprobe=nprobe,
+            filter_col=filter_col, filter_value=filter_value,
+        ).rename(columns={"vec_id": "doc_id"})
+        if len(tombs):
+            vec = vec[~vec["doc_id"].isin(list(tombs))]
+        vec = vec.sort_values("rank").head(k).reset_index(drop=True)
+        rows = [
+            {
+                "rank": i + 1,
+                "doc_id": int(r["doc_id"]),
+                "sim": r["sim_e6"] / 1_000_000,
+            }
+            for i, (_, r) in enumerate(vec.iterrows())
+        ]
+        if hydrate and rows:
+            meta = {m["doc_id"]: m for m in self._hydrate([r["doc_id"] for r in rows])}
+            for r in rows:
+                for key, val in meta.get(r["doc_id"], {}).items():
+                    if key not in r:
+                        r[key] = val
+        return rows
+
     def hybrid(self, query: str, vector: list[float], k: int = 10,
                n_each: int = 20, nprobe: int = 4, hydrate: bool = True) -> list[dict]:
         """Reciprocal-rank fusion of the BM25 top-``n_each`` for
@@ -253,7 +317,7 @@ class IndexHTTPServer:
         q = np.asarray(vector, np.float64)[None, :]
         vec = ivf.search(q, k=n_each + min(len(tombs), 64), nprobe=nprobe)
         vec = vec.rename(columns={"vec_id": "doc_id"})
-        if tombs:
+        if len(tombs):
             vec = vec[~vec["doc_id"].isin(list(tombs))]
         vec = vec.sort_values("rank").head(n_each).reset_index(drop=True)
         vec["rank"] = np.arange(1, len(vec) + 1, dtype=np.int64)

@@ -81,3 +81,63 @@ def test_reset_with_yes(tmp_path, capsys):
     os.makedirs(d)
     assert main(["reset", "--index", d, "--yes"]) == 0
     assert not os.path.exists(d)
+
+
+def test_vector_lifecycle_verbs(tmp_path, capsys):
+    """vec-build -> vec-search -> vec-extend -> vec-delete ->
+    vec-compact -> vec-search: the CLI surface of the persisted-IVF
+    lifecycle, exact vs a numpy cosine oracle at exhaustive nprobe."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    dim, n = 8, 80
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+
+    def write(path, lo, hi):
+        pd.DataFrame({
+            "vec_id": np.arange(lo, hi, dtype=np.int64),
+            "embedding": [v.tolist() for v in vecs[lo:hi]],
+        }).to_parquet(path)
+
+    base_pq = str(tmp_path / "base.parquet")
+    delta_pq = str(tmp_path / "delta.parquet")
+    write(base_pq, 0, 60)
+    write(delta_pq, 0, 80)  # overlapping delta: only 60..79 are new
+    idx = str(tmp_path / "vivf")
+
+    assert main(["vec-build", "--vectors", base_pq, "--index", idx,
+                 "--nlist", "4"]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["nlist"] == 4
+
+    assert main(["vec-extend", "--vectors", delta_pq, "--index", idx]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["added"] == 20
+
+    def oracle(qvec, k, exclude=()):
+        m = vecs.astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ (np.asarray(qvec) / np.linalg.norm(qvec))
+        ids = np.arange(n)
+        keep = ~np.isin(ids, list(exclude))
+        ids, sims = ids[keep], sims[keep]
+        return [int(i) for i in ids[np.lexsort((ids, -sims))[:k]]]
+
+    q = [float(x) for x in vecs[3]]
+    assert main(["vec-search", json.dumps(q), "--index", idx,
+                 "-k", "5", "--nprobe", "4"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [h["vec_id"] for h in hits] == oracle(q, 5)
+
+    assert main(["vec-delete", "3", "7", "--index", idx]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "n_tombstones"] == 2
+    assert main(["vec-compact", "--index", idx]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["epochs"] == ["vectors_g1"] and meta["n_tombstones"] == 0
+
+    assert main(["vec-search", json.dumps(q), "--index", idx,
+                 "-k", "5", "--nprobe", "4"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [h["vec_id"] for h in hits] == oracle(q, 5, exclude=(3, 7))

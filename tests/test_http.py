@@ -230,7 +230,8 @@ def hybrid_server(tmp_path_factory):
         for i in range(60)
     ]
     emb = [
-        {"vec_id": i, "embedding": rng.normal(size=8).astype(np.float32).tolist()}
+        {"vec_id": i, "embedding": rng.normal(size=8).astype(np.float32).tolist(),
+         "label": i % 3}
         for i in range(60)
     ]
     idx = str(tmp_path_factory.mktemp("hyidx"))
@@ -314,4 +315,83 @@ def test_hybrid_error_contracts(server, hybrid_server):
     # missing/empty vector -> 400
     with pytest.raises(urllib.error.HTTPError) as e:
         _req(srv_h.port, "/hybrid", {"query": "x"})
+    assert e.value.code == 400
+
+
+# ---------------------------------------------------------------------------
+# POST /knn (pure ANN over the attached IVF index)
+
+
+def _live_exact_topk(srv, idx, emb, qvec, k, label=None):
+    """Exact cosine top-k over the live (non-tombstoned) vectors —
+    the oracle for /knn at exhaustive nprobe. Module-scoped fixtures
+    accumulate tombstones across tests, so read them from disk."""
+    from information_retrieval_images_ray.pipelines.maintenance import (
+        load_tombstones,
+    )
+
+    tombs = load_tombstones(idx)
+    rows = [
+        e for e in emb
+        if e["vec_id"] not in tombs
+        and (label is None or e["label"] == label)
+    ]
+    m = np.stack([np.asarray(e["embedding"], np.float64) for e in rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = np.asarray(qvec, np.float64)
+    sims = m @ (q / np.linalg.norm(q))
+    ids = np.array([e["vec_id"] for e in rows])
+    order = np.lexsort((ids, -sims))[:k]
+    return [int(ids[i]) for i in order]
+
+
+def test_knn_matches_exact(hybrid_server):
+    srv, idx, emb = hybrid_server
+    qvec = list(map(float, emb[5]["embedding"]))
+    status, hits = _req(srv.port, "/knn", {
+        "vector": qvec, "limit": 10, "nprobe": 8,
+    })
+    assert status == 200 and len(hits) == 10
+    assert [h["doc_id"] for h in hits] == _live_exact_topk(srv, idx, emb, qvec, 10)
+    assert [h["rank"] for h in hits] == list(range(1, 11))
+    assert all("content_sha256" in h for h in hits)  # hydrated
+    assert hits[0]["sim"] >= hits[-1]["sim"]
+
+
+def test_knn_filtered(hybrid_server):
+    srv, idx, emb = hybrid_server
+    qvec = list(map(float, emb[12]["embedding"]))  # label 12 % 3 == 0
+    status, hits = _req(srv.port, "/knn", {
+        "vector": qvec, "limit": 5, "nprobe": 8,
+        "filter_col": "label", "filter_value": 0,
+    })
+    assert status == 200
+    assert [h["doc_id"] for h in hits] == _live_exact_topk(
+        srv, idx, emb, qvec, 5, label=0
+    )
+    assert all(h["doc_id"] % 3 == 0 for h in hits)
+
+
+def test_knn_respects_tombstones(hybrid_server):
+    srv, idx, emb = hybrid_server
+    qvec = list(map(float, emb[11]["embedding"]))
+    _, before = _req(srv.port, "/knn", {"vector": qvec, "limit": 10, "nprobe": 8})
+    assert 11 in {h["doc_id"] for h in before}  # self-match present
+    _req(srv.port, "/delete", {"doc_ids": [11]})
+    _, after = _req(srv.port, "/knn", {"vector": qvec, "limit": 10, "nprobe": 8})
+    assert 11 not in {h["doc_id"] for h in after}
+    assert len(after) == 10  # overfetch backfills the dropped doc
+    assert [h["doc_id"] for h in after] == _live_exact_topk(srv, idx, emb, qvec, 10)
+
+
+def test_knn_error_contracts(server, hybrid_server):
+    import urllib.error
+
+    srv_plain, _ = server
+    srv_h, _, _ = hybrid_server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(srv_plain.port, "/knn", {"vector": [1.0, 0.0]})
+    assert e.value.code == 409
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(srv_h.port, "/knn", {})
     assert e.value.code == 400
