@@ -286,6 +286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping_window": lambda sf: streaming.hopping_window_events(sf),
         "q_session_windows": lambda sf: streaming.session_windows_events(sf),
         "q_event_asof": lambda sf: streaming.event_asof_join(sf),
+        # exact distributed percentiles via a (type, cents) histogram
+        # combiner — one bounded exchange, no sort, no sketch
+        "q_event_percentiles": lambda sf: streaming.event_value_percentiles(sf),
         "q_distinct_langs": lambda sf: relational.distinct_langs(sf),
         # grouped top-k (QUALIFY shape): k longest docs per lang,
         # per-batch combiner so the exchange moves k rows per batch
@@ -951,6 +954,15 @@ FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.t <= p.t
 GROUP BY 1, 2, 3
 """,
         "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
+        # values are 2-decimal, so cents-rounding commutes with the
+        # discrete quantile (both sides pick an actual data value)
+        "q_event_percentiles": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(FLOOR(quantile_disc(value, 0.5)  * 100 + 0.5) AS BIGINT) AS p50_cents,
+       CAST(FLOOR(quantile_disc(value, 0.9)  * 100 + 0.5) AS BIGINT) AS p90_cents,
+       CAST(FLOOR(quantile_disc(value, 0.99) * 100 + 0.5) AS BIGINT) AS p99_cents
+FROM events GROUP BY event_type
+""",
         "q_grouped_topk": f"""
 WITH dl AS (SELECT doc_id, lang, len({TOK_SQL}) AS n_tokens FROM documents),
 r AS (SELECT lang, doc_id, n_tokens,

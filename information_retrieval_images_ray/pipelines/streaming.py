@@ -168,3 +168,70 @@ def event_asof_join(
              for c in ["event_id", "user_id", "t_event_us", "t_match_us"]}
         )
     return out.sort_values("event_id").reset_index(drop=True).astype("int64")
+
+
+def event_value_percentiles(
+    sf_dir: str, quantiles=(0.5, 0.9, 0.99)
+) -> pd.DataFrame:
+    """EXACT distributed percentiles of the event value per event_type
+    — the monitoring-pipeline staple (p50/p90/p99) as a histogram
+    combiner instead of a sort:
+
+    values carry two decimals, so each batch reduces to a sparse
+    ``(event_type, value_cents) -> count`` histogram (int cents —
+    float equality never touches a shuffle key); one hash exchange
+    sums histograms (moving DISTINCT-VALUE rows, never events), and a
+    per-type ``map_groups`` picks the discrete quantiles by cumulative
+    count: index ceil(q*n)-1 in sorted order, IEEE-double q*n —
+    bit-compatible with DuckDB's ``quantile_disc``. Exact at any
+    event count while the exchange stays bounded by the value
+    cardinality; truly continuous values (unbounded cardinality) take
+    the standard t-digest/KLL sketch instead — approximate, so it is
+    deliberately NOT this operator.
+    """
+    import math
+
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        counts: dict[tuple[str, int], int] = {}
+        for t, c in zip(et, cents):
+            counts[(t, int(c))] = counts.get((t, int(c)), 0) + 1
+        keys = list(counts)
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in keys], pa.string()),
+                "cents": pa.array([k[1] for k in keys], pa.int64()),
+                "cnt": pa.array([counts[k] for k in keys], pa.int64()),
+            }
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["cents"].to_numpy(np.int64))
+        vals = g["cents"].to_numpy(np.int64)[order]
+        cum = np.cumsum(g["cnt"].to_numpy(np.int64)[order])
+        n = int(cum[-1])
+        row = {"event_type": g["event_type"].iloc[0], "n_events": n}
+        for q in quantiles:
+            idx = math.ceil(q * n) - 1  # DuckDB quantile_disc's index
+            pos = int(np.searchsorted(cum, idx + 1))
+            row[f"p{int(q * 100)}_cents"] = int(vals[pos])
+        return pd.DataFrame([row])
+
+    out = (
+        ev.map_batches(hist, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("event_type")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.sort_values("event_type")
+        .reset_index(drop=True)
+        .astype({c: "int64" for c in out.columns if c != "event_type"})
+    )

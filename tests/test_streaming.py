@@ -52,3 +52,47 @@ def test_session_single_event_users(tmp_path):
     u1 = out[out["user_id"] == 1]
     assert len(u1) == 2  # 4h gap > 30min -> two sessions
     assert len(out[out["user_id"] == 2]) == 1
+
+
+def test_event_percentiles_exact_with_ties(tmp_path):
+    """The histogram combiner must reproduce numpy's discrete quantile
+    (index ceil(q*n)-1) exactly across blocks, including heavy ties and
+    n==1 groups — verified against a direct sorted-array oracle."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(13)
+    rows = []
+    eid = 0
+    # 'tied' draws from only 5 distinct values -> massive ties;
+    # 'spread' is near-unique; 'single' has exactly one event
+    for _ in range(400):
+        rows.append((eid, 0, 0, "tied", float(rng.integers(1, 6)) + 0.25))
+        eid += 1
+    for _ in range(257):
+        rows.append((eid, 0, 0, "spread", round(float(rng.uniform(0, 500)), 2)))
+        eid += 1
+    rows.append((eid, 0, 0, "single", 42.42))
+
+    out_dir = tmp_path
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    # several row groups so per-batch histograms genuinely merge
+    pq.write_table(t, str(out_dir / "events.parquet"), row_group_size=100)
+
+    got = streaming.event_value_percentiles(str(out_dir)).set_index("event_type")
+    df = pd.DataFrame(rows, columns=["eid", "ts", "uid", "event_type", "value"])
+    for et, g in df.groupby("event_type"):
+        cents = np.sort(np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64))
+        n = len(cents)
+        assert got.loc[et, "n_events"] == n
+        for q, col in ((0.5, "p50_cents"), (0.9, "p90_cents"), (0.99, "p99_cents")):
+            assert got.loc[et, col] == cents[math.ceil(q * n) - 1], (et, q)
