@@ -213,6 +213,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lang matches; corpus stats stay GLOBAL (tombstone-style
         # semantics), so the oracle is ranked_where on the full CTE
         "q_bm25_filtered": lambda sf: flagship.run_bm25_queries_filtered(sf, lang="fr", k=10, algo="bmw"),
+        # phrase search: conjunctive candidates from the postings, then
+        # distributed adjacency verification over a doc-id-pruned read
+        # phrase length 2 so every battery entry fills its top-10
+        # (exercises the rank truncation, not just the verify filter)
+        "q_phrase_topk": lambda sf: flagship.run_phrase_queries(sf, k=10, n_tokens=2),
         "q_index_segments": lambda sf: flagship.segment_summary(sf),
         "q_term_stats": lambda sf: analysis.term_stats(docs(sf)),
         "q_doc_lengths": lambda sf: analysis.doc_lengths(docs(sf)),
@@ -350,6 +355,54 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
        CAST(doc_id AS BIGINT) AS doc_id,
        CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS score_e6
 FROM ranked WHERE rnk <= 10
+"""
+
+
+def _phrase_sql(n_tokens: int = 3, k: int = 10) -> str:
+    """Phrase top-k oracle: phrase(qid) = first n_tokens tokens of the
+    anchor doc; a doc matches iff its space-joined token list contains
+    the space-joined phrase with space padding (tokens are [a-z0-9]+,
+    so LIKE containment IS the contiguous-subsequence test); matches
+    ranked by the same BM25 sum as _bm25_cte_body over the phrase's
+    distinct terms."""
+    from information_retrieval_images_ray.pipelines.flagship import PHRASE_ANCHORS
+
+    anchors = ", ".join(f"({a})" for a in PHRASE_ANCHORS)
+    return f"""
+WITH anchors(qid) AS (VALUES {anchors}),
+docs AS (SELECT doc_id, text FROM documents),
+toksl AS (SELECT doc_id, {TOK_SQL} AS toks FROM docs),
+phr AS (SELECT a.qid, array_to_string(t.toks[1:{n_tokens}], ' ') AS phrase
+        FROM anchors a JOIN toksl t ON t.doc_id = a.qid
+        WHERE len(t.toks) > 0),
+queries AS (SELECT qid, unnest(list_distinct(string_split(phrase, ' '))) AS term
+            FROM phr),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM toksl) GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM toksl),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl)/count(*) AS avgdl FROM dl),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+match AS (SELECT p.qid, t.doc_id FROM phr p JOIN toksl t
+          ON (' ' || array_to_string(t.toks, ' ') || ' ')
+             LIKE ('% ' || p.phrase || ' %')),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*dl.dl/s.avgdl)) ) AS score
+  FROM queries q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (SELECT m.qid, m.doc_id, sc.score,
+                  row_number() OVER (PARTITION BY m.qid
+                                     ORDER BY sc.score DESC, m.doc_id) AS rnk
+           FROM match m JOIN scored sc ON sc.qid = m.qid AND sc.doc_id = m.doc_id)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS score_e6
+FROM ranked WHERE rnk <= {k}
 """
 
 
@@ -688,6 +741,7 @@ SELECT min(doc_id) AS doc_id, text FROM (
         "q_bm25_compacted": _bm25_sql(doc_filter="doc_id % 7 <> 0"),
         # search-time filter: full-corpus stats, only lang=fr docs
         # ranked (WHERE binds before row_number in the ranked CTE)
+        "q_phrase_topk": _phrase_sql(n_tokens=2),
         "q_bm25_filtered": _bm25_sql(
             ranked_where="WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'fr')"
         ),

@@ -437,6 +437,63 @@ class IndexReader:
             ids, scores = ids[live], scores[live]
         return rank_topk(ids, scores, k)
 
+    def conjunctive_scores(
+        self, terms: list[str], doc_filter=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Docs containing EVERY term in ``terms`` (AND semantics),
+        with their full BM25 scores — the candidate stage of phrase
+        search. Same TAAT accumulators as ``search_taat`` plus a
+        per-shard presence counter; returns (doc_ids, scores) sorted
+        by doc_id. A term absent from the index empties the
+        conjunction. Scores are bitwise-identical to ``search_taat``'s
+        for the same terms (same partials, same add order)."""
+        mask = self._resolve_filter(doc_filter)
+        uniq = sorted(set(terms))
+        infos = self._term_infos(uniq)
+        if len(infos) < len(uniq):  # some term has df == 0
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, np.ndarray] = {}
+        k1, b = self.params.k1, self.params.b
+        for t, w, locs in infos:
+            for s, i in locs:
+                sh = self.shards[s]
+                ids, part = sh.partial(i, self.block_size, self.doc_len,
+                                       k1, b, self.avgdl)
+                a = acc.get(s)
+                if a is None:
+                    a = np.zeros(sh.hi - sh.lo, dtype=np.float64)
+                    c = np.zeros(sh.hi - sh.lo, dtype=np.int32)
+                    acc[s], cnt[s] = a, c
+                else:
+                    c = cnt[s]
+                if ids is None:  # dense stopword form: tf>0 <=> part>0
+                    a += w * part
+                    c += (part > 0).astype(np.int32)
+                else:
+                    a[ids - sh.lo] += w * part
+                    c[ids - sh.lo] += 1
+        all_ids, all_scores = [], []
+        need = len(infos)
+        for s, a in acc.items():
+            hit = np.flatnonzero(cnt[s] == need)
+            all_ids.append((hit + self.shards[s].lo).astype(np.int64))
+            all_scores.append(a[hit])
+        if not all_ids:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids = np.concatenate(all_ids)
+        scores = np.concatenate(all_scores)
+        if mask is not None:
+            keep = mask[ids]
+            ids, scores = ids[keep], scores[keep]
+        if len(self.tombstones):
+            from .maintenance import is_tombstoned
+
+            live = ~is_tombstoned(self.tombstones, ids)
+            ids, scores = ids[live], scores[live]
+        order = np.argsort(ids)
+        return ids[order], scores[order]
+
     # -- block-max WAND (vectorized block-at-a-time variant) ------------------
     def search_bmw(
         self, query: str, k: int = 10, weights: dict[str, float] | None = None,

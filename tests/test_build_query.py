@@ -371,3 +371,60 @@ def test_csv_and_jsonl_corpus_sources(tmp_path):
         want = idx["pq"].search_taat(q, 10)
         assert idx["csv"].search_taat(q, 10) == want, ("csv", q)
         assert idx["jl"].search_taat(q, 10) == want, ("jl", q)
+
+
+def test_phrase_search_planted(tmp_path):
+    """Phrase semantics end-to-end: conjunctive candidates + adjacency
+    verification must find exactly the docs containing the phrase as a
+    CONTIGUOUS token run — not docs with the terms scattered — ranked
+    by the phrase terms' BM25 with the engine's tie-break."""
+    import ray.data
+
+    from information_retrieval_images_ray.functions.tokenizer import (
+        tokenize_simple,
+    )
+    from information_retrieval_images_ray.pipelines.flagship import (
+        run_phrase_queries,
+    )
+
+    # doc 0 is the anchor: phrase = "red panda climbs"
+    texts = [
+        "red panda climbs trees daily",
+        # contiguous match, extra context
+        "the red panda climbs very fast",
+        # all three terms present but NEVER adjacent -> must be excluded
+        "red fox panda bear climbs walls",
+        # partial term overlap only
+        "red panda sleeps all day",
+        # another contiguous match
+        "zoo red panda climbs red panda climbs",
+        "unrelated words entirely here",
+    ]
+    rows = [
+        {"doc_id": i, "text": t, "lang": "en", "source": "test"}
+        for i, t in enumerate(texts)
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        __import__("pyarrow").Table.from_pylist(rows),
+        str(sf / "documents.parquet"),
+    )
+    out = run_phrase_queries(str(sf), k=10, n_tokens=3, anchors=(0,))
+    assert set(out["doc_id"]) == {0, 1, 4}
+    assert list(out["rank"]) == [1, 2, 3]
+
+    # scores equal search_taat's for the same terms (same accumulators)
+    from information_retrieval_images_ray.pipelines.flagship import (
+        build_documents_index,
+    )
+    from information_retrieval_images_ray.pipelines.query import IndexReader
+
+    reader = IndexReader(build_documents_index(str(sf)))
+    taat = dict(reader.search_taat("red panda climbs", 10))
+    for _, r in out.iterrows():
+        assert int(np.floor(taat[r["doc_id"]] * 1e6 + 0.5)) == r["score_e6"]
+
+    # conjunctive_scores drops the conjunction when any term is unindexed
+    ids, scores = reader.conjunctive_scores(["red", "nosuchterm"])
+    assert len(ids) == 0 and len(scores) == 0
