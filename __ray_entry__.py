@@ -233,6 +233,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- dedup (D1 + near-dup family) ------------------------------------
         "q_exact_dedup": lambda sf: dedup.exact_dedup_groups(docs(sf)),
         "q_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(docs(sf), n=5),
+        # connected components over the near-dup pair graph (keep one
+        # doc per CLUSTER, not per pair)
+        "q_dup_clusters": lambda sf: dedup.dup_clusters(docs(sf), n=5),
         "q_minhash_neardup": lambda sf: dedup.minhash_near_dups(docs(sf), threshold=0.5),
         "q_simhash_neardup": lambda sf: dedup.simhash_near_dups(docs(sf), max_hamming=3),
         # winnowing (rolling-hash document fingerprints + overlap)
@@ -356,6 +359,20 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
        CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS score_e6
 FROM ranked WHERE rnk <= 10
 """
+
+
+# shared body of the n-gram near-dup oracles: distinct 5-gram shingles
+# per doc, hot-shingle cap (max_group) mirrored, candidate pairs with
+# common-shingle counts
+_NGRAM_PAIR_CTE = f"""toks AS (SELECT doc_id, {TOK_SQL} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ts[u.i : u.i + 4], ' ') AS shingle
+       FROM toks CROSS JOIN LATERAL unnest(range(1, greatest(len(ts) - 3, 1))) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+eligible AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1024),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           WHERE a.shingle IN (SELECT shingle FROM eligible)
+           GROUP BY 1, 2)"""
 
 
 def _phrase_sql(n_tokens: int = 3, k: int = 10) -> str:
@@ -825,22 +842,25 @@ FROM documents GROUP BY 1
         "q_minhash_neardup": _minhash_sql(),
         "q_simhash_neardup": _simhash_sql(),
         "q_ngram_jaccard": f"""
-WITH toks AS (SELECT doc_id, {TOK_SQL} AS ts FROM documents),
-sh AS (SELECT DISTINCT doc_id, array_to_string(ts[u.i : u.i + 4], ' ') AS shingle
-       FROM toks CROSS JOIN LATERAL unnest(range(1, greatest(len(ts) - 3, 1))) AS u(i)),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
--- mirror of the pipeline's hot-shingle cap (max_group): shingles
--- shared by more than 1024 docs emit no candidate pairs
-eligible AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1024),
-common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           WHERE a.shingle IN (SELECT shingle FROM eligible)
-           GROUP BY 1, 2)
+WITH {_NGRAM_PAIR_CTE}
 SELECT c.doc_a, c.doc_b, CAST(c.c AS BIGINT) AS common,
        CAST(FLOOR(c.c*1.0/(sa.n + sb.n - c.c)*1000000 + 0.5) AS BIGINT) AS jaccard_e6
 FROM common c
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
+""",
+        # connected components over the same pair graph: min-reachable
+        # doc_id per node via a recursive CTE (UNION dedups rows, so
+        # the fixpoint terminates)
+        "q_dup_clusters": f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTE},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM common
+          UNION SELECT doc_b, doc_a FROM common),
+reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
+SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u
 """,
         "q_winnow_fingerprints": f"""
 {WINNOW_CTE}

@@ -753,3 +753,59 @@ def winnow_overlap_pairs(
     out = out[~sentinel]
     out = out[out["common"] >= min_common]
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype("int64")
+
+
+def dup_clusters(
+    ds: ray.data.Dataset,
+    n: int = 5,
+    threshold: float = 0.0,
+    tokenizer: str = "simple",
+    max_group: int | None = DEFAULT_MAX_GROUP,
+) -> pd.DataFrame:
+    """Duplicate CLUSTERS: connected components over the near-dup pair
+    graph (``ngram_jaccard_pairs``), labeled by the component's min
+    doc_id — the step every dedup pipeline runs after pair detection
+    (keep one doc per cluster, not per pair: A~B, B~C must retire both
+    B and C even when A~C was never emitted).
+
+    Scale shape: the distributed work is the pair stage (shingle
+    exchange, candidate caps); the emitted pair list is SPARSE —
+    bounded by caps and the dup rate, never O(N^2) — so the union-find
+    runs driver-side over pair rows only (docs never leave the
+    cluster). For pair lists beyond one driver (billions of edges) the
+    documented alternative is iterative min-label propagation as
+    repeated keyed joins — the Hash-to-Min form (Rastogi et al.,
+    "Finding Connected Components in MapReduce", ICDE 2013) — which is
+    this same reduction expressed as O(log d) groupby rounds.
+
+    Returns (doc_id, cluster_id) for every doc in >= 1 pair, sorted by
+    doc_id; singletons (docs in no pair) are implicitly their own
+    cluster and are not emitted.
+    """
+    pairs = ngram_jaccard_pairs(ds, n=n, threshold=threshold,
+                                tokenizer=tokenizer, max_group=max_group)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["doc_a"].to_numpy(np.int64),
+                    pairs["doc_b"].to_numpy(np.int64)):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:  # union by min id keeps labels deterministic
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    if not parent:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64")})
+    out = pd.DataFrame(
+        {"doc_id": list(parent), "cluster_id": [find(x) for x in parent]}
+    )
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")

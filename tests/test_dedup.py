@@ -209,3 +209,27 @@ def test_winnow_set_matches_bruteforce():
     assert set(dedup._winnow_set(toks[:6], k, w).tolist()) == {min(
         dedup._md5_60(" ".join(toks[i:i+k])) for i in range(2))}
     assert len(dedup._winnow_set(["a"], k, w)) == 0
+
+
+def test_dup_clusters_transitive():
+    """A~B and B~C overlap pairwise but A and C share NOTHING — the
+    component must still merge all three (the reason clustering, not
+    pair-keeping, drives retirement). An unrelated pair forms its own
+    cluster; singletons are not emitted."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.dedup import dup_clusters
+
+    mk = lambda *ws: " ".join(ws)
+    A = mk(*"a1 a2 a3 a4 a5 m1 m2 m3 m4 m5".split())       # tail == B head
+    B = mk(*"m1 m2 m3 m4 m5 n1 n2 n3 n4 n5".split())       # tail == C head
+    C = mk(*"n1 n2 n3 n4 n5 c1 c2 c3 c4 c5".split())       # no 5-gram with A
+    D = mk(*"d1 d2 d3 d4 d5 d6 x9 y9 z9 w9".split())
+    E = mk(*"d1 d2 d3 d4 d5 d6 p1 p2 p3 p4".split())       # pairs with D
+    S = mk(*"s1 s2 s3 s4 s5 s6 s7 s8 s9 s0".split())       # singleton
+    docs = ray.data.from_items([
+        {"doc_id": i, "text": t} for i, t in enumerate([A, B, C, D, E, S])
+    ])
+    out = dup_clusters(docs, n=5)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
