@@ -227,6 +227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprints": lambda sf: analysis.fingerprints(docs(sf)),
         "q_token_count_by_lang": lambda sf: analysis.token_count_by_lang(docs(sf)),
         "q_langid": lambda sf: analysis.langid(docs(sf)),
+        # hash-based train/val/test split: stable under reorder,
+        # resume and extend (no doc ever migrates between splits)
+        "q_split_summary": lambda sf: analysis.split_summary(docs(sf)),
         # keyword extraction: top-5 TF-IDF terms per doc (df from the
         # combiner, broadcast idf, per-doc top-k inside the map task)
         "q_tfidf_terms": lambda sf: analysis.tfidf_top_terms(docs(sf), k=5),
@@ -1028,6 +1031,16 @@ FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.t <= p.t
 GROUP BY 1, 2, 3
 """,
         "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "q_split_summary": f"""
+WITH t AS (SELECT lang, len({TOK_SQL}) AS n_tok,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                       AS UBIGINT) % 100 AS b
+           FROM documents)
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1, 2
+""",
         # values are 2-decimal, so cents-rounding commutes with the
         # discrete quantile (both sides pick an actual data value)
         "q_event_percentiles": """

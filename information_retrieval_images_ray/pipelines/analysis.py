@@ -349,3 +349,55 @@ def tfidf_top_terms(
             )
 
     return ds.map_batches(TopTerms, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def split_summary(
+    ds: ray.data.Dataset, train: int = 80, val: int = 10,
+    tokenizer: str = "simple",
+) -> pd.DataFrame:
+    """Deterministic train/val/test assignment + per-(split, lang)
+    counts — the reproducible-split primitive of a training-data
+    pipeline: bucket = md5(doc_id) % 100, ``< train`` -> train,
+    ``< train+val`` -> val, else test. Hash-based (not seeded-RNG)
+    so the assignment is stable under re-partitioning, re-ordering,
+    resumes and incremental extends — a doc NEVER migrates between
+    splits when the corpus grows (the leakage bug seeded shuffles
+    have). One combiner pass, one (split, lang) exchange.
+    """
+    from ..functions.hashing import md5_u64
+
+    tok = get_tokenizer(tokenizer)
+    cut_val = train + val
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        counts: dict[tuple[str, str], list[int]] = {}
+        for i, (did, lang) in enumerate(zip(ids, langs)):
+            b = md5_u64(str(did)) % 100
+            split = "train" if b < train else ("val" if b < cut_val else "test")
+            nt = len(tok(batch["text"][i].as_py() or ""))
+            agg = counts.setdefault((split, lang), [0, 0])
+            agg[0] += 1
+            agg[1] += nt
+        keys = list(counts)
+        return pa.table(
+            {
+                "split": pa.array([k[0] for k in keys], pa.string()),
+                "lang": pa.array([k[1] for k in keys], pa.string()),
+                "nd": pa.array([counts[k][0] for k in keys], pa.int64()),
+                "tt": pa.array([counts[k][1] for k in keys], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["split", "lang"])
+        .aggregate(Sum("nd", alias_name="n_docs"),
+                   Sum("tt", alias_name="total_tokens"))
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["split", "lang"]).reset_index(drop=True)
+        .astype({"n_docs": "int64", "total_tokens": "int64"})
+    )

@@ -89,3 +89,51 @@ def test_grouped_topk_combiner_matches_global(tmp_path):
     pd.testing.assert_frame_equal(
         got.astype({"n_tokens": "int64"}), want.astype({"n_tokens": "int64"})
     )
+
+
+def test_split_summary_deterministic_and_order_invariant():
+    """Hash-based splits: the summary equals a pandas replica of the
+    md5-bucket rule and is IDENTICAL when the corpus arrives in a
+    different row order / block structure (the property that makes the
+    split leak-proof under resume and extend — a seeded shuffle would
+    fail this)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.analysis import split_summary
+
+    rng = np.random.default_rng(3)
+    langs = ["en", "fr"]
+    rows = [
+        {"doc_id": i, "lang": langs[i % 2],
+         "text": "tok " * int(rng.integers(1, 9))}
+        for i in range(300)
+    ]
+    fwd = split_summary(ray.data.from_items(rows))
+    rev = split_summary(
+        ray.data.from_items(rows[::-1]).repartition(7)
+    )
+    pd.testing.assert_frame_equal(fwd, rev)
+
+    def bucket(did):
+        return int(hashlib.md5(str(did).encode()).hexdigest()[:16], 16) % 100
+
+    df = pd.DataFrame(rows)
+    df["split"] = [
+        "train" if bucket(d) < 80 else ("val" if bucket(d) < 90 else "test")
+        for d in df["doc_id"]
+    ]
+    df["n_tok"] = df["text"].str.split().str.len()
+    want = (
+        df.groupby(["split", "lang"])
+        .agg(n_docs=("doc_id", "count"), total_tokens=("n_tok", "sum"))
+        .reset_index()
+        .sort_values(["split", "lang"])
+        .reset_index(drop=True)
+        .astype({"n_docs": "int64", "total_tokens": "int64"})
+    )
+    pd.testing.assert_frame_equal(fwd, want)
+    assert set(fwd["split"]) == {"train", "val", "test"}
