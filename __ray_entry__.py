@@ -230,6 +230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-based train/val/test split: stable under reorder,
         # resume and extend (no doc ever migrates between splits)
         "q_split_summary": lambda sf: analysis.split_summary(docs(sf)),
+        # collocation mining: top-50 within-10-token co-occurring pairs
+        "q_term_cooccurrence": lambda sf: analysis.term_cooccurrence(
+            docs(sf), window=10, k=50
+        ),
         # keyword extraction: top-5 TF-IDF terms per doc (df from the
         # combiner, broadcast idf, per-doc top-k inside the map task)
         "q_tfidf_terms": lambda sf: analysis.tfidf_top_terms(docs(sf), k=5),
@@ -1031,6 +1035,21 @@ FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.t <= p.t
 GROUP BY 1, 2, 3
 """,
         "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
+        # positioned tokens via the indexed-unnest trick; ties at the
+        # LIMIT boundary broken (cnt desc, t1, t2) on both sides
+        "q_term_cooccurrence": f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS ts FROM documents),
+pos AS (SELECT doc_id, u.i AS i, ts[u.i] AS term
+        FROM toks CROSS JOIN LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
+pairs AS (SELECT least(a.term, b.term) AS t1, greatest(a.term, b.term) AS t2,
+                 count(*) AS cnt
+          FROM pos a JOIN pos b
+            ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 10
+          WHERE a.term <> b.term
+          GROUP BY 1, 2)
+SELECT t1, t2, CAST(cnt AS BIGINT) AS cnt
+FROM pairs ORDER BY cnt DESC, t1, t2 LIMIT 50
+""",
         "q_split_summary": f"""
 WITH t AS (SELECT lang, len({TOK_SQL}) AS n_tok,
                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))

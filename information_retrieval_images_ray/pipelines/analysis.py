@@ -401,3 +401,60 @@ def split_summary(
         out.sort_values(["split", "lang"]).reset_index(drop=True)
         .astype({"n_docs": "int64", "total_tokens": "int64"})
     )
+
+
+def term_cooccurrence(
+    ds: ray.data.Dataset, window: int = 10, k: int = 50,
+    tokenizer: str = "simple",
+) -> pd.DataFrame:
+    """Collocation mining: the top-``k`` unordered term pairs
+    co-occurring within a ``window``-token span, counted per position
+    pair — the corpus statistic behind phrase/stopword discovery and
+    PMI features. Per-batch counting is an O(L*window) in-task pass
+    (pairs never explode into the exchange row-by-row: each batch
+    emits its aggregated (t1, t2, cnt) partials), one hash exchange
+    sums them — bounded by the observed pair vocabulary, not corpus
+    size — and the final top-k is a Ray sort+limit, so only k rows
+    reach the driver. At web scale the pair vocabulary is the cost
+    driver; the standard mitigations (min-count floor inside the
+    combiner, per-batch top-M truncation with logged drops) slot into
+    ``partials`` without changing the contract.
+    """
+    tok = _tok_fn(tokenizer)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for text in batch["text"].to_pylist():
+            toks = tok(text or "")
+            L = len(toks)
+            for i in range(L):
+                ti = toks[i]
+                for j in range(i + 1, min(i + 1 + window, L)):
+                    tj = toks[j]
+                    if ti == tj:
+                        continue
+                    key = (ti, tj) if ti < tj else (tj, ti)
+                    counts[key] = counts.get(key, 0) + 1
+        keys = list(counts)
+        return pa.table(
+            {
+                "t1": pa.array([p[0] for p in keys], pa.string()),
+                "t2": pa.array([p[1] for p in keys], pa.string()),
+                "cnt": pa.array([counts[p] for p in keys], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["t1", "t2"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "t1", "t2"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    if out.empty:  # all-filtered collect loses the schema
+        return pd.DataFrame({
+            "t1": pd.Series(dtype="object"), "t2": pd.Series(dtype="object"),
+            "cnt": pd.Series(dtype="int64"),
+        })
+    return out.reset_index(drop=True).astype({"cnt": "int64"})

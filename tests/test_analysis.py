@@ -137,3 +137,26 @@ def test_split_summary_deterministic_and_order_invariant():
     )
     pd.testing.assert_frame_equal(fwd, want)
     assert set(fwd["split"]) == {"train", "val", "test"}
+
+
+def test_term_cooccurrence_window_boundary():
+    """A pair at distance exactly ``window`` counts; window+1 does not;
+    same-term pairs are skipped; ordering is (cnt desc, t1, t2)."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.analysis import (
+        term_cooccurrence,
+    )
+
+    # 'a'..'z' at distance 3 (== window, counts); 'a'..'q' at 4 (excluded)
+    docs = ray.data.from_items([{"doc_id": 0, "text": "a f g z q"}])
+    out = term_cooccurrence(docs, window=3, k=100)
+    pairs = set(zip(out["t1"], out["t2"]))
+    assert ("a", "z") in pairs           # distance 3 == window
+    assert ("a", "q") not in pairs       # distance 4 > window
+    assert ("f", "q") in pairs           # distance 3 == window
+    # identical terms never pair, at any distance
+    out2 = term_cooccurrence(
+        ray.data.from_items([{"doc_id": 0, "text": "b b"}]), window=3, k=10
+    )
+    assert len(out2) == 0
