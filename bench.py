@@ -323,11 +323,15 @@ def bench_ann(num_cpus: int, n_vectors: int, dim: int = 64,
             pc.add(b["vec_id"], pa.scalar(n_vectors, pa.int64())),
         )
 
+    # materialized: the delta is the small side (n_delta rows) — without
+    # this, extend's executions would each re-run the full-corpus
+    # filter pipeline and the phase would time corpus re-reads instead
     delta = (
         vectors()
         .map_batches(lambda b: b.filter(pc.less(b["vec_id"], n_delta)),
                      batch_format="pyarrow")
         .map_batches(shift, batch_format="pyarrow")
+        .materialize()
     )
     t0 = time.perf_counter()
     ext_meta = extend_ivf_index(delta, index_dir)
@@ -375,7 +379,8 @@ def run_ann(num_cpus: int, n_vectors: int) -> dict:
         for k in ("n_vectors", "dim", "nlist", "nprobe"):
             out[k] = best[k]
         for k in ("vectors_per_sec_build", "batch_qps_cold", "batch_qps_warm",
-                  "ann_p50_ms", "ann_p99_ms", "recall_at_10"):
+                  "extend_vectors_per_sec", "ann_p50_ms", "ann_p99_ms",
+                  "recall_at_10"):
             out[k] = round(best[k], 4)
         return out
     finally:

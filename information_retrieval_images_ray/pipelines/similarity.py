@@ -333,8 +333,13 @@ def build_ivf_index(
     os.makedirs(build_dir)
     cent = fit_centroids(ds, nlist, id_col=id_col)
     np.save(os.path.join(build_dir, "centroids.npy"), cent)
-    assigned = ivf_assign(ds, cent)
-    assigned.write_parquet(
+    # sort by cluster BEFORE the hive write: without the co-locating
+    # exchange, file count = read-blocks x clusters (measured 65k tiny
+    # files at 1M vectors / nlist 256 — every later probe, attach and
+    # extend paid the per-file open cost); sorted, each cluster lands
+    # in ~1-2 contiguous blocks -> ~nlist files total. One range
+    # exchange, same shape as the text build's single groupby.
+    ivf_assign(ds, cent).sort("cluster").write_parquet(
         os.path.join(build_dir, "vectors"), partition_cols=["cluster"]
     )
     meta = {
@@ -419,7 +424,9 @@ def extend_ivf_index(
     for d in (build_dir, final_dir):  # orphans from a crashed extend
         if os.path.exists(d):
             _shutil.rmtree(d)
-    ivf_assign(fresh, cent).write_parquet(build_dir, partition_cols=["cluster"])
+    ivf_assign(fresh, cent).sort("cluster").write_parquet(
+        build_dir, partition_cols=["cluster"]
+    )
     os.rename(build_dir, final_dir)
     meta["epochs"] = meta["epochs"] + [epoch]
     _write_ivf_meta(index_dir, meta)
@@ -510,7 +517,9 @@ def compact_ivf_index(index_dir: str, refit: bool = False, nlist: int | None = N
     for d in (build_dir, os.path.join(index_dir, out_name)):
         if os.path.exists(d):  # orphan from a crashed compact
             _shutil.rmtree(d)
-    ivf_assign(ds, cent).write_parquet(build_dir, partition_cols=["cluster"])
+    ivf_assign(ds, cent).sort("cluster").write_parquet(
+        build_dir, partition_cols=["cluster"]
+    )
     os.rename(build_dir, os.path.join(index_dir, out_name))
 
     new_meta = {
