@@ -281,6 +281,9 @@ def embedding_near_dups(
 # the old meta (orphan data dirs are ignored and reclaimed by the
 # next mutation) or the new meta over complete data — never a
 # half-written epoch that a reader or retry would double-count.
+# Mutations assume ONE writer at a time (the CLI / driver contract,
+# same as the text index's manifest); readers attach a consistent
+# snapshot (meta read once at init) and are swapped, not mutated.
 
 
 def _read_ivf_meta(index_dir: str) -> dict:
