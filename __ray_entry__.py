@@ -608,6 +608,7 @@ _KNN_DELETED_SQL = _KNN_SQL.replace(
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
     " FROM embeddings WHERE vec_id % 7 <> 0)",
 )
+assert _KNN_DELETED_SQL != _KNN_SQL  # replace() must have matched
 assert _KNN_FILTERED_SQL != _KNN_SQL
 
 

@@ -196,8 +196,12 @@ def bench_code_corpus(num_cpus: int, n_docs: int) -> dict:
 
 def _write_vector_corpus(out_dir: str, n: int, dim: int, ncent: int,
                          num_cpus: int) -> None:
-    """Deterministic clustered vector corpus (cached): vec_id -> center
-    (vec_id % ncent) + per-batch-seeded noise, written distributed."""
+    """Deterministic clustered vector corpus (cached): vec_id ->
+    center (vec_id % ncent) + noise that is a pure function of vec_id
+    (seeded per ALIGNED id-chunk, not per Ray batch — batch boundaries
+    vary with num_cpus/block count, so per-batch seeding would make
+    the 'cached deterministic corpus' depend on which run created
+    it). Written distributed."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -206,19 +210,26 @@ def _write_vector_corpus(out_dir: str, n: int, dim: int, ncent: int,
     if os.path.exists(marker):
         return
     shutil.rmtree(out_dir, ignore_errors=True)
+    CHUNK = 4096
 
     def gen(batch: pa.Table) -> pa.Table:
-        ids = batch["id"].to_numpy()
-        rng = np.random.default_rng(int(ids[0]) + 12345)
+        ids = batch["id"].to_numpy().astype(np.int64)
         cent = np.random.default_rng(1).normal(size=(ncent, dim))
         cent /= np.linalg.norm(cent, axis=1, keepdims=True)
-        c = (ids % ncent).astype(np.int64)
-        m = (cent[c] + 0.15 * rng.normal(size=(len(ids), dim))).astype(np.float32)
+        c = ids % ncent
+        noise = np.empty((len(ids), dim))
+        chunks = ids // CHUNK
+        for ch in np.unique(chunks):
+            block = np.random.default_rng(12345 + int(ch)).normal(
+                size=(CHUNK, dim))
+            mask = chunks == ch
+            noise[mask] = block[ids[mask] % CHUNK]
+        m = (cent[c] + 0.15 * noise).astype(np.float32)
         emb = pa.FixedSizeListArray.from_arrays(
             pa.array(m.ravel(), pa.float32()), dim
         )
         return pa.table({
-            "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "vec_id": pa.array(ids, pa.int64()),
             "embedding": emb,
             "label": pa.array(c % 16, pa.int32()),
         })
@@ -261,7 +272,10 @@ def bench_ann(num_cpus: int, n_vectors: int, dim: int = 64,
         knn_bruteforce,
     )
 
-    corpus_dir = os.path.join(BENCH_ROOT, f"vectors_{n_vectors}_{dim}")
+    # v2 = chunk-seeded (batch-invariant) generator; ncent in the key
+    corpus_dir = os.path.join(
+        BENCH_ROOT, f"vectors_{n_vectors}_{dim}_c{nlist}_v2"
+    )
     _write_vector_corpus(corpus_dir, n_vectors, dim, nlist, num_cpus)
 
     def vectors():

@@ -249,14 +249,36 @@ class IndexHTTPServer:
             self._ivf = IVFIndexReader(self.vector_index_dir, num_actors=self.num_actors)
         return self._ivf
 
+    def _vector_topk(self, ivf, vector, n: int, nprobe: int, tombs,
+                     filter_col: str | None = None, filter_value=None) -> pd.DataFrame:
+        """ANN top-n over LIVE docs — the one tombstone contract both
+        /knn and /hybrid use: overfetch by a capped tombstone
+        allowance, drop tombstoned ids, dense re-rank. If the capped
+        fetch came back underfilled (more than the allowance of
+        tombstones outranked the live docs), refetch ONCE with the
+        full tombstone count so heavily-deleted neighborhoods still
+        fill to n."""
+        q = np.asarray(vector, np.float64)[None, :]
+        for fetch in (n + min(len(tombs), 64), n + len(tombs)):
+            vec = ivf.search(
+                q, k=fetch, nprobe=nprobe,
+                filter_col=filter_col, filter_value=filter_value,
+            ).rename(columns={"vec_id": "doc_id"})
+            if len(tombs):
+                vec = vec[~vec["doc_id"].isin(list(tombs))]
+            if len(vec) >= n or len(tombs) <= 64:
+                break
+        vec = vec.sort_values("rank").head(n).reset_index(drop=True)
+        vec["rank"] = np.arange(1, len(vec) + 1, dtype=np.int64)
+        return vec
+
     def knn(self, vector: list[float], k: int = 10, nprobe: int = 4,
             filter_col: str | None = None, filter_value=None,
             hydrate: bool = True) -> list[dict]:
         """Pure ANN top-k for a client-supplied query vector against
         the attached persisted IVF index (reference
-        search_by_embedding, vector_db.py:93-103). Overfetches by the
-        tombstone count and dense-re-ranks so deleted docs never
-        surface — same contract as /hybrid's vector side."""
+        search_by_embedding, vector_db.py:93-103). Tombstone contract
+        shared with /hybrid via ``_vector_topk``."""
         from .maintenance import load_tombstones
 
         if self.vector_index_dir is None:
@@ -264,21 +286,15 @@ class IndexHTTPServer:
         with self._lock:
             ivf = self._ivf_reader()
         tombs = load_tombstones(self.index_dir)
-        q = np.asarray(vector, np.float64)[None, :]
-        vec = ivf.search(
-            q, k=k + min(len(tombs), 64), nprobe=nprobe,
-            filter_col=filter_col, filter_value=filter_value,
-        ).rename(columns={"vec_id": "doc_id"})
-        if len(tombs):
-            vec = vec[~vec["doc_id"].isin(list(tombs))]
-        vec = vec.sort_values("rank").head(k).reset_index(drop=True)
+        vec = self._vector_topk(ivf, vector, k, nprobe, tombs,
+                                filter_col, filter_value)
         rows = [
             {
-                "rank": i + 1,
+                "rank": int(r["rank"]),
                 "doc_id": int(r["doc_id"]),
                 "sim": r["sim_e6"] / 1_000_000,
             }
-            for i, (_, r) in enumerate(vec.iterrows())
+            for _, r in vec.iterrows()
         ]
         if hydrate and rows:
             meta = {m["doc_id"]: m for m in self._hydrate([r["doc_id"] for r in rows])}
@@ -314,13 +330,7 @@ class IndexHTTPServer:
             "doc_id": np.array([h["doc_id"] for h in hits], np.int64),
             "rank": np.array([h["rank"] for h in hits], np.int64),
         })
-        q = np.asarray(vector, np.float64)[None, :]
-        vec = ivf.search(q, k=n_each + min(len(tombs), 64), nprobe=nprobe)
-        vec = vec.rename(columns={"vec_id": "doc_id"})
-        if len(tombs):
-            vec = vec[~vec["doc_id"].isin(list(tombs))]
-        vec = vec.sort_values("rank").head(n_each).reset_index(drop=True)
-        vec["rank"] = np.arange(1, len(vec) + 1, dtype=np.int64)
+        vec = self._vector_topk(ivf, vector, n_each, nprobe, tombs)
 
         fused = rrf_fuse(lex, vec, k=k)
         lex_rank = dict(zip(lex["doc_id"], lex["rank"]))

@@ -385,8 +385,28 @@ def extend_ivf_index(
     import pyarrow.compute as pc
     import shutil as _shutil
 
+    import glob as _glob
+    import pyarrow.parquet as _pq
+
     meta = _read_ivf_meta(index_dir)
     cent = np.load(os.path.join(index_dir, meta.get("centroids", "centroids.npy")))
+
+    # fail at the mutation, not at a later filtered search: an epoch
+    # missing a metadata column would make IVFClusterActor._col raise
+    # mid-query long after the extend that caused it
+    ref_files = _glob.glob(
+        os.path.join(index_dir, meta["epochs"][0], "**", "*.parquet"),
+        recursive=True,
+    )
+    if ref_files:
+        ref_names = set(_pq.read_schema(ref_files[0]).names)
+        new_names = set(ds_new.schema().names)
+        if new_names != ref_names:
+            raise ValueError(
+                f"extend delta schema {sorted(new_names)} != indexed schema "
+                f"{sorted(ref_names)} — every epoch must carry the same "
+                "columns (filtered ANN reads metadata from all of them)"
+            )
 
     delta_ids = set(
         int(i)
@@ -421,7 +441,13 @@ def extend_ivf_index(
         lambda b: b.filter(pc.is_in(b[id_col].cast(pa.int64()), value_set=keep)),
         batch_format="pyarrow",
     )
-    epoch = f"vectors_ep{len(meta['epochs'])}"
+    # post-compact extends are generation-qualified so they can never
+    # collide with a pre-compact epoch dir lingering in the compact's
+    # live-reader grace window — rmtree below must only ever reclaim
+    # THIS extend's own crashed attempt (same meta -> same name)
+    gen = int(meta.get("gen", 0))
+    n_ep = len(meta["epochs"])
+    epoch = f"vectors_ep{n_ep}" if gen == 0 else f"vectors_g{gen}_ep{n_ep}"
     build_dir = os.path.join(index_dir, epoch + ".build")
     final_dir = os.path.join(index_dir, epoch)
     for d in (build_dir, final_dir):  # orphans from a crashed extend
@@ -472,12 +498,17 @@ def compact_ivf_index(index_dir: str, refit: bool = False, nlist: int | None = N
     hive partition column round-trip).
 
     Crash-safe by generation naming + publish-last: the compacted data
-    lands in ``vectors_g{N}`` (never colliding with a live dir), the
-    meta swap via os.replace is the single commit point, and old
-    dirs/tombstones are removed only AFTER the publish — a crash at
-    any step leaves either the old meta over intact old data or the
-    new meta over complete new data, with orphans reclaimed by the
-    final cleanup of the next compact."""
+    lands in ``vectors_g{N}`` (never colliding with a live dir) and
+    the meta swap via os.replace is the single commit point. Old epoch
+    dirs are NOT deleted after the publish: an ``IVFClusterActor``
+    pool attached before the compact loads clusters LAZILY from its
+    meta-snapshot's dirs, so deleting them would make a live reader
+    silently return partial results. They linger as unreferenced
+    orphans (one compact cycle of grace — maintenance is expected to
+    be followed by a reader/pool swap, as serving does) and are
+    reclaimed at the START of the next compact. Only the tombstone
+    file is removed post-publish, which is always safe: attached
+    readers copied it into actor memory at init."""
     import pyarrow.compute as pc
     import shutil as _shutil
 
@@ -485,6 +516,19 @@ def compact_ivf_index(index_dir: str, refit: bool = False, nlist: int | None = N
 
     meta = _read_ivf_meta(index_dir)
     gen = int(meta.get("gen", 0)) + 1
+
+    # reclaim orphans from PRIOR compacts/crashes: anything not
+    # referenced by the current meta is at least one generation stale
+    cent_live = meta.get("centroids", "centroids.npy")
+    for entry in os.listdir(index_dir):
+        p = os.path.join(index_dir, entry)
+        if (os.path.isdir(p) and entry.startswith("vectors")
+                and entry not in meta["epochs"]):
+            _shutil.rmtree(p)
+        elif (not os.path.isdir(p) and entry.startswith("centroids")
+                and entry != cent_live):
+            os.remove(p)
+
     tomb = _tombstone_ids(index_dir)
     # explicit file list: read_parquet doesn't expand a LIST of dirs,
     # and the hive `cluster` partition column is recomputed anyway
@@ -532,16 +576,13 @@ def compact_ivf_index(index_dir: str, refit: bool = False, nlist: int | None = N
     }
     _write_ivf_meta(index_dir, new_meta)  # the commit point
 
-    # post-publish cleanup (safe to lose to a crash: orphans are
-    # never referenced by the meta and get reclaimed here next time)
+    # post-publish: drop ONLY the tombstone file (attached readers
+    # cached it; the compacted data no longer contains those rows).
+    # Old epoch dirs stay on disk as the live-reader grace window and
+    # are reclaimed at the start of the next compact.
     for entry in os.listdir(index_dir):
-        p = os.path.join(index_dir, entry)
-        if os.path.isdir(p) and entry.startswith("vectors") and entry != out_name:
-            _shutil.rmtree(p)
-        elif entry.startswith("centroids") and entry != cent_file:
-            os.remove(p)
-        elif entry.startswith("tombstones.parquet"):
-            os.remove(p)
+        if entry.startswith("tombstones.parquet"):
+            os.remove(os.path.join(index_dir, entry))
     return new_meta
 
 

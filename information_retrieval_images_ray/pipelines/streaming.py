@@ -219,7 +219,8 @@ def event_value_percentiles(
         for q in quantiles:
             idx = math.ceil(q * n) - 1  # DuckDB quantile_disc's index
             pos = int(np.searchsorted(cum, idx + 1))
-            row[f"p{int(q * 100)}_cents"] = int(vals[pos])
+            # round, not int(): 0.29*100 is 28.999... in doubles
+            row[f"p{round(q * 100)}_cents"] = int(vals[pos])
         return pd.DataFrame([row])
 
     out = (

@@ -395,3 +395,38 @@ def test_knn_error_contracts(server, hybrid_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _req(srv_h.port, "/knn", {})
     assert e.value.code == 400
+
+
+def test_knn_underfill_retry_with_many_tombstones(tmp_path):
+    """More than 64 tombstoned docs outranking the live ones must not
+    underfill /knn: the capped overfetch retries once with the full
+    tombstone count (the shared _vector_topk contract, so /hybrid's
+    vector side inherits the same guarantee)."""
+    rng = np.random.default_rng(44)
+    # 100 docs; ids 0..79 all share (almost exactly) the query vector,
+    # so every tombstoned doc ranks above every live doc
+    center = rng.normal(size=8)
+    rows, emb = [], []
+    for i in range(100):
+        rows.append({"doc_id": i, "content": " ".join(
+            WORDS[j] for j in rng.integers(0, len(WORDS), 20)), "lang": "en"})
+        v = center + (0.001 if i < 80 else 10.0) * rng.normal(size=8)
+        emb.append({"vec_id": i, "embedding": v.astype(np.float32).tolist()})
+    idx = str(tmp_path / "ti")
+    vidx = str(tmp_path / "vi")
+    build_index(ray.data.from_items(rows), idx, tokenizer="simple", num_shards=2)
+    from information_retrieval_images_ray.pipelines.similarity import (
+        build_ivf_index,
+    )
+
+    build_ivf_index(ray.data.from_items(emb), vidx, nlist=4)
+    srv = IndexHTTPServer(idx, num_actors=2, port=0, vector_index_dir=vidx).start()
+    try:
+        _req(srv.port, "/delete", {"doc_ids": list(range(80))})  # 80 > 64
+        _, hits = _req(srv.port, "/knn", {
+            "vector": [float(x) for x in center], "limit": 10, "nprobe": 4,
+        })
+        assert len(hits) == 10  # retry filled from the live tail
+        assert all(h["doc_id"] >= 80 for h in hits)
+    finally:
+        srv.close()

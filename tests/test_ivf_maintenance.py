@@ -150,8 +150,11 @@ def test_delete_tombstones(tmp_path, emb_rows):
 
 def test_compact_preserves_results(tmp_path, emb_rows):
     """Full lifecycle: build → extend → delete → compact. Compaction
-    (refit=False) must be invisible to searches, collapse the epoch
-    list, physically drop tombstoned rows, and clear the tombstones."""
+    (refit=False) must be invisible to searches — including to a
+    reader ATTACHED BEFORE the compact (old epoch dirs persist as the
+    live-reader grace window) — collapse the epoch list, physically
+    drop tombstoned rows, and clear the tombstones; the grace dirs are
+    reclaimed by the NEXT compact."""
     import glob
 
     import pyarrow.parquet as pq
@@ -163,14 +166,18 @@ def test_compact_preserves_results(tmp_path, emb_rows):
     delete_ivf_vectors(idx, dead)
 
     q = _queries(emb_rows)
-    reader = IVFIndexReader(idx, num_actors=2)
-    before = reader.search(q, k=10, nprobe=6)
-    reader.close()
+    live_reader = IVFIndexReader(idx, num_actors=2)  # attached pre-compact
+    before = live_reader.search(q, k=10, nprobe=6)
 
     meta = compact_ivf_index(idx)
     assert meta["epochs"] == ["vectors_g1"] and meta["n_tombstones"] == 0
     assert not os.path.exists(os.path.join(idx, "tombstones.parquet"))
-    assert not os.path.exists(os.path.join(idx, "vectors"))  # old epochs gone
+    # grace window: the pre-compact reader's dirs are still on disk,
+    # and lazy loads on it still return full, identical results
+    assert os.path.exists(os.path.join(idx, "vectors"))
+    during = live_reader.search(q, k=10, nprobe=6)
+    assert during.equals(before)
+    live_reader.close()
 
     reader = IVFIndexReader(idx, num_actors=2)
     after = reader.search(q, k=10, nprobe=6)
@@ -183,6 +190,28 @@ def test_compact_preserves_results(tmp_path, emb_rows):
         stored.update(pq.read_table(f, columns=["vec_id"])["vec_id"].to_pylist())
     assert not (stored & set(dead))
     assert len(stored) == len(emb_rows) - len(dead)
+
+    # a post-compact extend is generation-qualified, never colliding
+    # with the grace dirs
+    extra = [{"vec_id": 10_000 + i,
+              "embedding": emb_rows[i]["embedding"], "label": 9}
+             for i in range(5)]
+    # the delta must exclude the compacted-away ids: they are no
+    # longer indexed, so re-sending them would (correctly) re-add them
+    survivors_rows = [r for r in emb_rows if r["vec_id"] % 9 != 0]
+    m2 = extend_ivf_index(_ds(survivors_rows + extra), idx)
+    assert m2["added"] == 5
+    assert m2["epochs"] == ["vectors_g1", "vectors_g1_ep1"]
+    assert os.path.exists(os.path.join(idx, "vectors_ep1"))  # grace, intact
+
+    # the NEXT compact reclaims everything unreferenced
+    m3 = compact_ivf_index(idx)
+    assert m3["epochs"] == ["vectors_g2"]
+    # pre-compact-1 dirs are gone (reclaimed at compact-2 start);
+    # compact-1-era dirs remain as THIS compact's grace window
+    assert not os.path.exists(os.path.join(idx, "vectors"))
+    assert not os.path.exists(os.path.join(idx, "vectors_ep1"))
+    assert os.path.exists(os.path.join(idx, "vectors_g2"))
 
 
 def test_compact_refit(tmp_path, emb_rows):
