@@ -218,6 +218,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # phrase length 2 so every battery entry fills its top-10
         # (exercises the rank truncation, not just the verify filter)
         "q_phrase_topk": lambda sf: flagship.run_phrase_queries(sf, k=10, n_tokens=2),
+        # boolean clauses: must AND / should OR / must_not exclusion,
+        # ranked by BM25 over the distinct (must + should) terms present
+        "q_boolean_search": lambda sf: flagship.run_boolean_queries(sf, k=10),
+        # dictionary expansions (tolerant retrieval): prefix range scan
+        # and banded-Levenshtein fuzzy match over the sorted term
+        # dictionary, OR-scored with per-expansion idf
+        "q_prefix_search": lambda sf: flagship.run_prefix_queries(sf, k=10),
+        "q_fuzzy_search": lambda sf: flagship.run_fuzzy_queries(sf, k=10),
         "q_index_segments": lambda sf: flagship.segment_summary(sf),
         "q_term_stats": lambda sf: analysis.term_stats(docs(sf)),
         "q_doc_lengths": lambda sf: analysis.doc_lengths(docs(sf)),
@@ -427,6 +435,124 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
        CAST(doc_id AS BIGINT) AS doc_id,
        CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS score_e6
 FROM ranked WHERE rnk <= {k}
+"""
+
+
+# shared corpus-side CTEs of the boolean/prefix/fuzzy oracles (same
+# tf/df/dl/stats derivation as _bm25_cte_body, minus the frozen
+# query battery — each op brings its own query CTE)
+_FT_BASE_CTE = f"""docs AS (SELECT doc_id, text FROM documents),
+tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM docs),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(len({TOK_SQL}) AS DOUBLE) AS dl FROM docs),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl)/count(*) AS avgdl FROM dl),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)"""
+
+# BM25 sum + rank + fixed-point projection over an (qid, term) CTE
+# named `sq` — the scoring tail shared by the three clause oracles
+_FT_SCORE_TAIL = """scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*dl.dl/s.avgdl)) ) AS score
+  FROM sq q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2)"""
+
+
+def _ft_select(k: int, from_cte: str = "ranked") -> str:
+    return f"""SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS score_e6
+FROM {from_cte} WHERE rnk <= {k}"""
+
+
+def _boolean_sql(k: int = 10) -> str:
+    """Boolean-clause oracle: candidates must match EVERY must term
+    (count of distinct matched must terms == the qid's must count —
+    a df-0 must term like qid 5's 'zebra' is counted in nmust but can
+    never be matched, emptying that qid) and NO must_not term; score =
+    BM25 sum over the DISTINCT (must + should) terms present."""
+    from information_retrieval_images_ray.functions.tokenizer import tokenize_simple
+    from information_retrieval_images_ray.pipelines.flagship import BOOLEAN_QUERIES
+
+    vals = []
+    for q in BOOLEAN_QUERIES:
+        for role, field in (("must", "must"), ("should", "should"), ("not", "must_not")):
+            for t in sorted(set(tokenize_simple(q[field]))):
+                vals.append(f"({q['qid']}, '{t}', '{role}')")
+    return f"""
+WITH bq(qid, term, role) AS (VALUES {", ".join(vals)}),
+{_FT_BASE_CTE},
+sq AS (SELECT DISTINCT qid, term FROM bq WHERE role IN ('must', 'should')),
+{_FT_SCORE_TAIL},
+nmust AS (SELECT qid, count(DISTINCT term) AS n FROM bq WHERE role = 'must' GROUP BY 1),
+mhit AS (SELECT b.qid, tf.doc_id, count(DISTINCT b.term) AS c
+         FROM bq b JOIN tf ON tf.term = b.term WHERE b.role = 'must' GROUP BY 1, 2),
+ex AS (SELECT DISTINCT b.qid, tf.doc_id
+       FROM bq b JOIN tf ON tf.term = b.term WHERE b.role = 'not'),
+cand AS (SELECT s.qid, s.doc_id, s.score FROM scored s
+         LEFT JOIN nmust nm ON nm.qid = s.qid
+         LEFT JOIN mhit mh ON mh.qid = s.qid AND mh.doc_id = s.doc_id
+         WHERE coalesce(nm.n, 0) = coalesce(mh.c, 0)
+           AND NOT EXISTS (SELECT 1 FROM ex
+                           WHERE ex.qid = s.qid AND ex.doc_id = s.doc_id)),
+ranked AS (SELECT qid, doc_id, score,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+           FROM cand)
+{_ft_select(k)}
+"""
+
+
+def _prefix_sql(k: int = 10) -> str:
+    """Prefix oracle: expansions = distinct corpus terms LIKE 'pfx%',
+    lexicographically-first max_expansions per qid (the reader's
+    deterministic cap), OR-scored with per-term idf."""
+    from information_retrieval_images_ray.pipelines.flagship import (
+        PREFIX_MAX_EXPANSIONS, PREFIX_QUERIES)
+
+    vals = ", ".join(f"({q['qid']}, '{q['prefix']}')" for q in PREFIX_QUERIES)
+    return f"""
+WITH pq(qid, pfx) AS (VALUES {vals}),
+{_FT_BASE_CTE},
+sq AS (SELECT qid, term FROM (
+         SELECT p.qid, d.term,
+                row_number() OVER (PARTITION BY p.qid ORDER BY d.term) AS rn
+         FROM pq p JOIN df d ON d.term LIKE p.pfx || '%')
+       WHERE rn <= {PREFIX_MAX_EXPANSIONS}),
+{_FT_SCORE_TAIL},
+ranked AS (SELECT qid, doc_id, score,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+           FROM scored)
+{_ft_select(k)}
+"""
+
+
+def _fuzzy_sql(k: int = 10) -> str:
+    """Fuzzy oracle: expansions = distinct corpus terms within
+    max_edits Levenshtein edits of the query word with the first char
+    pinned (the reader's prefix_len=1 pruning), capped like prefix."""
+    from information_retrieval_images_ray.pipelines.flagship import (
+        FUZZY_MAX_EDITS, FUZZY_MAX_EXPANSIONS, FUZZY_QUERIES)
+
+    vals = ", ".join(f"({q['qid']}, '{q['word']}')" for q in FUZZY_QUERIES)
+    return f"""
+WITH fq(qid, w) AS (VALUES {vals}),
+{_FT_BASE_CTE},
+sq AS (SELECT qid, term FROM (
+         SELECT f.qid, d.term,
+                row_number() OVER (PARTITION BY f.qid ORDER BY d.term) AS rn
+         FROM fq f JOIN df d
+           ON substr(d.term, 1, 1) = substr(f.w, 1, 1)
+          AND levenshtein(d.term, f.w) <= {FUZZY_MAX_EDITS})
+       WHERE rn <= {FUZZY_MAX_EXPANSIONS}),
+{_FT_SCORE_TAIL},
+ranked AS (SELECT qid, doc_id, score,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+           FROM scored)
+{_ft_select(k)}
 """
 
 
@@ -767,6 +893,9 @@ SELECT min(doc_id) AS doc_id, text FROM (
         # search-time filter: full-corpus stats, only lang=fr docs
         # ranked (WHERE binds before row_number in the ranked CTE)
         "q_phrase_topk": _phrase_sql(n_tokens=2),
+        "q_boolean_search": _boolean_sql(),
+        "q_prefix_search": _prefix_sql(),
+        "q_fuzzy_search": _fuzzy_sql(),
         "q_bm25_filtered": _bm25_sql(
             ranked_where="WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'fr')"
         ),

@@ -316,6 +316,131 @@ def flagship_entry(sf_dir: str) -> pd.DataFrame:
     return hydrate_hits(hits, index_dir)
 
 
+# Frozen boolean-clause battery (Lucene BooleanQuery shapes over the
+# documents vocabulary): pure-AND, AND+OR, pure-OR with exclusion,
+# multi-NOT, an unsatisfiable must ('zebra' has df 0 -> qid 5 empty),
+# and a must/should TERM OVERLAP (qid 7: 'window' scores once).
+BOOLEAN_QUERIES = [
+    {"qid": 1, "must": "hash join", "should": "stream batch", "must_not": ""},
+    {"qid": 2, "must": "dup", "should": "key vector", "must_not": ""},
+    {"qid": 3, "must": "", "should": "spark window", "must_not": "slow"},
+    {"qid": 4, "must": "merge sort fast", "should": "", "must_not": "dup"},
+    {"qid": 5, "must": "customer zebra", "should": "table", "must_not": ""},
+    {"qid": 6, "must": "scan", "should": "filter table", "must_not": "big small"},
+    {"qid": 7, "must": "window", "should": "window order", "must_not": ""},
+]
+
+# Frozen prefix battery: multi-expansion ('s' matches 6 vocab terms —
+# exercises the max_expansions=4 cap: lexicographically-first wins),
+# single, no-hit, and exact-term-as-prefix shapes.
+PREFIX_QUERIES = [
+    {"qid": 1, "prefix": "s"},
+    {"qid": 2, "prefix": "st"},
+    {"qid": 3, "prefix": "co"},
+    {"qid": 4, "prefix": "qu"},
+    {"qid": 5, "prefix": "b"},
+    {"qid": 6, "prefix": "zz"},
+    {"qid": 7, "prefix": "dup"},
+]
+PREFIX_MAX_EXPANSIONS = 4
+
+# Frozen fuzzy battery (edit distance <= 1, first char pinned):
+# substitutions, an insertion ('batchh'), a deletion ('vale'->value),
+# a MULTI-match ('ag' is 1 edit from both 'a' and 'agg'), a no-match,
+# and an exact vocabulary hit ('sort').
+FUZZY_QUERIES = [
+    {"qid": 1, "word": "hask"},
+    {"qid": 2, "word": "streem"},
+    {"qid": 3, "word": "joon"},
+    {"qid": 4, "word": "batchh"},
+    {"qid": 5, "word": "vale"},
+    {"qid": 6, "word": "ag"},
+    {"qid": 7, "word": "zebra"},
+    {"qid": 8, "word": "sort"},
+]
+FUZZY_MAX_EDITS = 1
+FUZZY_MAX_EXPANSIONS = 8
+
+
+class _ClauseScorer:
+    """Actor-pool callable for the clause/expansion batteries — same
+    pool shape as ``QueryScorer`` (reader shared zero-copy via
+    ``reader_ref``), dispatching per ``mode`` to the reader's boolean /
+    prefix / fuzzy search."""
+
+    def __init__(self, reader_ref, k: int, mode: str):
+        import ray as _ray
+
+        self.reader = _ray.get(reader_ref)
+        self.k = k
+        self.mode = mode
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        r = self.reader
+        out = {"qid": [], "rank": [], "doc_id": [], "score": []}
+        for _, row in batch.iterrows():
+            if self.mode == "boolean":
+                hits = r.search_boolean(
+                    row["must"], row["should"], row["must_not"], k=self.k)
+            elif self.mode == "prefix":
+                hits = r.search_prefix(
+                    row["prefix"], k=self.k,
+                    max_expansions=PREFIX_MAX_EXPANSIONS)
+            else:
+                hits = r.search_fuzzy(
+                    row["word"], k=self.k, max_edits=FUZZY_MAX_EDITS,
+                    max_expansions=FUZZY_MAX_EXPANSIONS)
+            for rank, (doc, score) in enumerate(hits, start=1):
+                out["qid"].append(int(row["qid"]))
+                out["rank"].append(rank)
+                out["doc_id"].append(doc)
+                out["score"].append(score)
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(out["qid"], dtype="int64"),
+                "rank": pd.Series(out["rank"], dtype="int64"),
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "score": pd.Series(out["score"], dtype="float64"),
+            }
+        )
+
+
+def _run_clause_battery(sf_dir: str, queries, k: int, mode: str) -> pd.DataFrame:
+    import numpy as np
+    import ray
+    import ray.data
+
+    reader_ref = ray.put(IndexReader(build_documents_index(sf_dir)))
+    out = ray.data.from_items(list(queries)).map_batches(
+        _ClauseScorer,
+        fn_constructor_kwargs={"reader_ref": reader_ref, "k": k, "mode": mode},
+        batch_format="pandas",
+        concurrency=2,
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ["qid", "rank", "doc_id", "score_e6"]}
+        )
+    out["score_e6"] = np.floor(out["score"].to_numpy(np.float64) * 1e6 + 0.5).astype(np.int64)
+    out = out[["qid", "rank", "doc_id", "score_e6"]].astype("int64")
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+def run_boolean_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Boolean must/should/must_not battery (see BOOLEAN_QUERIES)."""
+    return _run_clause_battery(sf_dir, BOOLEAN_QUERIES, k, "boolean")
+
+
+def run_prefix_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Prefix-expansion battery (see PREFIX_QUERIES)."""
+    return _run_clause_battery(sf_dir, PREFIX_QUERIES, k, "prefix")
+
+
+def run_fuzzy_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Fuzzy (edit-distance-1) battery (see FUZZY_QUERIES)."""
+    return _run_clause_battery(sf_dir, FUZZY_QUERIES, k, "fuzzy")
+
+
 # anchor doc ids whose first tokens become the frozen phrase battery
 # (data-derived, so the battery exists at every scale factor)
 PHRASE_ANCHORS = (0, 7, 23, 42, 99)

@@ -42,6 +42,35 @@ from ..functions.codec import decode_varbyte
 from ..functions.tokenizer import get_tokenizer
 
 
+def _levenshtein_leq(a: str, b: str, cap: int) -> bool:
+    """True iff levenshtein(a, b) <= cap. Banded DP: only the diagonal
+    band of width 2*cap+1 is computed and a row whose band minimum
+    already exceeds ``cap`` exits early — O(min(len)*cap), not
+    O(len(a)*len(b)). Matches DuckDB's ``levenshtein`` (unit-cost
+    insert/delete/substitute; transposition counts as 2)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        lo = max(1, i - cap)
+        hi = min(lb, i + cap)
+        cur = [i] + [cap + 1] * lb
+        ca = a[i - 1]
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+        if min(cur[max(0, i - cap): hi + 1]) > cap:
+            return False
+        prev = cur
+    return prev[lb] <= cap
+
+
 def decode_all_blocks(row: dict, block_size: int) -> tuple[np.ndarray, np.ndarray]:
     """Decode a term's full (doc_ids, tfs) in O(1) numpy passes.
 
@@ -493,6 +522,257 @@ class IndexReader:
             ids, scores = ids[live], scores[live]
         order = np.argsort(ids)
         return ids[order], scores[order]
+
+    # -- boolean / dictionary-expansion queries --------------------------------
+    def _mask_and_rank(
+        self, ids: np.ndarray, scores: np.ndarray, mask: np.ndarray | None, k: int,
+    ) -> list[tuple[int, float]]:
+        """Shared tail of the set-producing searches: metadata mask,
+        tombstone filter, deterministic (score desc, doc_id asc) top-k."""
+        if mask is not None:
+            keep = mask[ids.astype(np.int64)]
+            ids, scores = ids[keep], scores[keep]
+        if len(self.tombstones):
+            from .maintenance import is_tombstoned
+
+            live = ~is_tombstoned(self.tombstones, ids.astype(np.int64))
+            ids, scores = ids[live], scores[live]
+        return rank_topk(ids, scores, k)
+
+    def search_or_terms(
+        self, terms: list[str], k: int = 10, doc_filter=None,
+    ) -> list[tuple[int, float]]:
+        """OR-of-terms BM25 top-k over an EXPLICIT term list (already
+        normalized — no tokenization). The scoring tail of the
+        dictionary-expansion queries (prefix/fuzzy): every term scores
+        with its own idf, docs rank by the sum over their matching
+        terms. Identical accumulators to ``search_taat`` (sorted-term
+        float64 add order)."""
+        mask = self._resolve_filter(doc_filter)
+        uniq = sorted(set(terms))
+        acc: dict[int, np.ndarray] = {}
+        k1, b = self.params.k1, self.params.b
+        for t, w, locs in self._term_infos(uniq):
+            for s, i in locs:
+                sh = self.shards[s]
+                ids, part = sh.partial(i, self.block_size, self.doc_len,
+                                       k1, b, self.avgdl)
+                a = acc.get(s)
+                if a is None:
+                    a = np.zeros(sh.hi - sh.lo, dtype=np.float64)
+                    acc[s] = a
+                if ids is None:
+                    a += w * part
+                else:
+                    a[ids - sh.lo] += w * part
+        all_ids, all_scores = [], []
+        for s, a in acc.items():
+            nz = np.flatnonzero(a)
+            all_ids.append((nz + self.shards[s].lo).astype(np.int64))
+            all_scores.append(a[nz])
+        if not all_ids:
+            return []
+        return self._mask_and_rank(
+            np.concatenate(all_ids), np.concatenate(all_scores), mask, k,
+        )
+
+    def search_boolean(
+        self, must: str = "", should: str = "", must_not: str = "",
+        k: int = 10, doc_filter=None,
+    ) -> list[tuple[int, float]]:
+        """Boolean-clause retrieval (the Lucene BooleanQuery shape over
+        this index): a doc is a candidate iff it contains EVERY must
+        term and NO must_not term; with no must terms, any doc matching
+        at least one should term. Candidates are ranked by the BM25 sum
+        over the DISTINCT (must ∪ should) terms they contain — must_not
+        only excludes, never scores. One pass over the involved terms'
+        partials: a score accumulator plus a must-presence counter plus
+        an exclusion flag per shard, all O(shard span) dense arrays —
+        no per-doc python, no sets of doc ids."""
+        mask = self._resolve_filter(doc_filter)
+        must_t = sorted(set(self.tokenize(must)))
+        score_t = sorted(set(self.tokenize(must)) | set(self.tokenize(should)))
+        not_t = sorted(set(self.tokenize(must_not)))
+        if not score_t:
+            return []
+        infos_must = self._term_infos(must_t)
+        if len(infos_must) < len(must_t):  # a must term has df == 0
+            return []
+        k1, b = self.params.k1, self.params.b
+
+        def _accumulate(term_list, update):
+            for t, w, locs in self._term_infos(term_list):
+                for s, i in locs:
+                    sh = self.shards[s]
+                    ids, part = sh.partial(i, self.block_size, self.doc_len,
+                                           k1, b, self.avgdl)
+                    update(s, sh, ids, part, w)
+
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, np.ndarray] = {}
+        exc: dict[int, np.ndarray] = {}
+
+        def upd_score(s, sh, ids, part, w):
+            a = acc.get(s)
+            if a is None:
+                a = np.zeros(sh.hi - sh.lo, dtype=np.float64)
+                acc[s] = a
+            if ids is None:
+                a += w * part
+            else:
+                a[ids - sh.lo] += w * part
+
+        def upd_count(s, sh, ids, part, w):
+            c = cnt.get(s)
+            if c is None:
+                c = np.zeros(sh.hi - sh.lo, dtype=np.int32)
+                cnt[s] = c
+            if ids is None:
+                c += (part > 0).astype(np.int32)
+            else:
+                c[ids - sh.lo] += 1
+
+        def upd_excl(s, sh, ids, part, w):
+            e = exc.get(s)
+            if e is None:
+                e = np.zeros(sh.hi - sh.lo, dtype=bool)
+                exc[s] = e
+            if ids is None:
+                e |= part > 0
+            else:
+                e[ids - sh.lo] = True
+
+        _accumulate(score_t, upd_score)
+        if must_t:
+            _accumulate(must_t, upd_count)
+        if not_t:
+            _accumulate(not_t, upd_excl)
+
+        n_must = len(must_t)
+        all_ids, all_scores = [], []
+        for s, a in acc.items():
+            if must_t:
+                c = cnt.get(s)
+                if c is None:
+                    continue
+                sel = c == n_must
+            else:
+                sel = a > 0
+            e = exc.get(s)
+            if e is not None:
+                sel = sel & ~e
+            nz = np.flatnonzero(sel)
+            all_ids.append((nz + self.shards[s].lo).astype(np.int64))
+            all_scores.append(a[nz])
+        if not all_ids:
+            return []
+        return self._mask_and_rank(
+            np.concatenate(all_ids), np.concatenate(all_scores), mask, k,
+        )
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 64) -> list[str]:
+        """Dictionary terms starting with ``prefix``: per shard, one
+        binary search on the C-sorted term column finds the range start,
+        then a contiguous forward scan collects matches (prefix matches
+        ARE contiguous under lexicographic order). Union across owned
+        shards, sorted ascending, capped at the lexicographically first
+        ``max_expansions`` — a deterministic cap (Lucene's
+        max_expansions contract), mirrored by the oracle's
+        ``ORDER BY term LIMIT n``. Cost: O(log V + matches) per shard —
+        never a vocabulary scan."""
+        out: set[str] = set()
+        for sh in self.shards:
+            if sh is None or sh._terms is None:
+                continue
+            arr = sh._terms
+            lo, hi = 0, len(arr)
+            while lo < hi:  # leftmost term >= prefix
+                mid = (lo + hi) // 2
+                if arr[mid].as_py() < prefix:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            j = lo
+            while j < len(arr):
+                v = arr[j].as_py()
+                if not v.startswith(prefix):
+                    break
+                out.add(v)
+                j += 1
+        return sorted(out)[:max_expansions]
+
+    def search_prefix(
+        self, prefix: str, k: int = 10, max_expansions: int = 64, doc_filter=None,
+    ) -> list[tuple[int, float]]:
+        """Prefix (leading-wildcard ``pre*``) retrieval: expand against
+        the term dictionary, then OR-score the expansions — each
+        expanded term contributes with its own idf (rare completions
+        outrank stopword-ish ones)."""
+        toks = self.tokenize(prefix)
+        if not toks:
+            return []
+        terms = self.expand_prefix(toks[0], max_expansions)
+        return self.search_or_terms(terms, k, doc_filter) if terms else []
+
+    def expand_fuzzy(
+        self, word: str, max_edits: int = 1, prefix_len: int = 1,
+        max_expansions: int = 64,
+    ) -> list[str]:
+        """Dictionary terms within ``max_edits`` Levenshtein edits of
+        ``word`` whose first ``prefix_len`` chars match (the standard
+        FuzzyQuery prefix_length pruning — candidates live in ONE
+        contiguous dictionary range, found by the prefix binary search;
+        ``prefix_len=0`` degrades to a full dictionary scan and is for
+        small vocabularies only). Within the range, a cheap
+        |len| <= max_edits prefilter runs before the banded edit-distance
+        check. Sorted + capped like ``expand_prefix``."""
+        out: set[str] = set()
+        wl = len(word)
+        pfx = word[:prefix_len]
+        for sh in self.shards:
+            if sh is None or sh._terms is None:
+                continue
+            arr = sh._terms
+            if prefix_len > 0:
+                lo, hi = 0, len(arr)
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    if arr[mid].as_py() < pfx:
+                        lo = mid + 1
+                    else:
+                        hi = mid
+                j = lo
+                while j < len(arr):
+                    v = arr[j].as_py()
+                    if not v.startswith(pfx):
+                        break
+                    if v not in out and abs(len(v) - wl) <= max_edits \
+                            and _levenshtein_leq(v, word, max_edits):
+                        out.add(v)
+                    j += 1
+            else:
+                for j in range(len(arr)):
+                    v = arr[j].as_py()
+                    if v not in out and abs(len(v) - wl) <= max_edits \
+                            and _levenshtein_leq(v, word, max_edits):
+                        out.add(v)
+        return sorted(out)[:max_expansions]
+
+    def search_fuzzy(
+        self, word: str, k: int = 10, max_edits: int = 1, prefix_len: int = 1,
+        max_expansions: int = 64, doc_filter=None,
+    ) -> list[tuple[int, float]]:
+        """Fuzzy (edit-distance) retrieval: expand ``word`` against the
+        dictionary within ``max_edits`` Levenshtein edits (first
+        ``prefix_len`` chars pinned), then OR-score the expansions with
+        per-term idf — an exact vocabulary term ranks its own postings
+        first because rarer variants carry higher idf, the
+        tolerant-retrieval behaviour misspelled queries need."""
+        toks = self.tokenize(word)
+        if not toks:
+            return []
+        terms = self.expand_fuzzy(toks[0], max_edits, prefix_len, max_expansions)
+        return self.search_or_terms(terms, k, doc_filter) if terms else []
 
     # -- block-max WAND (vectorized block-at-a-time variant) ------------------
     def search_bmw(
