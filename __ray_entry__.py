@@ -218,6 +218,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # phrase length 2 so every battery entry fills its top-10
         # (exercises the rank truncation, not just the verify filter)
         "q_phrase_topk": lambda sf: flagship.run_phrase_queries(sf, k=10, n_tokens=2),
+        # the positional-sidecar form of phrase search: adjacency
+        # verified from (term, doc, positions) rows, no corpus re-read;
+        # same semantics, so its oracle IS the phrase oracle
+        "q_phrase_positional": lambda sf: flagship.run_phrase_queries_positional(sf, k=10, n_tokens=2),
+        # proximity: all terms within a token window (minimal-cover
+        # sweep over the sidecar's position lists), BM25-ranked
+        "q_proximity_search": lambda sf: flagship.run_proximity_queries(sf, k=10),
         # boolean clauses: must AND / should OR / must_not exclusion,
         # ranked by BM25 over the distinct (must + should) terms present
         "q_boolean_search": lambda sf: flagship.run_boolean_queries(sf, k=10),
@@ -552,6 +559,52 @@ sq AS (SELECT qid, term FROM (
 ranked AS (SELECT qid, doc_id, score,
                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
            FROM scored)
+{_ft_select(k)}
+"""
+
+
+def _proximity_sql(k: int = 10) -> str:
+    """Proximity oracle: a doc matches a qid iff one occurrence of
+    EVERY query term fits in a `window`-token span (greatest chosen
+    position - least <= window, positions from the ordered token
+    stream); matches rank by the BM25 sum over the query terms (all
+    present by construction). The per-qid EXISTS joins are generated
+    per arity."""
+    from information_retrieval_images_ray.functions.tokenizer import tokenize_simple
+    from information_retrieval_images_ray.pipelines.flagship import PROXIMITY_QUERIES
+
+    sq_vals, prox_parts = [], []
+    for q in PROXIMITY_QUERIES:
+        terms = sorted(set(tokenize_simple(q["terms"])))
+        for t in terms:
+            sq_vals.append(f"({q['qid']}, '{t}')")
+        aliases = [f"p{i}" for i in range(len(terms))]
+        joins = " ".join(
+            f"JOIN pos {a} ON {a}.doc_id = p0.doc_id" for a in aliases[1:]
+        )
+        conds = " AND ".join(
+            f"{a}.term = '{t}'" for a, t in zip(aliases, terms)
+        )
+        cols = ", ".join(f"{a}.i" for a in aliases)
+        span = (
+            f"greatest({cols}) - least({cols})" if len(aliases) > 1 else "0"
+        )
+        prox_parts.append(
+            f"SELECT {q['qid']} AS qid, p0.doc_id AS doc_id FROM pos p0 {joins} "
+            f"WHERE {conds} AND {span} <= {q['window']} GROUP BY 2"
+        )
+    return f"""
+WITH sq(qid, term) AS (VALUES {", ".join(sq_vals)}),
+{_FT_BASE_CTE},
+toksl AS (SELECT doc_id, {TOK_SQL} AS ts FROM docs),
+pos AS (SELECT doc_id, u.i AS i, ts[u.i] AS term
+        FROM toksl CROSS JOIN LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
+prox AS ({" UNION ALL ".join(prox_parts)}),
+{_FT_SCORE_TAIL},
+ranked AS (SELECT p.qid, p.doc_id, sc.score,
+                  row_number() OVER (PARTITION BY p.qid
+                                     ORDER BY sc.score DESC, p.doc_id) AS rnk
+           FROM prox p JOIN scored sc ON sc.qid = p.qid AND sc.doc_id = p.doc_id)
 {_ft_select(k)}
 """
 
@@ -893,6 +946,9 @@ SELECT min(doc_id) AS doc_id, text FROM (
         # search-time filter: full-corpus stats, only lang=fr docs
         # ranked (WHERE binds before row_number in the ranked CTE)
         "q_phrase_topk": _phrase_sql(n_tokens=2),
+        # positional phrase must agree with the text-verify phrase path
+        "q_phrase_positional": _phrase_sql(n_tokens=2),
+        "q_proximity_search": _proximity_sql(),
         "q_boolean_search": _boolean_sql(),
         "q_prefix_search": _prefix_sql(),
         "q_fuzzy_search": _fuzzy_sql(),

@@ -555,16 +555,120 @@ def run_phrase_queries(
         hit = np.unique(
             matched.loc[matched["qid"] == qid, "doc_id"].to_numpy(np.int64)
         )
-        if not len(hit):
-            continue
-        s = scores[np.searchsorted(ids, hit)]  # ids sorted by contract
-        order = np.lexsort((hit, -s))[: min(k, len(hit))]
-        frames.append(pd.DataFrame({
-            "qid": np.full(len(order), qid, np.int64),
-            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
-            "doc_id": hit[order],
-            "score_e6": np.floor(s[order] * 1e6 + 0.5).astype(np.int64),
-        }))
+        frame = _rank_verified(qid, ids, scores, hit, k)
+        if frame is not None:
+            frames.append(frame)
     if not frames:
         return empty
+    return pd.concat(frames, ignore_index=True).astype("int64")
+
+
+def _rank_verified(qid, cand_ids, cand_scores, hit, k) -> pd.DataFrame | None:
+    """Shared tail of the verify-then-rank queries (phrase/proximity):
+    take the verified subset of the conjunctive candidates, rank by
+    (score desc, doc_id asc), truncate to k."""
+    import numpy as np
+
+    if not len(hit):
+        return None
+    s = cand_scores[np.searchsorted(cand_ids, hit)]  # ids sorted by contract
+    order = np.lexsort((hit, -s))[: min(k, len(hit))]
+    return pd.DataFrame({
+        "qid": np.full(len(order), qid, np.int64),
+        "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+        "doc_id": hit[order],
+        "score_e6": np.floor(s[order] * 1e6 + 0.5).astype(np.int64),
+    })
+
+
+def run_phrase_queries_positional(
+    sf_dir: str, k: int = 10, n_tokens: int = 3, anchors=PHRASE_ANCHORS,
+) -> pd.DataFrame:
+    """The positional-index form of ``run_phrase_queries``: identical
+    semantics and output (same candidates, same ranking — its oracle is
+    the same phrase SQL), but adjacency is verified from the positional
+    sidecar's (term, doc, positions) rows instead of re-reading and
+    re-tokenizing candidate text. The sidecar read is pushdown-pruned
+    to the phrase's terms and candidate ids, so the verify stage costs
+    O(candidate postings), not O(candidate text bytes)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from ..functions.tokenizer import tokenize_simple
+    from ..sources.corpus_source import read_documents_table
+    from .positions import build_positions_sidecar, verify_phrase_positions
+
+    index_dir = build_documents_index(sf_dir)
+    build_positions_sidecar(read_documents_table(sf_dir), index_dir)
+    reader = IndexReader(index_dir)
+
+    anchor_t = pads.dataset(
+        f"{sf_dir}/documents.parquet", format="parquet"
+    ).to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(list(anchors)),
+    )
+    texts = dict(zip(anchor_t["doc_id"].to_pylist(), anchor_t["text"].to_pylist()))
+
+    frames = []
+    for qid in anchors:
+        toks = tokenize_simple(texts.get(qid) or "")[:n_tokens]
+        if not toks:
+            continue
+        ids, scores = reader.conjunctive_scores(toks)
+        if not len(ids):
+            continue
+        hit = verify_phrase_positions(index_dir, toks, ids)
+        frame = _rank_verified(qid, ids, scores, hit, k)
+        if frame is not None:
+            frames.append(frame)
+    if not frames:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ["qid", "rank", "doc_id", "score_e6"]}
+        )
+    return pd.concat(frames, ignore_index=True).astype("int64")
+
+
+# Frozen proximity battery: ALL terms within a `window`-token span
+# (unordered; span = max chosen position - min chosen position).
+# 2-term pairs, one 3-term entry, one df-0 term (qid 6 -> empty).
+PROXIMITY_QUERIES = [
+    {"qid": 1, "terms": "hash join", "window": 4},
+    {"qid": 2, "terms": "merge sort", "window": 2},
+    {"qid": 3, "terms": "spark window", "window": 6},
+    {"qid": 4, "terms": "dup key", "window": 8},
+    {"qid": 5, "terms": "fast scan filter", "window": 6},
+    {"qid": 6, "terms": "zebra scan", "window": 5},
+]
+
+
+def run_proximity_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Proximity search over the positional sidecar: candidates are the
+    conjunctive (all-terms) docs from the postings, verification is the
+    minimal-cover sweep over their position lists, ranking is the BM25
+    sum of the query terms (same scores as the conjunctive stage)."""
+    import numpy as np
+
+    from ..functions.tokenizer import tokenize_simple
+    from ..sources.corpus_source import read_documents_table
+    from .positions import build_positions_sidecar, verify_proximity_positions
+
+    index_dir = build_documents_index(sf_dir)
+    build_positions_sidecar(read_documents_table(sf_dir), index_dir)
+    reader = IndexReader(index_dir)
+
+    frames = []
+    for q in PROXIMITY_QUERIES:
+        terms = sorted(set(tokenize_simple(q["terms"])))
+        ids, scores = reader.conjunctive_scores(terms)
+        if not len(ids):
+            continue
+        hit = verify_proximity_positions(index_dir, terms, q["window"], ids)
+        frame = _rank_verified(q["qid"], ids, scores, hit, k)
+        if frame is not None:
+            frames.append(frame)
+    if not frames:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ["qid", "rank", "doc_id", "score_e6"]}
+        )
     return pd.concat(frames, ignore_index=True).astype("int64")

@@ -1,0 +1,215 @@
+"""Positional-postings sidecar: token positions per (term, doc), and
+the query operators they enable — positional phrase verification (no
+corpus re-read at query time) and proximity search (all terms within a
+token window).
+
+This is the optimization seam `flagship.run_phrase_queries` documents:
+its adjacency-verify stage re-reads candidate docs' TEXT and
+re-tokenizes. The sidecar moves that cost to build time, the standard
+fulltext-index trade (Lucene stores positions in the postings for
+exactly this): at query time a phrase touches only the (term, doc_id,
+positions) rows of its terms — a predicate-pushdown parquet read —
+never the corpus.
+
+Layout: ``<index_dir>/positions/shard=K/*.parquet`` with rows
+``(term, doc_id: int64, positions: list<int32>)``; positions are
+0-based token indexes under the SAME tokenizer the index was built
+with (read from stats.json). Files are hive-partitioned by the
+index's doc-range shard and term-sorted within each partition, so a
+query's term list prunes twice: shard dirs by candidate doc range and
+row groups by term min/max statistics. The sidecar is strictly
+additive — segments, docmeta and stats are untouched, and readers
+that never ask for positions never pay for them.
+
+Scale: the build is one tokenize pass + one (shard, term) sort
+exchange — the same exchange class as the segment build; the verify
+stage is a ``groupby(doc_id).map_groups`` over ONLY the pruned rows
+(bounded by the rarest term's df), never a corpus scan.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..functions.tokenizer import get_tokenizer
+
+
+def positions_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "positions")
+
+
+def build_positions_sidecar(ds: ray.data.Dataset, index_dir: str) -> dict:
+    """Tokenize the corpus once more, emitting per-(term, doc) position
+    lists, hive-partitioned by the index's shard function. Idempotent
+    via a marker file (re-running on a finished sidecar is a no-op);
+    a crashed build is detected by the missing marker and rebuilt."""
+    import shutil
+
+    from .build import make_shard_of
+
+    pdir = positions_dir(index_dir)
+    marker = os.path.join(pdir, "_positions.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    shutil.rmtree(pdir, ignore_errors=True)
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    shard_of = make_shard_of(stats["shard_bounds"])
+    tokenizer = stats["tokenizer"]
+
+    class PositionsStage:
+        def __init__(self):
+            self._tok = get_tokenizer(tokenizer)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out_t: list[str] = []
+            out_d: list[int] = []
+            out_p: list[list[int]] = []
+            for did, text in zip(ids, batch["content"].to_pylist()):
+                by_term: dict[str, list[int]] = {}
+                for i, t in enumerate(self._tok(text or "")):
+                    by_term.setdefault(t, []).append(i)
+                for t, p in by_term.items():
+                    out_t.append(t)
+                    out_d.append(int(did))
+                    out_p.append(p)
+            docs = pa.array(out_d, pa.int64())
+            return pa.table({
+                "term": pa.array(out_t, pa.string()),
+                "doc_id": docs,
+                "positions": pa.array(out_p, pa.large_list(pa.int32())),
+                "shard": pa.array(
+                    shard_of(np.asarray(out_d, np.int64)), pa.int32()),
+            })
+
+    (
+        ds.map_batches(PositionsStage, batch_format="pyarrow", concurrency=(1, 8))
+        .sort(["shard", "term"])
+        .write_parquet(pdir, partition_cols=["shard"], compression="zstd")
+    )
+    n_rows = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(pdir, "**", "*.parquet"), recursive=True)
+    )
+    info = {"rows": n_rows, "tokenizer": tokenizer}
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(info, f)
+    os.replace(tmp, marker)
+    return info
+
+
+def _read_positions(
+    index_dir: str, terms: list[str], doc_ids: np.ndarray | None = None,
+) -> ray.data.Dataset:
+    """Pushdown-pruned sidecar read: only the requested terms' rows
+    (row-group stats skip non-matching term ranges — the files are
+    term-sorted) and, when given, only candidate doc_ids."""
+    import pyarrow.dataset as pads
+
+    filt = pads.field("term").isin(sorted(set(terms)))
+    if doc_ids is not None:
+        filt = filt & pads.field("doc_id").isin(pa.array(doc_ids, pa.int64()))
+    return ray.data.read_parquet(
+        positions_dir(index_dir),
+        columns=["term", "doc_id", "positions"],
+        filter=filt,
+    )
+
+
+def verify_phrase_positions(
+    index_dir: str, phrase: list[str], cand_ids: np.ndarray,
+) -> np.ndarray:
+    """Doc ids among ``cand_ids`` whose token stream contains the exact
+    contiguous ``phrase`` — decided ENTIRELY from the sidecar. Per doc:
+    chain-intersect successive terms' positions shifted by one (the
+    classic positional-postings phrase merge); duplicate phrase terms
+    reuse the same position list shifted, which is exactly the
+    contiguity test. Runs as groupby(doc_id).map_groups over the pruned
+    rows."""
+    if not len(cand_ids) or not phrase:
+        return np.empty(0, np.int64)
+    ds = _read_positions(index_dir, phrase, cand_ids)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        pos = {t: np.asarray(p, np.int64) for t, p in zip(g["term"], g["positions"])}
+        cur = pos.get(phrase[0])
+        for t in phrase[1:]:
+            if cur is None or not len(cur):
+                cur = None
+                break
+            nxt = pos.get(t)
+            if nxt is None:
+                cur = None
+                break
+            cur = np.intersect1d(cur + 1, nxt, assume_unique=True)
+        if cur is None or not len(cur):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])]})
+
+    out = ds.groupby("doc_id").map_groups(per_doc).to_pandas()
+    if out.empty:
+        return np.empty(0, np.int64)
+    return np.sort(out["doc_id"].to_numpy(np.int64))
+
+
+def verify_proximity_positions(
+    index_dir: str, terms: list[str], window: int, cand_ids: np.ndarray,
+) -> np.ndarray:
+    """Doc ids among ``cand_ids`` where ONE occurrence of EVERY term
+    fits inside a ``window``-token span (max chosen position - min
+    chosen position <= window, unordered). Minimal-cover sweep over the
+    label-merged sorted positions: advance the left edge, track
+    per-term counts, test the span whenever all terms are covered —
+    O(total positions) per doc."""
+    uniq = sorted(set(terms))
+    if not len(cand_ids) or not uniq:
+        return np.empty(0, np.int64)
+    ds = _read_positions(index_dir, uniq, cand_ids)
+    need = len(uniq)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        pos = {t: np.asarray(p, np.int64) for t, p in zip(g["term"], g["positions"])}
+        if len(pos) < need:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        labels = np.concatenate([
+            np.full(len(p), i, np.int64) for i, t in enumerate(uniq)
+            for p in (pos[t],)
+        ])
+        merged = np.concatenate([pos[t] for t in uniq])
+        order = np.argsort(merged, kind="mergesort")
+        merged, labels = merged[order], labels[order]
+        cnt = np.zeros(need, np.int64)
+        covered = 0
+        lo = 0
+        ok = False
+        for hi in range(len(merged)):
+            cnt[labels[hi]] += 1
+            if cnt[labels[hi]] == 1:
+                covered += 1
+            while cnt[labels[lo]] > 1:
+                cnt[labels[lo]] -= 1
+                lo += 1
+            if covered == need and merged[hi] - merged[lo] <= window:
+                ok = True
+                break
+        if not ok:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])]})
+
+    out = ds.groupby("doc_id").map_groups(per_doc).to_pandas()
+    if out.empty:
+        return np.empty(0, np.int64)
+    return np.sort(out["doc_id"].to_numpy(np.int64))

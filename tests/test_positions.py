@@ -1,0 +1,119 @@
+"""Positional-postings sidecar: phrase verify without corpus re-read,
+proximity (window) search, sidecar build idempotency."""
+
+import os
+
+import numpy as np
+import pytest
+import ray
+
+from information_retrieval_images_ray.functions.tokenizer import tokenize_simple
+from information_retrieval_images_ray.pipelines import flagship
+from information_retrieval_images_ray.pipelines.build import build_index
+from information_retrieval_images_ray.pipelines.positions import (
+    build_positions_sidecar, positions_dir, verify_phrase_positions,
+    verify_proximity_positions)
+from information_retrieval_images_ray.pipelines.query import IndexReader
+
+DOCS = [
+    # 0: phrase "red green blue" present; "red ... blue" within 2
+    {"doc_id": 0, "content": "red green blue yellow", "lang": "en"},
+    # 1: all three words, wrong order -> phrase no, proximity yes
+    {"doc_id": 1, "content": "blue red green", "lang": "en"},
+    # 2: red & blue far apart (distance 5)
+    {"doc_id": 2, "content": "red a a a a blue", "lang": "en"},
+    # 3: phrase at the very end; duplicated first word
+    {"doc_id": 3, "content": "red red green blue", "lang": "en"},
+    # 4: repeated-word phrase "echo echo"
+    {"doc_id": 4, "content": "echo echo once", "lang": "en"},
+    # 5: single "echo" only -> "echo echo" must NOT match
+    {"doc_id": 5, "content": "echo once more", "lang": "en"},
+]
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("posidx") / "i")
+    ds = ray.data.from_items(DOCS)
+    build_index(ds, d, tokenizer="simple", num_shards=2)
+    build_positions_sidecar(ds, d)
+    return d
+
+
+def test_sidecar_build_idempotent(idx):
+    files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(positions_dir(idx)) for f in fs
+    )
+    mtimes = [os.path.getmtime(f) for f in files]
+    info = build_positions_sidecar(ray.data.from_items(DOCS), idx)
+    assert info["rows"] > 0
+    assert [os.path.getmtime(f) for f in files] == mtimes  # no rewrite
+
+
+def test_phrase_verify_positions(idx):
+    all_ids = np.arange(len(DOCS), dtype=np.int64)
+    assert verify_phrase_positions(idx, ["red", "green", "blue"], all_ids).tolist() == [0, 3]
+    assert verify_phrase_positions(idx, ["green", "blue"], all_ids).tolist() == [0, 3]
+    # order matters: no doc has "blue" immediately before "green"
+    assert verify_phrase_positions(idx, ["blue", "green"], all_ids).tolist() == []
+    # doc 1 = "blue red green": "blue red" IS contiguous there
+    assert verify_phrase_positions(idx, ["blue", "red"], all_ids).tolist() == [1]
+    # repeated-word phrase needs two ADJACENT occurrences
+    assert verify_phrase_positions(idx, ["echo", "echo"], all_ids).tolist() == [4]
+    # candidate restriction is honored
+    assert verify_phrase_positions(
+        idx, ["red", "green"], np.array([3], np.int64)).tolist() == [3]
+    assert verify_phrase_positions(idx, ["red", "zzz"], all_ids).tolist() == []
+
+
+def test_proximity_window_edges(idx):
+    all_ids = np.arange(len(DOCS), dtype=np.int64)
+    # red..blue min spans: doc0=2, doc1=1, doc2=5, doc3=2
+    assert verify_proximity_positions(idx, ["red", "blue"], 1, all_ids).tolist() == [1]
+    assert verify_proximity_positions(idx, ["red", "blue"], 2, all_ids).tolist() == [0, 1, 3]
+    assert verify_proximity_positions(idx, ["red", "blue"], 4, all_ids).tolist() == [0, 1, 3]
+    assert verify_proximity_positions(idx, ["red", "blue"], 5, all_ids).tolist() == [0, 1, 2, 3]
+    # 3-term cover: doc1 "blue red green" span 2
+    assert verify_proximity_positions(
+        idx, ["red", "green", "blue"], 2, all_ids).tolist() == [0, 1, 3]
+
+
+def test_positional_phrase_equals_text_verify(sf_dir):
+    """The sidecar path and the corpus-re-read path are the same
+    operator: identical output frame on the shared battery."""
+    a = flagship.run_phrase_queries(sf_dir, k=10, n_tokens=2)
+    b = flagship.run_phrase_queries_positional(sf_dir, k=10, n_tokens=2)
+    assert a.equals(b)
+
+
+def test_proximity_battery_verified_by_brute_force(sf_dir):
+    """Every (qid, doc) the battery emits — and none it omits — passes
+    the definitional check on the raw token streams."""
+    import duckdb
+
+    out = flagship.run_proximity_queries(sf_dir, k=10_000)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    toks = {d: tokenize_simple(t or "") for d, t in rows}
+
+    def brute(terms, window):
+        terms = sorted(set(tokenize_simple(terms)))
+        hit = set()
+        for d, ts in toks.items():
+            pos = {t: [i for i, x in enumerate(ts) if x == t] for t in terms}
+            if any(not p for p in pos.values()):
+                continue
+            import itertools
+
+            best = min(
+                max(c) - min(c) for c in itertools.product(*pos.values())
+            )
+            if best <= window:
+                hit.add(d)
+        return hit
+
+    for q in flagship.PROXIMITY_QUERIES:
+        got = set(out.loc[out["qid"] == q["qid"], "doc_id"])
+        assert got == brute(q["terms"], q["window"]), q
