@@ -541,18 +541,20 @@ class IndexReader:
 
     def search_or_terms(
         self, terms: list[str], k: int = 10, doc_filter=None,
+        weights: dict[str, float] | None = None,
     ) -> list[tuple[int, float]]:
         """OR-of-terms BM25 top-k over an EXPLICIT term list (already
         normalized — no tokenization). The scoring tail of the
         dictionary-expansion queries (prefix/fuzzy): every term scores
         with its own idf, docs rank by the sum over their matching
         terms. Identical accumulators to ``search_taat`` (sorted-term
-        float64 add order)."""
+        float64 add order). ``weights`` overrides idf per term (sharded
+        serving's global-df exchange, as in search_taat)."""
         mask = self._resolve_filter(doc_filter)
         uniq = sorted(set(terms))
         acc: dict[int, np.ndarray] = {}
         k1, b = self.params.k1, self.params.b
-        for t, w, locs in self._term_infos(uniq):
+        for t, w, locs in self._term_infos(uniq, weights):
             for s, i in locs:
                 sh = self.shards[s]
                 ids, part = sh.partial(i, self.block_size, self.doc_len,
@@ -579,6 +581,7 @@ class IndexReader:
     def search_boolean(
         self, must: str = "", should: str = "", must_not: str = "",
         k: int = 10, doc_filter=None,
+        weights: dict[str, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Boolean-clause retrieval (the Lucene BooleanQuery shape over
         this index): a doc is a candidate iff it contains EVERY must
@@ -588,7 +591,13 @@ class IndexReader:
         only excludes, never scores. One pass over the involved terms'
         partials: a score accumulator plus a must-presence counter plus
         an exclusion flag per shard, all O(shard span) dense arrays —
-        no per-doc python, no sets of doc ids."""
+        no per-doc python, no sets of doc ids.
+
+        ``weights`` overrides idf for the SCORE terms (sharded serving:
+        the router's df exchange supplies exact global idf); presence /
+        exclusion are df-independent and stay local — a doc lives in
+        exactly one shard, so per-reader must/not checks compose
+        exactly under scatter-gather."""
         mask = self._resolve_filter(doc_filter)
         must_t = sorted(set(self.tokenize(must)))
         score_t = sorted(set(self.tokenize(must)) | set(self.tokenize(should)))
@@ -600,8 +609,8 @@ class IndexReader:
             return []
         k1, b = self.params.k1, self.params.b
 
-        def _accumulate(term_list, update):
-            for t, w, locs in self._term_infos(term_list):
+        def _accumulate(term_list, update, w_override=None):
+            for t, w, locs in self._term_infos(term_list, w_override):
                 for s, i in locs:
                     sh = self.shards[s]
                     ids, part = sh.partial(i, self.block_size, self.doc_len,
@@ -642,7 +651,7 @@ class IndexReader:
             else:
                 e[ids - sh.lo] = True
 
-        _accumulate(score_t, upd_score)
+        _accumulate(score_t, upd_score, weights)
         if must_t:
             _accumulate(must_t, upd_count)
         if not_t:

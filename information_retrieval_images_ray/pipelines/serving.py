@@ -67,6 +67,39 @@ class ShardQueryActor:
                 out.append((q["qid"], doc, score))
         return out
 
+    def expand_prefix(self, prefix: str, max_expansions: int) -> list[str]:
+        return self.reader.expand_prefix(prefix, max_expansions)
+
+    def expand_fuzzy(self, word: str, max_edits: int, prefix_len: int,
+                     max_expansions: int) -> list[str]:
+        return self.reader.expand_fuzzy(word, max_edits, prefix_len, max_expansions)
+
+    def search_boolean(
+        self, queries: list[dict], k: int,
+        weights_per_query: list[dict[str, float]], doc_filter=None,
+    ) -> list[tuple[int, int, float]]:
+        out = []
+        for q, w in zip(queries, weights_per_query):
+            for doc, score in self.reader.search_boolean(
+                q.get("must", ""), q.get("should", ""), q.get("must_not", ""),
+                k, doc_filter=doc_filter, weights=w,
+            ):
+                out.append((q["qid"], doc, score))
+        return out
+
+    def search_or_terms(
+        self, queries: list[dict], k: int,
+        weights_per_query: list[dict[str, float]], doc_filter=None,
+    ) -> list[tuple[int, int, float]]:
+        """queries carry an explicit, router-expanded ``terms`` list."""
+        out = []
+        for q, w in zip(queries, weights_per_query):
+            for doc, score in self.reader.search_or_terms(
+                q["terms"], k, doc_filter=doc_filter, weights=w,
+            ):
+                out.append((q["qid"], doc, score))
+        return out
+
     def ready(self) -> bool:
         return True
 
@@ -133,6 +166,128 @@ class ShardedQueryService:
                 out.append(
                     {"qid": q["qid"], "rank": rank, "doc_id": doc, "score": score}
                 )
+        return out
+
+    def _weights_for(self, per_query_terms: list[list[str]]) -> list[dict[str, float]]:
+        """df exchange (phase 1) for an arbitrary term-list-per-query:
+        exact global idf from summed per-actor df_local."""
+        all_terms = sorted({t for ts in per_query_terms for t in ts})
+        if not all_terms:
+            return [{} for _ in per_query_terms]
+        df_parts = ray.get([a.df_locals.remote(all_terms) for a in self.actors])
+        gdf: dict[str, int] = defaultdict(int)
+        for part in df_parts:
+            for t, n in part.items():
+                gdf[t] += n
+        return [
+            {t: idf_fn(self.n_docs, gdf[t]) for t in ts if gdf.get(t)}
+            for ts in per_query_terms
+        ]
+
+    def _merge(self, queries: list[dict], parts, k: int) -> list[dict]:
+        """Phase-2 gather: k-way merge per qid with the engine-wide
+        (score desc, doc_id asc) tie-break."""
+        by_qid: dict[int, list[tuple[float, int]]] = defaultdict(list)
+        for rows in parts:
+            for qid, doc, score in rows:
+                by_qid[qid].append((score, doc))
+        out = []
+        for q in queries:
+            hits = sorted(by_qid.get(q["qid"], []), key=lambda e: (-e[0], e[1]))[:k]
+            for rank, (score, doc) in enumerate(hits, start=1):
+                out.append(
+                    {"qid": q["qid"], "rank": rank, "doc_id": doc, "score": score}
+                )
+        return out
+
+    def topk_boolean(self, queries: list[dict], k: int = 10,
+                     doc_filter=None) -> list[dict]:
+        """queries: [{"qid", "must", "should", "must_not"}] — same
+        two-phase protocol as ``topk``: global idf for the DISTINCT
+        (must + should) score terms via the df exchange; presence and
+        exclusion are evaluated locally per actor (each doc lives in
+        exactly one shard, so local must/not checks compose exactly)."""
+        per_query_terms = [
+            sorted(set(self._tok(q.get("must", "")))
+                   | set(self._tok(q.get("should", ""))))
+            for q in queries
+        ]
+        weights = self._weights_for(per_query_terms)
+        parts = ray.get([
+            a.search_boolean.remote(queries, k, weights, doc_filter)
+            for a in self.actors
+        ])
+        return self._merge(queries, parts, k)
+
+    def topk_prefix(self, queries: list[dict], k: int = 10,
+                    max_expansions: int = 64, doc_filter=None) -> list[dict]:
+        """queries: [{"qid", "prefix"}]. Three-phase: (0) expansion
+        exchange — each actor expands against ITS dictionary subset,
+        the router unions and applies the deterministic
+        lexicographic cap (a term in the global first-N is in its own
+        actor's first-N, so per-actor caps lose nothing); then the
+        usual df exchange + scatter-gather OR scoring. The prefix is
+        normalized through the index tokenizer first (parity with the
+        serial ``search_prefix``)."""
+        norm = [(self._tok(q["prefix"]) or [""])[0] for q in queries]
+        expansions = self._expand(
+            [("prefix", p, max_expansions) for p in norm],
+            max_expansions,
+        )
+        expansions = [ts if p else [] for p, ts in zip(norm, expansions)]
+        scored = [
+            {"qid": q["qid"], "terms": ts}
+            for q, ts in zip(queries, expansions)
+        ]
+        weights = self._weights_for(expansions)
+        parts = ray.get([
+            a.search_or_terms.remote(scored, k, weights, doc_filter)
+            for a in self.actors
+        ])
+        return self._merge(queries, parts, k)
+
+    def topk_fuzzy(self, queries: list[dict], k: int = 10,
+                   max_edits: int = 1, prefix_len: int = 1,
+                   max_expansions: int = 64, doc_filter=None) -> list[dict]:
+        """queries: [{"qid", "word"}] — fuzzy analogue of topk_prefix."""
+        norm = [(self._tok(q["word"]) or [""])[0] for q in queries]
+        expansions = self._expand(
+            [("fuzzy", (w, max_edits, prefix_len), max_expansions)
+             for w in norm],
+            max_expansions,
+        )
+        expansions = [ts if w else [] for w, ts in zip(norm, expansions)]
+        scored = [
+            {"qid": q["qid"], "terms": ts}
+            for q, ts in zip(queries, expansions)
+        ]
+        weights = self._weights_for(expansions)
+        parts = ray.get([
+            a.search_or_terms.remote(scored, k, weights, doc_filter)
+            for a in self.actors
+        ])
+        return self._merge(queries, parts, k)
+
+    def _expand(self, specs, max_expansions: int) -> list[list[str]]:
+        """Phase 0 for the dictionary-expansion queries: fan each
+        expansion request to every actor, union, sort, cap — the same
+        deterministic term set a whole-index reader produces."""
+        futs = []
+        for kind, arg, cap in specs:
+            for a in self.actors:
+                if kind == "prefix":
+                    futs.append(a.expand_prefix.remote(arg, cap))
+                else:
+                    w, me, pl = arg
+                    futs.append(a.expand_fuzzy.remote(w, me, pl, cap))
+        flat = ray.get(futs)
+        n_act = len(self.actors)
+        out = []
+        for i in range(len(specs)):
+            union: set[str] = set()
+            for j in range(n_act):
+                union.update(flat[i * n_act + j])
+            out.append(sorted(union)[:max_expansions])
         return out
 
     def shutdown(self) -> None:

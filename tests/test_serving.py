@@ -90,3 +90,48 @@ def test_subset_reader_only_loads_owned_shards(served_index):
     for t in terms:
         if t in d_sub:
             assert d_sub[t] <= d_full[t]
+
+
+@pytest.mark.parametrize("num_actors", [1, 3])
+def test_sharded_boolean_prefix_fuzzy_rank_identical(served_index, num_actors):
+    """The round-3 fulltext retrieval modes (boolean clauses, prefix
+    expansion, fuzzy expansion) through the sharded router must be
+    bitwise score-identical to the serial whole-index reader — the
+    df exchange supplies exact global idf for the score terms, the
+    expansion exchange reproduces the serial deterministic cap, and
+    must/not presence composes per-shard because shards partition
+    the doc space."""
+    reader = IndexReader(served_index)
+    svc = ShardedQueryService(served_index, num_actors=num_actors)
+    try:
+        bqs = [
+            {"qid": 0, "must": "get user", "should": "name", "must_not": ""},
+            {"qid": 1, "must": "", "should": "merge sort hash", "must_not": "get"},
+            {"qid": 2, "must": "parse", "should": "", "must_not": "zz_nohit"},
+            {"qid": 3, "must": "zzz_nohit", "should": "get", "must_not": ""},
+        ]
+        got = svc.topk_boolean(bqs, k=10)
+        for q in bqs:
+            mine = [(r["doc_id"], r["score"]) for r in got if r["qid"] == q["qid"]]
+            want = reader.search_boolean(q["must"], q["should"], q["must_not"], 10)
+            assert mine == want, ("boolean", q)
+
+        pqs = [{"qid": 0, "prefix": "get"}, {"qid": 1, "prefix": "pa"},
+               {"qid": 2, "prefix": "zzz_nohit"}]
+        got = svc.topk_prefix(pqs, k=10, max_expansions=8)
+        for q in pqs:
+            mine = [(r["doc_id"], r["score"]) for r in got if r["qid"] == q["qid"]]
+            want = reader.search_prefix(q["prefix"], 10, max_expansions=8)
+            assert mine == want, ("prefix", q)
+
+        fqs = [{"qid": 0, "word": "getx"}, {"qid": 1, "word": "mergE"},
+               {"qid": 2, "word": "qqqqqq"}]
+        got = svc.topk_fuzzy(fqs, k=10, max_edits=1, prefix_len=1,
+                             max_expansions=16)
+        for q in fqs:
+            mine = [(r["doc_id"], r["score"]) for r in got if r["qid"] == q["qid"]]
+            want = reader.search_fuzzy(q["word"], 10, max_edits=1,
+                                       prefix_len=1, max_expansions=16)
+            assert mine == want, ("fuzzy", q)
+    finally:
+        svc.shutdown()
