@@ -468,6 +468,7 @@ class IndexReader:
 
     def conjunctive_scores(
         self, terms: list[str], doc_filter=None,
+        weights: dict[str, float] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Docs containing EVERY term in ``terms`` (AND semantics),
         with their full BM25 scores — the candidate stage of phrase
@@ -475,10 +476,14 @@ class IndexReader:
         per-shard presence counter; returns (doc_ids, scores) sorted
         by doc_id. A term absent from the index empties the
         conjunction. Scores are bitwise-identical to ``search_taat``'s
-        for the same terms (same partials, same add order)."""
+        for the same terms (same partials, same add order). ``weights``
+        overrides idf per term (sharded serving's global-df exchange);
+        a subset reader given weights still empties the conjunction on
+        terms absent from ITS shards — correct per shard, since a doc
+        lives wholly in one shard."""
         mask = self._resolve_filter(doc_filter)
         uniq = sorted(set(terms))
-        infos = self._term_infos(uniq)
+        infos = self._term_infos(uniq, weights)
         if len(infos) < len(uniq):  # some term has df == 0
             return np.empty(0, np.int64), np.empty(0, np.float64)
         acc: dict[int, np.ndarray] = {}

@@ -100,6 +100,22 @@ class ShardQueryActor:
                 out.append((q["qid"], doc, score))
         return out
 
+    def conjunctive(
+        self, queries: list[dict], weights_per_query: list[dict[str, float]],
+        doc_filter=None,
+    ) -> list[tuple[int, int, float]]:
+        """ALL docs among owned shards containing EVERY query term
+        (the candidate stage of phrase/proximity — no k cut here:
+        position verification happens above, after the merge)."""
+        out = []
+        for q, w in zip(queries, weights_per_query):
+            ids, scores = self.reader.conjunctive_scores(
+                q["terms"], doc_filter=doc_filter, weights=w,
+            )
+            for d, s in zip(ids.tolist(), scores.tolist()):
+                out.append((q["qid"], d, s))
+        return out
+
     def ready(self) -> bool:
         return True
 
@@ -111,6 +127,7 @@ class ShardedQueryService:
         import json
         import os
 
+        self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             stats = json.load(f)
         nsh = stats["num_shards"]
@@ -267,6 +284,111 @@ class ShardedQueryService:
             for a in self.actors
         ])
         return self._merge(queries, parts, k)
+
+    def topk_phrase(self, queries: list[dict], k: int = 10,
+                    doc_filter=None) -> list[dict]:
+        """Exact-phrase top-k through the sharded pool. queries:
+        [{"qid", "phrase"}]. Protocol: df exchange for global idf →
+        per-actor conjunctive candidates (a doc lives wholly in one
+        shard, so local all-terms checks compose exactly) → ONE
+        positional-sidecar adjacency verify over the merged candidate
+        set (pushdown-pruned to the union of phrase terms and
+        candidate ids — O(candidate postings), never a corpus read) →
+        rank the verified by (BM25 desc, doc_id asc). Requires the
+        index's positions sidecar (``build_positions_sidecar``)."""
+        from .positions import positions_dir, verify_phrase_positions
+        import os
+
+        if not os.path.isdir(positions_dir(self.index_dir)):
+            raise FileNotFoundError(
+                f"no positions sidecar under {self.index_dir} — "
+                "run build_positions_sidecar first"
+            )
+        phrases = [self._tok(q["phrase"]) for q in queries]
+        cands = self._conjunctive(queries, [sorted(set(p)) for p in phrases],
+                                  doc_filter)
+        out = []
+        for q, phrase in zip(queries, phrases):
+            hits = cands.get(q["qid"], [])
+            if not phrase or not hits:
+                continue
+            import numpy as np
+
+            ids = np.array([d for _, d in hits], np.int64)
+            ok = set(verify_phrase_positions(
+                self.index_dir, phrase, ids).tolist())
+            kept = sorted(
+                ((s, d) for s, d in hits if d in ok),
+                key=lambda e: (-e[0], e[1]),
+            )[:k]
+            for rank, (score, doc) in enumerate(kept, start=1):
+                out.append(
+                    {"qid": q["qid"], "rank": rank, "doc_id": doc, "score": score}
+                )
+        return out
+
+    def topk_proximity(self, queries: list[dict], k: int = 10,
+                       doc_filter=None) -> list[dict]:
+        """Unordered within-window top-k (all terms inside a
+        ``window``-token span). queries: [{"qid", "terms", "window"}].
+        Same candidate protocol as ``topk_phrase``; verification is
+        the minimal-cover sweep over the sidecar position lists."""
+        from .positions import positions_dir, verify_proximity_positions
+        import os
+
+        if not os.path.isdir(positions_dir(self.index_dir)):
+            raise FileNotFoundError(
+                f"no positions sidecar under {self.index_dir} — "
+                "run build_positions_sidecar first"
+            )
+        term_lists = [sorted(set(self._tok(q["terms"]))) for q in queries]
+        cands = self._conjunctive(queries, term_lists, doc_filter)
+        out = []
+        for q, terms in zip(queries, term_lists):
+            hits = cands.get(q["qid"], [])
+            if not terms or not hits:
+                continue
+            import numpy as np
+
+            ids = np.array([d for _, d in hits], np.int64)
+            ok = set(verify_proximity_positions(
+                self.index_dir, terms, int(q["window"]), ids).tolist())
+            kept = sorted(
+                ((s, d) for s, d in hits if d in ok),
+                key=lambda e: (-e[0], e[1]),
+            )[:k]
+            for rank, (score, doc) in enumerate(kept, start=1):
+                out.append(
+                    {"qid": q["qid"], "rank": rank, "doc_id": doc, "score": score}
+                )
+        return out
+
+    def _conjunctive(
+        self, queries: list[dict], term_lists: list[list[str]], doc_filter,
+    ) -> dict[int, list[tuple[float, int]]]:
+        """df exchange + scatter conjunctive-candidate gather, keyed by
+        qid as (score, doc_id) pairs. A query with an out-of-vocabulary
+        term (global df 0) is dropped here — the conjunction is empty
+        by definition."""
+        weights = self._weights_for(term_lists)
+        scored = [
+            {"qid": q["qid"], "terms": ts}
+            for q, ts, w in zip(queries, term_lists, weights)
+            if ts and all(t in w for t in ts)
+        ]
+        if not scored:
+            return {}
+        live_w = [w for ts, w in zip(term_lists, weights)
+                  if ts and all(t in w for t in ts)]
+        parts = ray.get([
+            a.conjunctive.remote(scored, live_w, doc_filter)
+            for a in self.actors
+        ])
+        by_qid: dict[int, list[tuple[float, int]]] = defaultdict(list)
+        for rows in parts:
+            for qid, doc, score in rows:
+                by_qid[qid].append((score, doc))
+        return by_qid
 
     def _expand(self, specs, max_expansions: int) -> list[list[str]]:
         """Phase 0 for the dictionary-expansion queries: fan each

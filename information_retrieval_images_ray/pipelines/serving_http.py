@@ -160,12 +160,23 @@ class IndexHTTPServer:
                         self._json(409, {"error": "index was reset; rebuild and POST /reload"})
                         return
                     if self.path == "/search":
-                        self._json(200, outer.search(
-                            req.get("query", ""),
-                            int(req.get("limit", 10)),
-                            bool(req.get("hydrate", True)),
-                            lang=req.get("lang"),
-                        ))
+                        try:
+                            self._json(200, outer.search(
+                                req.get("query", ""),
+                                int(req.get("limit", 10)),
+                                bool(req.get("hydrate", True)),
+                                lang=req.get("lang"),
+                                mode=str(req.get("mode", "bm25")),
+                                **{kk: req[kk] for kk in (
+                                    "must", "should", "must_not",
+                                    "max_edits", "prefix_len",
+                                    "max_expansions", "window",
+                                ) if kk in req},
+                            ))
+                        except ValueError as e:  # bad mode / bad param
+                            self._json(400, {"error": str(e)})
+                        except FileNotFoundError as e:  # no sidecar
+                            self._json(409, {"error": str(e)})
                     elif self.path == "/delete":
                         from .maintenance import delete_docs
 
@@ -219,14 +230,61 @@ class IndexHTTPServer:
 
     # -- core ops (also usable without HTTP) ---------------------------------
     def search(self, query: str, k: int = 10, hydrate: bool = True,
-               lang: str | None = None) -> list[dict]:
+               lang: str | None = None, mode: str = "bm25",
+               **params) -> list[dict]:
         """``lang`` restricts results to docs with that docmeta lang
-        (query-time filter; global stats — see IndexReader.search_*)."""
+        (query-time filter; global stats — see IndexReader.search_*).
+
+        ``mode`` multiplexes the full sharded query surface over one
+        route (the Lucene query-type dispatch): ``bm25`` (default
+        ranked search), ``boolean`` (params ``must``/``should``/
+        ``must_not``; ``query`` is ignored), ``prefix``, ``fuzzy``
+        (params ``max_edits``, ``prefix_len``, ``max_expansions``),
+        ``phrase`` and ``proximity`` (param ``window``; both need the
+        positions sidecar — 409 without it). Every mode runs the same
+        two-phase df-exchange + scatter-gather protocol and is
+        rank-identical to the serial reader."""
         with self._lock:
             self._sync_tombstones()
             svc = self.service
         doc_filter = ("lang", lang) if lang else None
-        hits = svc.topk([{"qid": 0, "query": query}], k=k, doc_filter=doc_filter)
+        if mode == "bm25":
+            hits = svc.topk([{"qid": 0, "query": query}], k=k,
+                            doc_filter=doc_filter)
+        elif mode == "boolean":
+            hits = svc.topk_boolean([{
+                "qid": 0,
+                "must": str(params.get("must", "")),
+                "should": str(params.get("should", "")),
+                "must_not": str(params.get("must_not", "")),
+            }], k=k, doc_filter=doc_filter)
+        elif mode == "prefix":
+            hits = svc.topk_prefix(
+                [{"qid": 0, "prefix": query}], k=k,
+                max_expansions=int(params.get("max_expansions", 64)),
+                doc_filter=doc_filter,
+            )
+        elif mode == "fuzzy":
+            hits = svc.topk_fuzzy(
+                [{"qid": 0, "word": query}], k=k,
+                max_edits=int(params.get("max_edits", 1)),
+                prefix_len=int(params.get("prefix_len", 1)),
+                max_expansions=int(params.get("max_expansions", 64)),
+                doc_filter=doc_filter,
+            )
+        elif mode == "phrase":
+            hits = svc.topk_phrase([{"qid": 0, "phrase": query}], k=k,
+                                   doc_filter=doc_filter)
+        elif mode == "proximity":
+            hits = svc.topk_proximity([{
+                "qid": 0, "terms": query,
+                "window": int(params.get("window", 8)),
+            }], k=k, doc_filter=doc_filter)
+        else:
+            raise ValueError(
+                f"unknown mode {mode!r}: expected bm25|boolean|prefix|"
+                "fuzzy|phrase|proximity"
+            )
         rows = [
             {"rank": h["rank"], "doc_id": int(h["doc_id"]), "score": h["score"]}
             for h in hits

@@ -430,3 +430,79 @@ def test_knn_underfill_retry_with_many_tombstones(tmp_path):
         assert all(h["doc_id"] >= 80 for h in hits)
     finally:
         srv.close()
+
+
+def test_search_mode_multiplexing(server):
+    """One /search route serves every sharded query mode; each is
+    rank-identical to the serial reader; phrase/proximity 409 until
+    the positions sidecar exists, unknown modes 400."""
+    srv, idx = server
+    reader = IndexReader(idx)
+
+    _, hits = _req(srv.port, "/search", {
+        "mode": "boolean", "must": "alpha", "should": "dup",
+        "must_not": "zebra", "limit": 5,
+    })
+    want = reader.search_boolean("alpha", "dup", "zebra", 5)
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+
+    _, hits = _req(srv.port, "/search", {
+        "mode": "prefix", "query": "alp", "limit": 5, "max_expansions": 8,
+    })
+    want = reader.search_prefix("alp", 5, max_expansions=8)
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+
+    _, hits = _req(srv.port, "/search", {
+        "mode": "fuzzy", "query": "alphq", "limit": 5,
+    })
+    want = reader.search_fuzzy("alphq", 5)
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(srv.port, "/search", {"mode": "nope", "query": "alpha"})
+    assert e.value.code == 400
+
+    # phrase before the sidecar exists: a clean 409, not a 500
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(srv.port, "/search", {"mode": "phrase", "query": "alpha dup"})
+    assert e.value.code == 409
+
+    # build the sidecar (same deterministic corpus as the fixture),
+    # then phrase and proximity serve through the same route
+    from information_retrieval_images_ray.pipelines.positions import (
+        build_positions_sidecar,
+        verify_phrase_positions,
+        verify_proximity_positions,
+    )
+
+    rng = np.random.default_rng(21)
+    rows = [
+        {
+            "doc_id": i,
+            "content": " ".join(WORDS[j] for j in rng.integers(0, len(WORDS), 40)),
+            "lang": "en" if i % 2 == 0 else "fr",
+        }
+        for i in range(60)
+    ]
+    build_positions_sidecar(ray.data.from_items(rows), idx)
+
+    def serial(terms, verify, k=5):
+        ids, scores = reader.conjunctive_scores(sorted(set(terms)))
+        ok = set(verify(ids).tolist()) if len(ids) else set()
+        kept = sorted(((s, d) for d, s in zip(ids.tolist(), scores.tolist())
+                       if d in ok), key=lambda e: (-e[0], e[1]))[:k]
+        return [(d, s) for s, d in kept]
+
+    _, hits = _req(srv.port, "/search", {
+        "mode": "phrase", "query": "alpha dup", "limit": 5,
+    })
+    want = serial(["alpha", "dup"], lambda ids: verify_phrase_positions(
+        idx, ["alpha", "dup"], ids))
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+
+    _, hits = _req(srv.port, "/search", {
+        "mode": "proximity", "query": "alpha zebra", "window": 6, "limit": 5,
+    })
+    want = serial(["alpha", "zebra"], lambda ids: verify_proximity_positions(
+        idx, ["alpha", "zebra"], 6, ids))
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits

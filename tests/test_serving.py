@@ -24,6 +24,9 @@ QUERIES = [
 ]
 
 
+_CORPUS_OF: dict[str, str] = {}
+
+
 @pytest.fixture(scope="module")
 def served_index(tmp_path_factory):
     corpus = str(tmp_path_factory.mktemp("serv_corpus"))
@@ -32,6 +35,7 @@ def served_index(tmp_path_factory):
     ds = assign_dense_doc_ids(read_code_corpus(corpus), num_partitions=2)
     build_index(ds, index, source_files=corpus_files(corpus),
                 num_shards=5, hot_df_threshold=60, salt_factor=4)
+    _CORPUS_OF[index] = corpus
     return index
 
 
@@ -133,5 +137,59 @@ def test_sharded_boolean_prefix_fuzzy_rank_identical(served_index, num_actors):
             want = reader.search_fuzzy(q["word"], 10, max_edits=1,
                                        prefix_len=1, max_expansions=16)
             assert mine == want, ("fuzzy", q)
+    finally:
+        svc.shutdown()
+
+
+@pytest.mark.parametrize("num_actors", [1, 3])
+def test_sharded_phrase_proximity_rank_identical(served_index, num_actors):
+    """Positional modes through the router: per-actor conjunctive
+    candidates (global idf via the df exchange) + ONE sidecar verify
+    over the merged candidates must equal the serial composition
+    (conjunctive_scores → verify → (score desc, doc_id asc) rank)."""
+    from information_retrieval_images_ray.pipelines.positions import (
+        build_positions_sidecar,
+        verify_phrase_positions,
+        verify_proximity_positions,
+    )
+    from information_retrieval_images_ray.functions.tokenizer import tokenize_code
+
+    ds = assign_dense_doc_ids(
+        read_code_corpus(_CORPUS_OF[served_index]), num_partitions=2)
+    build_positions_sidecar(ds, served_index)
+    reader = IndexReader(served_index)
+
+    def serial(terms, verify, k=10):
+        ids, scores = reader.conjunctive_scores(sorted(set(terms)))
+        if not len(ids):
+            return []
+        ok = set(verify(ids).tolist())
+        kept = sorted(((s, d) for d, s in zip(ids.tolist(), scores.tolist())
+                       if d in ok), key=lambda e: (-e[0], e[1]))[:k]
+        return [(d, s) for s, d in kept]
+
+    svc = ShardedQueryService(served_index, num_actors=num_actors)
+    try:
+        for phrase_text in ["get user", "merge sort", "zzz_nohit token"]:
+            toks = tokenize_code(phrase_text)
+            got = svc.topk_phrase([{"qid": 0, "phrase": phrase_text}], k=10)
+            mine = [(r["doc_id"], r["score"]) for r in got]
+            want = serial(
+                toks,
+                lambda ids: verify_phrase_positions(served_index, toks, ids),
+            )
+            assert mine == want, ("phrase", phrase_text)
+
+        for terms_text, window in [("get user", 4), ("merge hash", 6)]:
+            toks = sorted(set(tokenize_code(terms_text)))
+            got = svc.topk_proximity(
+                [{"qid": 0, "terms": terms_text, "window": window}], k=10)
+            mine = [(r["doc_id"], r["score"]) for r in got]
+            want = serial(
+                toks,
+                lambda ids: verify_proximity_positions(
+                    served_index, toks, window, ids),
+            )
+            assert mine == want, ("proximity", terms_text, window)
     finally:
         svc.shutdown()
