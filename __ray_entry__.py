@@ -233,6 +233,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dictionary, OR-scored with per-expansion idf
         "q_prefix_search": lambda sf: flagship.run_prefix_queries(sf, k=10),
         "q_fuzzy_search": lambda sf: flagship.run_fuzzy_queries(sf, k=10),
+        # faceted search: full-match-set distribution over docmeta
+        # columns (lang, source) per battery query, computed through
+        # the SHARDED service (per-actor bincount partials, router sum)
+        "q_faceted_search": lambda sf: flagship.run_facet_queries(sf),
         "q_index_segments": lambda sf: flagship.segment_summary(sf),
         "q_term_stats": lambda sf: analysis.term_stats(docs(sf)),
         "q_doc_lengths": lambda sf: analysis.doc_lengths(docs(sf)),
@@ -474,6 +478,33 @@ def _ft_select(k: int, from_cte: str = "ranked") -> str:
        CAST(doc_id AS BIGINT) AS doc_id,
        CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS score_e6
 FROM {from_cte} WHERE rnk <= {k}"""
+
+
+def _facet_sql() -> str:
+    """Faceted-search oracle: the match set is every doc containing at
+    least one of the qid's terms (OR semantics — the population under
+    the ranked page); facet rows are its counts grouped by each
+    docmeta column, one (qid, facet_field, facet_value) row each."""
+    from information_retrieval_images_ray.functions.tokenizer import tokenize_simple
+    from information_retrieval_images_ray.pipelines.flagship import BM25_QUERIES
+
+    vals = []
+    for q in BM25_QUERIES:
+        for t in sorted(set(tokenize_simple(q["query"]))):
+            vals.append(f"({q['qid']}, '{t}')")
+    return f"""
+WITH queries(qid, term) AS (VALUES {", ".join(vals)}),
+{_FT_BASE_CTE},
+m AS (SELECT DISTINCT q.qid, tf.doc_id
+      FROM queries q JOIN tf ON tf.term = q.term),
+j AS (SELECT m.qid, d.lang, d.source
+      FROM m JOIN documents d ON d.doc_id = m.doc_id)
+SELECT qid, facet_field, facet_value, count(*) AS n_docs FROM (
+  SELECT qid, 'lang' AS facet_field, lang AS facet_value FROM j
+  UNION ALL
+  SELECT qid, 'source', source FROM j
+) GROUP BY 1, 2, 3
+ORDER BY qid, facet_field, facet_value"""
 
 
 def _boolean_sql(k: int = 10) -> str:
@@ -952,6 +983,7 @@ SELECT min(doc_id) AS doc_id, text FROM (
         "q_boolean_search": _boolean_sql(),
         "q_prefix_search": _prefix_sql(),
         "q_fuzzy_search": _fuzzy_sql(),
+        "q_faceted_search": _facet_sql(),
         "q_bm25_filtered": _bm25_sql(
             ranked_where="WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'fr')"
         ),

@@ -441,6 +441,51 @@ def run_fuzzy_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return _run_clause_battery(sf_dir, FUZZY_QUERIES, k, "fuzzy")
 
 
+def run_facet_queries(
+    sf_dir: str, facet_cols: tuple[str, ...] = ("lang", "repo"),
+    queries=BM25_QUERIES,
+) -> pd.DataFrame:
+    """Faceted search over the frozen BM25 battery: for every query,
+    the distribution of the FULL match set (docs containing ≥1 query
+    term — the population behind the ranked page, not the page) over
+    each docmeta facet column. Output one row per
+    (qid, facet_field, facet_value) with the matching-doc count.
+
+    Runs through the SHARDED service on purpose — faceting is the
+    mode whose distributed form differs most from the serial one
+    (per-actor bincount partials summed by value string at the router,
+    no df exchange needed: presence is idf-free), so the oracle checks
+    the distributed path. Identity with the serial reader is asserted
+    in tests/test_serving.py."""
+    import pandas as pd
+
+    from .serving import ShardedQueryService
+
+    index_dir = build_documents_index(sf_dir)
+    svc = ShardedQueryService(index_dir, num_actors=2)
+    try:
+        per_q = svc.facets(list(queries), list(facet_cols))
+    finally:
+        svc.shutdown()
+    # docmeta stores the documents table's `source` under `repo`
+    # (read_documents_table's corpus-shape mapping) — surface the
+    # original table column name to the user / oracle
+    display = {"repo": "source"}
+    rows = []
+    for q, fc in zip(queries, per_q):
+        for col in facet_cols:
+            for value, n in fc[col].items():
+                rows.append((q["qid"], display.get(col, col), value, n))
+    out = pd.DataFrame(
+        rows, columns=["qid", "facet_field", "facet_value", "n_docs"]
+    )
+    out["qid"] = out["qid"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(
+        ["qid", "facet_field", "facet_value"]
+    ).reset_index(drop=True)
+
+
 # anchor doc ids whose first tokens become the frozen phrase battery
 # (data-derived, so the battery exists at every scale factor)
 PHRASE_ANCHORS = (0, 7, 23, 42, 99)

@@ -313,6 +313,7 @@ class IndexReader:
         # search is actually issued, then cached per (col, value)
         self._meta_files = meta_files
         self._mask_cache: dict[tuple[str, str], np.ndarray] = {}
+        self._codes_cache: dict[str, tuple[np.ndarray, list[str]]] = {}
 
         # tombstoned docs (pipelines/maintenance.delete_docs) are
         # excluded from every top-k; stats stay stale until compaction
@@ -386,6 +387,96 @@ class IndexReader:
                 m[ids] = eq.to_numpy(zero_copy_only=False)
             self._mask_cache[key] = m
         return m
+
+    def meta_codes(self, col: str) -> tuple[np.ndarray, list[str]]:
+        """Dense int32 code array over the doc-id span for
+        ``docmeta[col]`` (owned shards; -1 = unowned or null) plus the
+        code→value list (sorted unique values of OWNED docs — a sharded
+        router merges per-actor counts by the value STRING, so
+        dictionaries never need to agree across actors). One
+        column-pruned docmeta read per col per reader, cached — the
+        facet analogue of ``meta_mask``."""
+        cached = self._codes_cache.get(col)
+        if cached is not None:
+            return cached
+        ids_all, vals_all = [], []
+        for f in self._meta_files:
+            t = pq.read_table(f, columns=["doc_id", col])
+            ids_all.append(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+            vals_all.append(t[col].to_numpy(zero_copy_only=False))
+        codes = np.full(len(self.doc_len), -1, dtype=np.int32)
+        if ids_all:
+            ids = np.concatenate(ids_all)
+            vals = np.concatenate(vals_all)
+            ok = np.array([v is not None for v in vals], dtype=bool)
+            values = sorted({str(v) for v in vals[ok]})
+            lut = {v: i for i, v in enumerate(values)}
+            codes[ids[ok]] = np.array(
+                [lut[str(v)] for v in vals[ok]], dtype=np.int32)
+        else:
+            values = []
+        self._codes_cache[col] = (codes, values)
+        return codes, values
+
+    def match_ids(self, query: str, doc_filter=None) -> np.ndarray:
+        """Sorted doc ids (owned shards) containing AT LEAST ONE query
+        term — the OR match set underneath ``search_taat`` before the
+        top-k cut, and the population facet counts aggregate over.
+        Presence only (``partial > 0`` ⇔ tf > 0, including the dense
+        stopword form), no score arithmetic; tombstones and the
+        optional metadata filter excluded exactly as in ranked
+        search."""
+        mask = self._resolve_filter(doc_filter)
+        uniq = sorted(set(self.tokenize(query)))
+        hit: dict[int, np.ndarray] = {}
+        k1, b = self.params.k1, self.params.b
+        for t, w, locs in self._term_infos(uniq):
+            for s, i in locs:
+                sh = self.shards[s]
+                ids, part = sh.partial(i, self.block_size, self.doc_len,
+                                       k1, b, self.avgdl)
+                h = hit.get(s)
+                if h is None:
+                    h = np.zeros(sh.hi - sh.lo, dtype=bool)
+                    hit[s] = h
+                if ids is None:  # dense stopword form: tf>0 <=> part>0
+                    h |= part > 0
+                else:
+                    h[ids - sh.lo] = True
+        if not hit:
+            return np.empty(0, np.int64)
+        out = np.concatenate([
+            (np.flatnonzero(h) + self.shards[s].lo).astype(np.int64)
+            for s, h in hit.items()
+        ])
+        if mask is not None:
+            out = out[mask[out]]
+        if len(self.tombstones):
+            from .maintenance import is_tombstoned
+
+            out = out[~is_tombstoned(self.tombstones, out)]
+        return np.sort(out)
+
+    def facet_counts(
+        self, query: str, facet_cols: list[str], doc_filter=None,
+    ) -> dict[str, dict[str, int]]:
+        """Facet counts over the FULL match set (every doc containing
+        ≥1 query term — not just the top-k page): for each requested
+        docmeta column, {value: n_matching_docs}. The Lucene faceting
+        shape: the ranked page answers "what are the best hits", the
+        facets answer "how does the whole result set distribute".
+        Vectorized: one match-mask pass + one ``bincount`` per column
+        over the cached code array; additive across shard subsets, so
+        the sharded service sums per-actor partial dicts."""
+        ids = self.match_ids(query, doc_filter)
+        out: dict[str, dict[str, int]] = {}
+        for col in facet_cols:
+            codes, values = self.meta_codes(col)
+            c = codes[ids]
+            c = c[c >= 0]
+            cnt = np.bincount(c, minlength=len(values))
+            out[col] = {v: int(n) for v, n in zip(values, cnt) if n}
+        return out
 
     def _resolve_filter(self, doc_filter) -> np.ndarray | None:
         """None | precomputed bool mask | ("col", "value") tuple."""

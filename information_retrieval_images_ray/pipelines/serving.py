@@ -100,6 +100,17 @@ class ShardQueryActor:
                 out.append((q["qid"], doc, score))
         return out
 
+    def facet_counts(
+        self, queries: list[dict], facet_cols: list[str], doc_filter=None,
+    ) -> list[dict[str, dict[str, int]]]:
+        """Per-query facet partials over OWNED shards (presence is
+        df-independent, so no weight exchange is needed; the router
+        sums value counts — exact, since shards partition docs)."""
+        return [
+            self.reader.facet_counts(q["query"], facet_cols, doc_filter)
+            for q in queries
+        ]
+
     def conjunctive(
         self, queries: list[dict], weights_per_query: list[dict[str, float]],
         doc_filter=None,
@@ -361,6 +372,27 @@ class ShardedQueryService:
                 out.append(
                     {"qid": q["qid"], "rank": rank, "doc_id": doc, "score": score}
                 )
+        return out
+
+    def facets(self, queries: list[dict], facet_cols: list[str],
+               doc_filter=None) -> list[dict[str, dict[str, int]]]:
+        """Distributed faceting: one scatter (no df exchange — presence
+        needs no idf), per-actor vectorized counts over owned shards,
+        router sums by value string. Returns one {col: {value: n}} per
+        query, aligned with ``queries``."""
+        parts = ray.get([
+            a.facet_counts.remote(queries, facet_cols, doc_filter)
+            for a in self.actors
+        ])
+        out: list[dict[str, dict[str, int]]] = []
+        for qi in range(len(queries)):
+            merged: dict[str, dict[str, int]] = {c: {} for c in facet_cols}
+            for p in parts:
+                for col, d in p[qi].items():
+                    m = merged[col]
+                    for v, n in d.items():
+                        m[v] = m.get(v, 0) + n
+            out.append(merged)
         return out
 
     def _conjunctive(

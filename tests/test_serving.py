@@ -193,3 +193,27 @@ def test_sharded_phrase_proximity_rank_identical(served_index, num_actors):
             assert mine == want, ("proximity", terms_text, window)
     finally:
         svc.shutdown()
+
+
+@pytest.mark.parametrize("num_actors", [1, 3])
+def test_sharded_facets_match_serial(served_index, num_actors):
+    """Distributed faceting (per-actor bincount partials summed by
+    value string at the router) must equal the serial whole-index
+    reader's counts, with and without a metadata filter — and the
+    facet population must be the OR match set, not the top-k page."""
+    reader = IndexReader(served_index)
+    svc = ShardedQueryService(served_index, num_actors=num_actors)
+    try:
+        for query in ["getUserName", "merge sort hash", "get", "zzz_nohit"]:
+            want = reader.facet_counts(query, ["lang", "repo"])
+            got = svc.facets([{"qid": 0, "query": query}], ["lang", "repo"])[0]
+            assert got == want, query
+            # the population is the full match set
+            assert sum(want["repo"].values()) == len(reader.match_ids(query))
+
+        want = reader.facet_counts("get", ["repo"], doc_filter=("lang", "py"))
+        got = svc.facets([{"qid": 0, "query": "get"}], ["repo"],
+                         doc_filter=("lang", "py"))[0]
+        assert got == want
+    finally:
+        svc.shutdown()
