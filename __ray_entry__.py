@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # columns (lang, source) per battery query, computed through
         # the SHARDED service (per-actor bincount partials, router sum)
         "q_faceted_search": lambda sf: flagship.run_facet_queries(sf),
+        # more-like-this: per-anchor tf·idf term selection at the
+        # router (pooled df exchange) + OR scoring, anchor excluded
+        "q_more_like_this": lambda sf: flagship.run_mlt_queries(sf, k=10),
         "q_index_segments": lambda sf: flagship.segment_summary(sf),
         "q_term_stats": lambda sf: analysis.term_stats(docs(sf)),
         "q_doc_lengths": lambda sf: analysis.doc_lengths(docs(sf)),
@@ -478,6 +481,36 @@ def _ft_select(k: int, from_cte: str = "ranked") -> str:
        CAST(doc_id AS BIGINT) AS doc_id,
        CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS score_e6
 FROM {from_cte} WHERE rnk <= {k}"""
+
+
+def _mlt_sql(k: int = 10, max_terms: int = 8) -> str:
+    """More-like-this oracle, mirroring the engine exactly: anchor term
+    tf from the tokenized anchor row, selection score = tf · BM25-idf
+    over the FULL corpus, top ``max_terms`` by (score desc, term asc),
+    then the shared BM25 OR-scoring tail over the selected terms with
+    the anchor excluded and the (score desc, doc_id asc) rank."""
+    from information_retrieval_images_ray.pipelines.flagship import PHRASE_ANCHORS
+
+    anchors = ", ".join(f"({a}, {a})" for a in PHRASE_ANCHORS)
+    return f"""
+WITH anchors(qid, adoc) AS (VALUES {anchors}),
+{_FT_BASE_CTE},
+atf AS (SELECT a.qid, a.adoc, tf.term, tf.tf AS atf
+        FROM anchors a JOIN tf ON tf.doc_id = a.adoc),
+selc AS (SELECT atf.qid, atf.term,
+                atf.atf * ln(1.0 + (s.n - df.df + 0.5)/(df.df + 0.5)) AS sel
+         FROM atf JOIN df ON df.term = atf.term CROSS JOIN stats s),
+sq AS (SELECT qid, term FROM (
+         SELECT qid, term,
+                row_number() OVER (PARTITION BY qid ORDER BY sel DESC, term) AS rn
+         FROM selc) WHERE rn <= {max_terms}),
+{_FT_SCORE_TAIL},
+ranked AS (SELECT s.qid, s.doc_id, s.score,
+                  row_number() OVER (PARTITION BY s.qid
+                                     ORDER BY s.score DESC, s.doc_id) AS rnk
+           FROM scored s JOIN anchors a ON a.qid = s.qid
+           WHERE s.doc_id <> a.adoc)
+{_ft_select(k)}"""
 
 
 def _facet_sql() -> str:
@@ -984,6 +1017,7 @@ SELECT min(doc_id) AS doc_id, text FROM (
         "q_prefix_search": _prefix_sql(),
         "q_fuzzy_search": _fuzzy_sql(),
         "q_faceted_search": _facet_sql(),
+        "q_more_like_this": _mlt_sql(k=10),
         "q_bm25_filtered": _bm25_sql(
             ranked_where="WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'fr')"
         ),

@@ -491,6 +491,52 @@ def run_facet_queries(
 PHRASE_ANCHORS = (0, 7, 23, 42, 99)
 
 
+def run_mlt_queries(
+    sf_dir: str, k: int = 10, max_terms: int = 8, anchors=PHRASE_ANCHORS,
+) -> pd.DataFrame:
+    """More-like-this battery (Lucene MLT shape): for each anchor doc,
+    select its ``max_terms`` highest-tf·idf terms (tf in the anchor,
+    exact global idf, ties term-asc), OR-score them with per-term idf,
+    drop the anchor itself, top-k. qid = anchor doc_id.
+
+    Runs through the SHARDED service — term selection happens at the
+    router from the pooled df exchange, so the oracle checks the
+    distributed selection + scatter-gather path end to end. Anchor
+    text is one doc-id-pruned parquet read (the stored-field access
+    Lucene MLT re-analyzes; never a corpus scan)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from .serving import ShardedQueryService
+
+    index_dir = build_documents_index(sf_dir)
+    anchor_t = pads.dataset(
+        f"{sf_dir}/documents.parquet", format="parquet"
+    ).to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(list(anchors)),
+    )
+    texts = dict(zip(anchor_t["doc_id"].to_pylist(), anchor_t["text"].to_pylist()))
+    queries = [
+        {"qid": a, "text": texts.get(a) or "", "exclude_doc": a}
+        for a in anchors
+    ]
+    svc = ShardedQueryService(index_dir, num_actors=2)
+    try:
+        hits = svc.topk_more_like_this(queries, k=k, max_terms=max_terms)
+    finally:
+        svc.shutdown()
+    if not hits:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ["qid", "rank", "doc_id", "score_e6"]}
+        )
+    out = pd.DataFrame(hits)
+    out["score_e6"] = np.floor(
+        out["score"].to_numpy(np.float64) * 1e6 + 0.5).astype(np.int64)
+    out = out[["qid", "rank", "doc_id", "score_e6"]].astype("int64")
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
 def run_phrase_queries(
     sf_dir: str, k: int = 10, n_tokens: int = 3, anchors=PHRASE_ANCHORS,
 ) -> pd.DataFrame:

@@ -478,6 +478,46 @@ class IndexReader:
             out[col] = {v: int(n) for v, n in zip(values, cnt) if n}
         return out
 
+    def mlt_select_terms(
+        self, doc_tokens: list[str], max_terms: int = 8,
+        df_override: dict[str, int] | None = None,
+    ) -> list[str]:
+        """The Lucene MoreLikeThis term-selection step: from a source
+        doc's token stream, keep the ``max_terms`` most interesting
+        terms by tf·idf (tf in the SOURCE doc, idf from the index),
+        ties broken term-ascending (deterministic). ``df_override``
+        supplies exact global df in sharded serving (the router's df
+        exchange); otherwise this reader's own global df is used."""
+        from collections import Counter
+
+        tf = Counter(doc_tokens)
+        dfs = df_override if df_override is not None else self.df_locals(sorted(tf))
+        scored = [
+            (t, tf[t] * idf_fn(self.n_docs, d))
+            for t, d in dfs.items() if d
+        ]
+        scored.sort(key=lambda e: (-e[1], e[0]))
+        return [t for t, _ in scored[:max_terms]]
+
+    def more_like_this(
+        self, doc_tokens: list[str], exclude_doc: int | None = None,
+        k: int = 10, max_terms: int = 8, doc_filter=None,
+        weights: dict[str, float] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Similar-document retrieval (Lucene MoreLikeThis): select the
+        source doc's ``max_terms`` highest-tf·idf terms, OR-score them
+        with per-term idf (``search_or_terms``), drop the source doc
+        itself, return top-k. The source's TOKENS are the input — the
+        caller owns text access (corpus read or positions sidecar), the
+        reader never touches stored text."""
+        sel = self.mlt_select_terms(doc_tokens, max_terms)
+        if not sel:
+            return []
+        hits = self.search_or_terms(sel, k + 1, doc_filter=doc_filter,
+                                    weights=weights)
+        hits = [(d, s) for d, s in hits if d != exclude_doc]
+        return hits[:k]
+
     def _resolve_filter(self, doc_filter) -> np.ndarray | None:
         """None | precomputed bool mask | ("col", "value") tuple."""
         if doc_filter is None or isinstance(doc_filter, np.ndarray):

@@ -296,6 +296,63 @@ class ShardedQueryService:
         ])
         return self._merge(queries, parts, k)
 
+    def topk_more_like_this(
+        self, queries: list[dict], k: int = 10, max_terms: int = 8,
+        doc_filter=None,
+    ) -> list[dict]:
+        """Similar-document retrieval through the pool. queries:
+        [{"qid", "text", "exclude_doc"?}] — ``text`` is the source
+        doc's stored text (the caller owns text access). Protocol: one
+        df exchange over each source's DISTINCT terms → router-side
+        tf·idf term selection (exact global idf, ties term-asc — the
+        same deterministic cut a whole-index reader makes) → the usual
+        scatter-gather OR scoring of the selected terms at k+1 → merge,
+        drop the source doc, cut to k."""
+        toks_per_q = [self._tok(q.get("text", "")) for q in queries]
+        distinct = [sorted(set(ts)) for ts in toks_per_q]
+        all_terms = sorted({t for ts in distinct for t in ts})
+        gdf: dict[str, int] = defaultdict(int)
+        if all_terms:
+            for part in ray.get(
+                [a.df_locals.remote(all_terms) for a in self.actors]
+            ):
+                for t, n in part.items():
+                    gdf[t] += n
+        from collections import Counter
+
+        selections = []
+        for toks in toks_per_q:
+            tf = Counter(toks)
+            scored = [
+                (t, tf[t] * idf_fn(self.n_docs, gdf[t]))
+                for t in tf if gdf.get(t)
+            ]
+            scored.sort(key=lambda e: (-e[1], e[0]))
+            selections.append([t for t, _ in scored[:max_terms]])
+        weights = [
+            {t: idf_fn(self.n_docs, gdf[t]) for t in sel}
+            for sel in selections
+        ]
+        scored_q = [
+            {"qid": q["qid"], "terms": sel}
+            for q, sel in zip(queries, selections) if sel
+        ]
+        live_w = [w for sel, w in zip(selections, weights) if sel]
+        parts = ray.get([
+            a.search_or_terms.remote(scored_q, k + 1, live_w, doc_filter)
+            for a in self.actors
+        ]) if scored_q else []
+        merged = self._merge(scored_q, parts, k + 1)
+        excl = {q["qid"]: q.get("exclude_doc") for q in queries}
+        out = []
+        for qid in [q["qid"] for q in scored_q]:
+            rows = [r for r in merged
+                    if r["qid"] == qid and r["doc_id"] != excl.get(qid)][:k]
+            for rank, r in enumerate(rows, start=1):
+                out.append({"qid": qid, "rank": rank,
+                            "doc_id": r["doc_id"], "score": r["score"]})
+        return out
+
     def topk_phrase(self, queries: list[dict], k: int = 10,
                     doc_filter=None) -> list[dict]:
         """Exact-phrase top-k through the sharded pool. queries:

@@ -171,6 +171,7 @@ class IndexHTTPServer:
                                     "must", "should", "must_not",
                                     "max_edits", "prefix_len",
                                     "max_expansions", "window",
+                                    "max_terms", "exclude_doc",
                                 ) if kk in req},
                             ))
                         except ValueError as e:  # bad mode / bad param
@@ -240,8 +241,10 @@ class IndexHTTPServer:
         ranked search), ``boolean`` (params ``must``/``should``/
         ``must_not``; ``query`` is ignored), ``prefix``, ``fuzzy``
         (params ``max_edits``, ``prefix_len``, ``max_expansions``),
-        ``phrase`` and ``proximity`` (param ``window``; both need the
-        positions sidecar — 409 without it). Every mode runs the same
+        ``more_like_this`` (``query`` is the source doc's text; params
+        ``max_terms``, ``exclude_doc``), ``phrase`` and ``proximity``
+        (param ``window``; both need the positions sidecar — 409
+        without it). Every mode runs the same
         two-phase df-exchange + scatter-gather protocol and is
         rank-identical to the serial reader."""
         with self._lock:
@@ -272,6 +275,12 @@ class IndexHTTPServer:
                 max_expansions=int(params.get("max_expansions", 64)),
                 doc_filter=doc_filter,
             )
+        elif mode == "more_like_this":
+            hits = svc.topk_more_like_this([{
+                "qid": 0, "text": query,
+                "exclude_doc": params.get("exclude_doc"),
+            }], k=k, max_terms=int(params.get("max_terms", 8)),
+                doc_filter=doc_filter)
         elif mode == "phrase":
             hits = svc.topk_phrase([{"qid": 0, "phrase": query}], k=k,
                                    doc_filter=doc_filter)
@@ -283,7 +292,7 @@ class IndexHTTPServer:
         else:
             raise ValueError(
                 f"unknown mode {mode!r}: expected bm25|boolean|prefix|"
-                "fuzzy|phrase|proximity"
+                "fuzzy|more_like_this|phrase|proximity"
             )
         rows = [
             {"rank": h["rank"], "doc_id": int(h["doc_id"]), "score": h["score"]}

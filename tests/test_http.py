@@ -458,6 +458,23 @@ def test_search_mode_multiplexing(server):
     want = reader.search_fuzzy("alphq", 5)
     assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
 
+    reader_texts = reader  # keep name for clarity below
+
+    # more-like-this: source text in, anchor excluded, identical to the
+    # serial reader's composition
+    src_text = "alpha dup zebra alpha hotel"
+    _, hits = _req(srv.port, "/search", {
+        "mode": "more_like_this", "query": src_text, "limit": 5,
+        "max_terms": 3, "exclude_doc": 7,
+    })
+    from information_retrieval_images_ray.functions.tokenizer import (
+        tokenize_simple,
+    )
+
+    want = reader.more_like_this(tokenize_simple(src_text), exclude_doc=7,
+                                 k=5, max_terms=3)
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+
     with pytest.raises(urllib.error.HTTPError) as e:
         _req(srv.port, "/search", {"mode": "nope", "query": "alpha"})
     assert e.value.code == 400

@@ -217,3 +217,44 @@ def test_sharded_facets_match_serial(served_index, num_actors):
         assert got == want
     finally:
         svc.shutdown()
+
+
+@pytest.mark.parametrize("num_actors", [1, 3])
+def test_sharded_more_like_this_matches_serial(served_index, num_actors):
+    """MLT through the router (df exchange → router-side tf·idf term
+    selection → OR scatter at k+1 → drop anchor) must equal the serial
+    reader's more_like_this, selection cut included."""
+    import pyarrow.parquet as pq_mod
+    import glob as glob_mod
+
+    from information_retrieval_images_ray.functions.tokenizer import tokenize_code
+
+    reader = IndexReader(served_index)
+    # pull two real doc texts (stored-field access) from docmeta+corpus:
+    # use the corpus parquet directly
+    files = sorted(glob_mod.glob(_CORPUS_OF[served_index] + "/*.parquet"))
+    t = pq_mod.read_table(files[0], columns=["content"])
+    # the generator emits some empty docs — anchor on non-empty texts
+    texts = [x for x in t["content"].to_pylist() if x and len(x) > 40][:2]
+    assert len(texts) == 2
+
+    svc = ShardedQueryService(served_index, num_actors=num_actors)
+    try:
+        for i, text in enumerate(texts):
+            toks = tokenize_code(text)
+            want = reader.more_like_this(toks, exclude_doc=None, k=10,
+                                         max_terms=6)
+            got = svc.topk_more_like_this(
+                [{"qid": 0, "text": text}], k=10, max_terms=6)
+            assert [(r["doc_id"], r["score"]) for r in got] == want, i
+            # exclusion drops exactly the anchor and backfills to k
+            anchor = want[0][0]
+            got_ex = svc.topk_more_like_this(
+                [{"qid": 0, "text": text, "exclude_doc": anchor}],
+                k=10, max_terms=6)
+            want_ex = reader.more_like_this(toks, exclude_doc=anchor, k=10,
+                                            max_terms=6)
+            assert [(r["doc_id"], r["score"]) for r in got_ex] == want_ex
+            assert all(r["doc_id"] != anchor for r in got_ex)
+    finally:
+        svc.shutdown()
