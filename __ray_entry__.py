@@ -240,6 +240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # more-like-this: per-anchor tf·idf term selection at the
         # router (pooled df exchange) + OR scoring, anchor excluded
         "q_more_like_this": lambda sf: flagship.run_mlt_queries(sf, k=10),
+        # snippets/highlighting: best fixed-window span per battery
+        # hit from the positional sidecar + the rendered snippet text
+        "q_snippets": lambda sf: flagship.run_snippet_queries(sf, k=5, window=8),
         "q_index_segments": lambda sf: flagship.segment_summary(sf),
         "q_term_stats": lambda sf: analysis.term_stats(docs(sf)),
         "q_doc_lengths": lambda sf: analysis.doc_lengths(docs(sf)),
@@ -673,6 +676,38 @@ ranked AS (SELECT p.qid, p.doc_id, sc.score,
 """
 
 
+def _snippet_sql(k: int = 5, window: int = 8) -> str:
+    """Snippet oracle: for each battery hit (top-k of the shared BM25
+    CTE), candidate snippet starts are the query terms' 0-based token
+    positions; the best window [s, s+window-1] maximizes distinct
+    query terms inside, ties leftmost; snippet text = the window's
+    tokens joined (list slice is 1-based inclusive, hence s+1..s+w)."""
+    return f"""
+WITH {_bm25_cte_body()},
+hits AS (SELECT qid, doc_id FROM ranked WHERE rnk <= {k}),
+toksl AS (SELECT doc_id, {TOK_SQL} AS ts FROM docs
+          WHERE doc_id IN (SELECT doc_id FROM hits)),
+pos AS (SELECT doc_id, u.i - 1 AS pos, ts[u.i] AS term
+        FROM toksl CROSS JOIN LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
+occ AS (SELECT h.qid, h.doc_id, p.term, p.pos
+        FROM hits h JOIN queries q ON q.qid = h.qid
+        JOIN pos p ON p.doc_id = h.doc_id AND p.term = q.term),
+cand AS (SELECT DISTINCT qid, doc_id, pos AS s FROM occ),
+wnd AS (SELECT c.qid, c.doc_id, c.s, count(DISTINCT o.term) AS n_match
+        FROM cand c JOIN occ o ON o.qid = c.qid AND o.doc_id = c.doc_id
+                                AND o.pos >= c.s AND o.pos < c.s + {window}
+        GROUP BY 1, 2, 3),
+best AS (SELECT qid, doc_id, s, n_match FROM (
+           SELECT qid, doc_id, s, n_match,
+                  row_number() OVER (PARTITION BY qid, doc_id
+                                     ORDER BY n_match DESC, s) AS rn
+           FROM wnd) WHERE rn = 1)
+SELECT b.qid, b.doc_id, b.s AS snip_start, b.n_match,
+       array_to_string(t.ts[b.s + 1 : b.s + {window}], ' ') AS snippet
+FROM best b JOIN toksl t ON t.doc_id = b.doc_id
+ORDER BY b.qid, b.doc_id"""
+
+
 def _hybrid_rrf_sql(n_each: int = 20, k0: int = 60) -> str:
     """RRF fusion of the BM25 battery (top-n_each from the shared CTE)
     and brute-force cosine top-n_each (anchor vector = embedding of
@@ -1018,6 +1053,7 @@ SELECT min(doc_id) AS doc_id, text FROM (
         "q_fuzzy_search": _fuzzy_sql(),
         "q_faceted_search": _facet_sql(),
         "q_more_like_this": _mlt_sql(k=10),
+        "q_snippets": _snippet_sql(k=5, window=8),
         "q_bm25_filtered": _bm25_sql(
             ranked_where="WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'fr')"
         ),

@@ -720,6 +720,73 @@ def run_phrase_queries_positional(
     return pd.concat(frames, ignore_index=True).astype("int64")
 
 
+def run_snippet_queries(
+    sf_dir: str, k: int = 5, window: int = 8, queries=BM25_QUERIES,
+) -> pd.DataFrame:
+    """Snippet/highlight generation for the BM25 battery's top-k hits:
+    per hit, the best ``window``-token span (max distinct query terms
+    inside, ties leftmost; candidate starts are the query terms'
+    occurrence positions) plus the snippet TEXT — the highlighter every
+    search UI needs, computed index-first:
+
+    1. ranked hits from the battery (the existing top-k path);
+    2. ``best_window_positions`` over the positional sidecar, pruned
+       to (query terms × hit ids) — never a corpus scan;
+    3. ONE doc-id-pruned corpus read of just the hit docs to render
+       the snippet string (tokens[start : start+window] joined).
+
+    Output (qid, doc_id, snip_start, n_match, snippet)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from ..functions.tokenizer import tokenize_simple
+    from ..sources.corpus_source import read_documents_table
+    from .positions import best_window_positions, build_positions_sidecar
+
+    index_dir = build_documents_index(sf_dir)
+    build_positions_sidecar(read_documents_table(sf_dir), index_dir)
+    hits = run_bm25_queries(sf_dir, queries=queries, k=k)
+
+    all_ids = np.unique(hits["doc_id"].to_numpy(np.int64)) if len(hits) else []
+    texts: dict[int, str] = {}
+    if len(all_ids):
+        t = pads.dataset(
+            f"{sf_dir}/documents.parquet", format="parquet"
+        ).to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(list(all_ids)),
+        )
+        texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    frames = []
+    for q in queries:
+        terms = sorted(set(tokenize_simple(q["query"])))
+        ids = hits.loc[hits["qid"] == q["qid"], "doc_id"].to_numpy(np.int64)
+        if not len(ids) or not terms:
+            continue
+        best = best_window_positions(index_dir, terms, window, ids)
+        if best.empty:
+            continue
+        best.insert(0, "qid", int(q["qid"]))
+        snips = []
+        for _, r in best.iterrows():
+            toks = tokenize_simple(texts.get(int(r["doc_id"])) or "")
+            s = int(r["snip_start"])
+            snips.append(" ".join(toks[s:s + window]))
+        best["snippet"] = snips
+        frames.append(best)
+    if not frames:
+        return pd.DataFrame({
+            "qid": pd.Series(dtype="int64"),
+            "doc_id": pd.Series(dtype="int64"),
+            "snip_start": pd.Series(dtype="int64"),
+            "n_match": pd.Series(dtype="int64"),
+            "snippet": pd.Series(dtype="str"),
+        })
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["qid", "doc_id"]).reset_index(drop=True)
+
+
 # Frozen proximity battery: ALL terms within a `window`-token span
 # (unordered; span = max chosen position - min chosen position).
 # 2-term pairs, one 3-term entry, one df-0 term (qid 6 -> empty).

@@ -213,3 +213,51 @@ def verify_proximity_positions(
     if out.empty:
         return np.empty(0, np.int64)
     return np.sort(out["doc_id"].to_numpy(np.int64))
+
+
+def best_window_positions(
+    index_dir: str, terms: list[str], window: int, cand_ids: np.ndarray,
+) -> pd.DataFrame:
+    """Per candidate doc, the best fixed-``window``-token snippet
+    anchor for highlighting: the start position maximizing the number
+    of DISTINCT query terms whose positions fall in
+    ``[start, start + window - 1]``, ties broken leftmost (smallest
+    start). Candidate starts are exactly the query terms' occurrence
+    positions — a window scoring more distinct terms than every
+    occurrence-anchored window cannot exist, since sliding a window
+    right to its first contained occurrence never drops a term.
+
+    Returns (doc_id, snip_start, n_match), one row per doc with ≥1
+    occurrence. Distributed the same way as the verify operators: a
+    ``groupby(doc_id).map_groups`` over the pushdown-pruned sidecar
+    rows — O(occurrences² / doc) worst case but bounded by the pruned
+    read, never a corpus scan."""
+    uniq = sorted(set(terms))
+    empty = pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"),
+        "snip_start": pd.Series(dtype="int64"),
+        "n_match": pd.Series(dtype="int64"),
+    })
+    if not len(cand_ids) or not uniq:
+        return empty
+    ds = _read_positions(index_dir, uniq, cand_ids)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        pos = {t: np.asarray(p, np.int64) for t, p in zip(g["term"], g["positions"])}
+        starts = np.unique(np.concatenate(list(pos.values())))
+        n = np.zeros(len(starts), np.int64)
+        for p in pos.values():
+            lo = np.searchsorted(p, starts)
+            hi = np.searchsorted(p, starts + window)  # [s, s+window-1]
+            n += (hi > lo).astype(np.int64)
+        best = int(np.argmax(n))  # first max -> leftmost tie-break
+        return pd.DataFrame({
+            "doc_id": [int(g["doc_id"].iloc[0])],
+            "snip_start": [int(starts[best])],
+            "n_match": [int(n[best])],
+        })
+
+    out = ds.groupby("doc_id").map_groups(per_doc).to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")

@@ -117,3 +117,32 @@ def test_proximity_battery_verified_by_brute_force(sf_dir):
     for q in flagship.PROXIMITY_QUERIES:
         got = set(out.loc[out["qid"] == q["qid"], "doc_id"])
         assert got == brute(q["terms"], q["window"]), q
+
+
+def test_best_window_planted(idx):
+    """Snippet-anchor semantics: max distinct query terms in the fixed
+    window, leftmost on ties, candidate starts = occurrence positions.
+
+    doc 2 = "red a a a a blue" with window 4: start 0 covers only
+    'red' (blue at pos 5 is outside [0,3]), start 5 covers only
+    'blue' — tie at 1 distinct, leftmost start 0 wins. With window 6
+    start 0 covers both. doc 0 = "red green blue yellow": both terms
+    inside [0,3] from start 0."""
+    from information_retrieval_images_ray.pipelines.positions import (
+        best_window_positions,
+    )
+
+    cand = np.array([0, 2], np.int64)
+    out = best_window_positions(idx, ["red", "blue"], 4, cand)
+    rows = {int(r.doc_id): (int(r.snip_start), int(r.n_match))
+            for r in out.itertuples()}
+    assert rows == {0: (0, 2), 2: (0, 1)}
+
+    out6 = best_window_positions(idx, ["red", "blue"], 6, cand)
+    rows6 = {int(r.doc_id): (int(r.snip_start), int(r.n_match))
+             for r in out6.itertuples()}
+    assert rows6 == {0: (0, 2), 2: (0, 2)}
+
+    # a doc with no occurrence of any term emits no row
+    out_none = best_window_positions(idx, ["zzz"], 4, cand)
+    assert out_none.empty
