@@ -170,9 +170,66 @@ def cmd_query(args) -> int:
 
     reader = IndexReader(args.index)
     doc_filter = ("lang", args.lang) if args.lang else None
-    hits = getattr(reader, f"search_{args.algo}")(
-        args.query, args.k, doc_filter=doc_filter
-    )
+    mode = getattr(args, "mode", "bm25")
+    if mode == "bm25":
+        hits = getattr(reader, f"search_{args.algo}")(
+            args.query, args.k, doc_filter=doc_filter
+        )
+    elif mode == "boolean":
+        hits = reader.search_boolean(
+            args.must or args.query, args.should or "", args.must_not or "",
+            args.k, doc_filter=doc_filter,
+        )
+    elif mode == "prefix":
+        hits = reader.search_prefix(
+            args.query, args.k, max_expansions=args.max_expansions,
+            doc_filter=doc_filter,
+        )
+    elif mode == "fuzzy":
+        hits = reader.search_fuzzy(
+            args.query, args.k, max_edits=args.max_edits,
+            max_expansions=args.max_expansions, doc_filter=doc_filter,
+        )
+    elif mode == "more_like_this":
+        hits = reader.more_like_this(
+            reader.tokenize(args.query), k=args.k,
+            max_terms=args.max_terms, doc_filter=doc_filter,
+        )
+    elif mode in ("phrase", "proximity"):
+        import os as _os
+
+        import numpy as np
+
+        from .pipelines.positions import (
+            positions_dir,
+            verify_phrase_positions,
+            verify_proximity_positions,
+        )
+
+        if not _os.path.isdir(positions_dir(args.index)):
+            print("no positions sidecar — build_positions_sidecar first",
+                  file=sys.stderr)
+            return 2
+        toks = reader.tokenize(args.query)
+        ids, scores = reader.conjunctive_scores(
+            sorted(set(toks)), doc_filter=doc_filter)
+        if mode == "phrase":
+            ok = set(verify_phrase_positions(args.index, toks, ids).tolist())
+        else:
+            ok = set(verify_proximity_positions(
+                args.index, sorted(set(toks)), args.window, ids).tolist())
+        kept = sorted(
+            ((s, d) for d, s in zip(ids.tolist(), scores.tolist()) if d in ok),
+            key=lambda e: (-e[0], e[1]),
+        )[:args.k]
+        hits = [(d, s) for s, d in kept]
+    else:
+        print(f"unknown mode {mode}", file=sys.stderr)
+        return 2
+    if getattr(args, "facets", None):
+        fc = reader.facet_counts(
+            args.query, args.facets.split(","), doc_filter=doc_filter)
+        print(json.dumps({"facets": fc}))
     if args.hydrate:
         import pandas as pd
 
@@ -332,11 +389,28 @@ def make_parser() -> argparse.ArgumentParser:
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(func=cmd_compact)
 
-    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q = sub.add_parser("query", help="top-k over a built index (all modes)")
     q.add_argument("query")
     q.add_argument("--index", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--algo", default="bmw", choices=["bmw", "taat"])
+    q.add_argument("--mode", default="bm25",
+                   choices=["bm25", "boolean", "prefix", "fuzzy",
+                            "more_like_this", "phrase", "proximity"])
+    q.add_argument("--must", default="", help="boolean mode: AND terms")
+    q.add_argument("--should", default="", help="boolean mode: OR terms")
+    q.add_argument("--must-not", dest="must_not", default="",
+                   help="boolean mode: excluded terms")
+    q.add_argument("--max-edits", dest="max_edits", type=int, default=1)
+    q.add_argument("--max-expansions", dest="max_expansions", type=int,
+                   default=64)
+    q.add_argument("--max-terms", dest="max_terms", type=int, default=8,
+                   help="more_like_this: tf-idf term budget")
+    q.add_argument("--window", type=int, default=8,
+                   help="proximity mode: token span")
+    q.add_argument("--facets", default=None,
+                   help="comma-separated docmeta columns: also print "
+                        "match-set facet counts")
     q.add_argument("--hydrate", action="store_true")
     q.add_argument("--lang", default=None,
                    help="restrict results to docs with this docmeta lang")

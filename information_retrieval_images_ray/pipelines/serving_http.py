@@ -178,6 +178,12 @@ class IndexHTTPServer:
                             self._json(400, {"error": str(e)})
                         except FileNotFoundError as e:  # no sidecar
                             self._json(409, {"error": str(e)})
+                    elif self.path == "/facets":
+                        self._json(200, outer.facets(
+                            req.get("query", ""),
+                            req.get("cols", ["lang"]),
+                            lang=req.get("lang"),
+                        ))
                     elif self.path == "/delete":
                         from .maintenance import delete_docs
 
@@ -305,6 +311,19 @@ class IndexHTTPServer:
                     if key not in r:
                         r[key] = val
         return rows
+
+    def facets(self, query: str, cols: list[str],
+               lang: str | None = None) -> dict:
+        """Match-set facet counts over docmeta columns (POST /facets:
+        {"query", "cols": ["lang", ...], "lang"?}) — the whole-result-
+        set distribution next to the ranked page, via the sharded
+        service's per-actor partial counts."""
+        with self._lock:
+            self._sync_tombstones()
+            svc = self.service
+        doc_filter = ("lang", lang) if lang else None
+        return svc.facets(
+            [{"qid": 0, "query": query}], list(cols), doc_filter)[0]
 
     def _ivf_reader(self):
         """Lazily attach the persisted IVF index's cluster-actor pool

@@ -141,3 +141,51 @@ def test_vector_lifecycle_verbs(tmp_path, capsys):
                  "-k", "5", "--nprobe", "4"]) == 0
     hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [h["vec_id"] for h in hits] == oracle(q, 5, exclude=(3, 7))
+
+
+def test_query_modes(cli_index, capsys):
+    """`query --mode ...` drives every retrieval mode and matches the
+    serial reader; --facets prints match-set counts."""
+    from information_retrieval_images_ray.pipelines.query import IndexReader
+
+    reader = IndexReader(cli_index)
+
+    rc = main(["query", "get", "--index", cli_index, "-k", "5",
+               "--mode", "prefix", "--max-expansions", "8"])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = reader.search_prefix("get", 5, max_expansions=8)
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+
+    rc = main(["query", "getx", "--index", cli_index, "-k", "5",
+               "--mode", "fuzzy"])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [(h["doc_id"], h["score"]) for h in hits] == reader.search_fuzzy("getx", 5)
+
+    rc = main(["query", "ignored", "--index", cli_index, "-k", "5",
+               "--mode", "boolean", "--must", "get", "--must-not", "sort"])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [(h["doc_id"], h["score"]) for h in hits] == \
+        reader.search_boolean("get", "", "sort", 5)
+
+    rc = main(["query", "get name", "--index", cli_index, "-k", "5",
+               "--mode", "more_like_this", "--max-terms", "2"])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = reader.more_like_this(reader.tokenize("get name"), k=5, max_terms=2)
+    assert [(h["doc_id"], h["score"]) for h in hits] == want
+
+    # phrase without a sidecar: clean exit code 2, not a traceback
+    rc = main(["query", "get name", "--index", cli_index, "--mode", "phrase"])
+    assert rc == 2
+    capsys.readouterr()
+
+    rc = main(["query", "get", "--index", cli_index, "-k", "3",
+               "--facets", "lang"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    fc = json.loads(lines[0])["facets"]
+    assert fc == reader.facet_counts("get", ["lang"])
+    assert json.loads(lines[-1])  # ranked hits still printed

@@ -475,6 +475,11 @@ def test_search_mode_multiplexing(server):
                                  k=5, max_terms=3)
     assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
 
+    # facet route: whole-match-set counts, identical to the reader
+    _, fc = _req(srv.port, "/facets", {"query": "alpha dup", "cols": ["lang"]})
+    assert fc == reader.facet_counts("alpha dup", ["lang"])
+    assert sum(fc["lang"].values()) == len(reader.match_ids("alpha dup"))
+
     with pytest.raises(urllib.error.HTTPError) as e:
         _req(srv.port, "/search", {"mode": "nope", "query": "alpha"})
     assert e.value.code == 400
