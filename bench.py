@@ -11,7 +11,11 @@ Default mode (what the per-round driver runs): one fresh Ray session at
      (tokenize -> explode -> df -> per-shard posting segments) ->
      query battery: p50/p99 single-query latency (driver-side reader,
      state loaded once) + batch throughput via the QueryScorer actor
-     pool.
+     pool. The extended query modes (boolean/prefix/fuzzy/
+     more-like-this) run a 50-query batch each through the same pool
+     and report per-mode QPS under ``mode_qps`` — informational only,
+     NOT added to the cross-round ``value`` total (older rounds
+     predate these modes).
   2. **documents flagship** over ``$GRAFT_SF_DIR`` (default
      /root/testdata/sf0.1): fresh build of the documents-table index +
      the frozen 8-query battery through the actor pool.
@@ -179,6 +183,30 @@ def bench_code_corpus(num_cpus: int, n_docs: int) -> dict:
     svc = ShardedQueryService(index_dir, num_actors=max(2, num_cpus // 4))
     n_hits = len(svc.topk(battery, k=10, algo="bmw"))
     timings["query_battery_pool"] = time.perf_counter() - t0
+
+    # extended query modes through the same pool — reported as
+    # per-mode QPS but NOT added to `timings` (the cross-round total
+    # must stay comparable with rounds that predate these modes)
+    mode_qps: dict[str, float] = {}
+    mq = battery[:50]
+    mode_batches = {
+        "boolean": lambda: svc.topk_boolean(
+            [{"qid": q["qid"], "must": q["query"].split()[0],
+              "should": q["query"], "must_not": ""} for q in mq], k=10),
+        "prefix": lambda: svc.topk_prefix(
+            [{"qid": q["qid"], "prefix": q["query"].split()[0][:4]}
+             for q in mq], k=10, max_expansions=16),
+        "fuzzy": lambda: svc.topk_fuzzy(
+            [{"qid": q["qid"], "word": q["query"].split()[0]} for q in mq],
+            k=10, max_expansions=16),
+        "more_like_this": lambda: svc.topk_more_like_this(
+            [{"qid": q["qid"], "text": q["query"]} for q in mq],
+            k=10, max_terms=4),
+    }
+    for name, fn in mode_batches.items():
+        t0 = time.perf_counter()
+        fn()
+        mode_qps[name] = len(mq) / (time.perf_counter() - t0)
     svc.shutdown()
 
     build_sec = timings["index_build"]
@@ -191,6 +219,7 @@ def bench_code_corpus(num_cpus: int, n_docs: int) -> dict:
         "query_p50_ms": float(np.percentile(lat_arr, 50) * 1e3),
         "query_p99_ms": float(np.percentile(lat_arr, 99) * 1e3),
         "query_qps_pool": len(battery) / timings["query_battery_pool"],
+        "mode_qps": {k: round(v, 2) for k, v in mode_qps.items()},
     }
 
 
@@ -450,6 +479,7 @@ def run_once(num_cpus: int, sf_dir: str, n_docs: int, code_only: bool = False) -
             "query_p50_ms": round(code["query_p50_ms"], 3),
             "query_p99_ms": round(code["query_p99_ms"], 3),
             "query_qps_pool": round(code["query_qps_pool"], 2),
+            "mode_qps": code.get("mode_qps", {}),
         }
     finally:
         ray.shutdown()

@@ -74,6 +74,20 @@ class ShardQueryActor:
                      max_expansions: int) -> list[str]:
         return self.reader.expand_fuzzy(word, max_edits, prefix_len, max_expansions)
 
+    def expand_batch(self, specs: list[tuple]) -> list[list[str]]:
+        """All of a battery's expansion requests in ONE round trip
+        (the per-(query, actor) RPC form capped prefix/fuzzy battery
+        throughput). specs: [("prefix", prefix, cap) |
+        ("fuzzy", (word, max_edits, prefix_len), cap), ...]."""
+        out = []
+        for kind, arg, cap in specs:
+            if kind == "prefix":
+                out.append(self.reader.expand_prefix(arg, cap))
+            else:
+                w, me, pl = arg
+                out.append(self.reader.expand_fuzzy(w, me, pl, cap))
+        return out
+
     def search_boolean(
         self, queries: list[dict], k: int,
         weights_per_query: list[dict[str, float]], doc_filter=None,
@@ -480,24 +494,18 @@ class ShardedQueryService:
         return by_qid
 
     def _expand(self, specs, max_expansions: int) -> list[list[str]]:
-        """Phase 0 for the dictionary-expansion queries: fan each
-        expansion request to every actor, union, sort, cap — the same
-        deterministic term set a whole-index reader produces."""
-        futs = []
-        for kind, arg, cap in specs:
-            for a in self.actors:
-                if kind == "prefix":
-                    futs.append(a.expand_prefix.remote(arg, cap))
-                else:
-                    w, me, pl = arg
-                    futs.append(a.expand_fuzzy.remote(w, me, pl, cap))
-        flat = ray.get(futs)
-        n_act = len(self.actors)
+        """Phase 0 for the dictionary-expansion queries: ONE
+        ``expand_batch`` RPC per actor carrying the whole battery's
+        specs (the per-(spec, actor) fan-out capped prefix/fuzzy
+        battery throughput on tiny-message latency), then per-spec
+        union, sort, cap — the same deterministic term set a
+        whole-index reader produces."""
+        per_actor = ray.get([a.expand_batch.remote(specs) for a in self.actors])
         out = []
         for i in range(len(specs)):
             union: set[str] = set()
-            for j in range(n_act):
-                union.update(flat[i * n_act + j])
+            for lists in per_actor:
+                union.update(lists[i])
             out.append(sorted(union)[:max_expansions])
         return out
 
