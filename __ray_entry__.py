@@ -270,6 +270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_clusters": lambda sf: dedup.dup_clusters(docs(sf), n=5),
         "q_minhash_neardup": lambda sf: dedup.minhash_near_dups(docs(sf), threshold=0.5),
         "q_simhash_neardup": lambda sf: dedup.simhash_near_dups(docs(sf), max_hamming=3),
+        # eval-set decontamination: train docs sharing a 5-gram with
+        # any test doc under the deterministic hash split
+        "q_decontaminate": lambda sf: dedup.decontaminate(docs(sf), n=5),
         # winnowing (rolling-hash document fingerprints + overlap)
         "q_winnow_fingerprints": lambda sf: dedup.winnow_doc_summary(docs(sf)),
         "q_winnow_overlap": lambda sf: dedup.winnow_overlap_pairs(docs(sf)),
@@ -1156,6 +1159,25 @@ reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
                 SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
 SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY u
+""",
+        # decontamination mirror: same 5-gram CTE shape, split from the
+        # md5(doc_id) % 100 buckets, hot-shingle cap (1024) mirrored
+        "q_decontaminate": f"""
+WITH lab AS (SELECT doc_id, {TOK_SQL} AS ts,
+       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+            AS UBIGINT) % 100 AS b
+       FROM documents),
+sh AS (SELECT DISTINCT doc_id, CASE WHEN b >= 90 THEN 1 ELSE 0 END AS is_test,
+              array_to_string(ts[u.i : u.i + 4], ' ') AS shingle
+       FROM lab CROSS JOIN LATERAL unnest(range(1, greatest(len(ts) - 3, 1))) AS u(i)
+       WHERE b < 80 OR b >= 90),
+eligible AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1024),
+test_sh AS (SELECT DISTINCT shingle FROM sh WHERE is_test = 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh
+WHERE is_test = 0 AND shingle IN (SELECT shingle FROM eligible)
+      AND shingle IN (SELECT shingle FROM test_sh)
+GROUP BY 1
 """,
         "q_winnow_fingerprints": f"""
 {WINNOW_CTE}

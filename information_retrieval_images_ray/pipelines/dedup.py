@@ -219,6 +219,86 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# train/eval contamination
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    n: int = 5,
+    train: int = 80,
+    val: int = 10,
+    tokenizer: str = "simple",
+    max_group: int | None = DEFAULT_MAX_GROUP,
+) -> pd.DataFrame:
+    """Eval-set decontamination check: TRAIN docs sharing >= 1 word
+    n-gram with ANY TEST doc, plus the count of shared distinct
+    shingles — the standard pre-training hygiene pass (n-gram collision
+    decontamination, Brown et al. 2020 App. C). Split assignment is the
+    engine's deterministic hash split (md5(doc_id) % 100: < train ->
+    train, < train+val -> val, else test — analysis.split_summary), so
+    the verdict is stable under reorder / resume / extend.
+
+    Scale shape: two thin exchanges. Distinct (shingle, doc_id,
+    is_test) rows (val docs never enter the exchange — they cannot
+    leak) -> groupby(shingle) emits the group's TRAIN doc ids iff the
+    group also contains a test doc (hot shingles over ``max_group``
+    docs drop to a logged sentinel — the module-wide skew contract,
+    mirrored in the SQL oracle) -> groupby(doc_id) counts shared
+    shingles. Returns (doc_id, n_shared) sorted by doc_id.
+    """
+    tok = get_tokenizer(tokenizer)
+    cut_val = train + val
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, sh, tst = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            b = md5_u64(str(did)) % 100
+            if train <= b < cut_val:
+                continue
+            is_test = 1 if b >= cut_val else 0
+            for s in _shingles(tok(text or ""), n):
+                ids.append(did)
+                sh.append(s)
+                tst.append(is_test)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shingle": pa.array(sh, pa.string()),
+                "is_test": pa.array(tst, pa.int64()),
+            }
+        )
+
+    def emit_contaminated(g: pd.DataFrame) -> pd.DataFrame:
+        if max_group is not None and len(g) > max_group:
+            return pd.DataFrame({"doc_id": [-1]}).astype("int64")
+        tst = g["is_test"].to_numpy(np.int64)
+        if not tst.any():
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64)[tst == 0]})
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("shingle")
+        .map_groups(emit_contaminated, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_shared"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "n_shared": pd.Series(dtype="int64")}
+        )
+    sentinel = out["doc_id"] < 0
+    n_dropped = int(out.loc[sentinel, "n_shared"].sum())
+    if n_dropped:
+        print(f"[decontaminate] {n_dropped} hot shingles over "
+              f"max_group={max_group} dropped from the collision check")
+    return (
+        out[~sentinel].sort_values("doc_id").reset_index(drop=True).astype("int64")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 
 _MERSENNE = np.uint64((1 << 61) - 1)

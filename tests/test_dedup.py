@@ -233,3 +233,28 @@ def test_dup_clusters_transitive():
     out = dup_clusters(docs, n=5)
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+
+
+def test_decontaminate_planted():
+    """A train doc sharing 3-grams with a test doc is flagged with the
+    exact shared-shingle count; val docs and clean train docs never
+    appear (split = md5(doc_id) % 100, same as split_summary)."""
+    from information_retrieval_images_ray.functions.hashing import md5_u64
+
+    def bucket(i):
+        return md5_u64(str(i)) % 100
+
+    train_id = next(i for i in range(1000) if bucket(i) < 80)
+    test_id = next(i for i in range(1000) if bucket(i) >= 90)
+    val_id = next(i for i in range(1000) if 80 <= bucket(i) < 90)
+    clean_id = next(i for i in range(1000) if bucket(i) < 80 and i != train_id)
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        {"doc_id": train_id, "text": shared},
+        {"doc_id": test_id, "text": shared + " india juliet"},
+        {"doc_id": val_id, "text": shared},  # val cannot leak -> never flagged
+        {"doc_id": clean_id, "text": "kilo lima mike november oscar papa"},
+    ]
+    out = dedup.decontaminate(ray.data.from_items(rows), n=3)
+    assert out["doc_id"].tolist() == [train_id]
+    assert out["n_shared"].tolist() == [6]  # all 6 distinct 3-grams collide
