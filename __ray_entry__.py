@@ -255,6 +255,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-based train/val/test split: stable under reorder,
         # resume and extend (no doc ever migrates between splits)
         "q_split_summary": lambda sf: analysis.split_summary(docs(sf)),
+        # context-window packing: concatenate-and-chunk position of
+        # every doc in the 2048-token training stream
+        "q_pack_sequences": lambda sf: analysis.pack_sequences(
+            docs(sf), budget=2048, bucket_width=64
+        ),
         # collocation mining: top-50 within-10-token co-occurring pairs
         "q_term_cooccurrence": lambda sf: analysis.term_cooccurrence(
             docs(sf), window=10, k=50
@@ -1369,6 +1374,19 @@ SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS s
        lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS total_tokens
 FROM t GROUP BY 1, 2
+""",
+        # exact global ordered cumsum — SQL mirrors the bucketed
+        # two-phase prefix with one window function
+        "q_pack_sequences": f"""
+WITH dl AS (SELECT doc_id, len({TOK_SQL}) AS doc_len FROM documents),
+c AS (SELECT doc_id, doc_len,
+             COALESCE(sum(doc_len) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM dl)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_len AS BIGINT) AS doc_len,
+       CAST(prev // 2048 AS BIGINT) AS seq_id,
+       CAST(prev % 2048 AS BIGINT) AS seq_off
+FROM c
 """,
         # values are 2-decimal, so cents-rounding commutes with the
         # discrete quantile (both sides pick an actual data value)

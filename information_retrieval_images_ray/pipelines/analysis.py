@@ -458,3 +458,68 @@ def term_cooccurrence(
             "cnt": pd.Series(dtype="int64"),
         })
     return out.reset_index(drop=True).astype({"cnt": "int64"})
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    budget: int = 2048,
+    bucket_width: int = 4096,
+    tokenizer: str = "simple",
+) -> ray.data.Dataset:
+    """Context-window packing: assign every doc (in doc_id order) a
+    position in the concatenate-and-chunk token stream — the standard
+    pre-training packing step (concatenate all docs, cut fixed
+    ``budget``-token windows; docs may straddle a cut). Output per doc:
+    ``seq_id = prev // budget`` and ``seq_off = prev % budget`` where
+    ``prev`` is the exact number of tokens in all lower-doc_id docs.
+
+    The global ordered cumsum is computed scale-out, not on the
+    driver: (1) ONE tokenize pass emits the thin (doc_id, doc_len)
+    table, materialized so the two downstream consumers don't re-read
+    the corpus (~16 B/row — at extreme corpus sizes swap the
+    materialize for a tmp parquet spill); (2) per-bucket
+    (doc_id // bucket_width) token sums — a small exchange, N/4096
+    rows to the driver for the exclusive prefix; (3) a bucket groupby
+    assigns in-group positions from the broadcast offsets. No stage
+    ever holds more than one bucket of rows.
+    """
+    import ray
+
+    tok = _tok_fn(tokenizer)
+
+    def lens_fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        lens = [len(tok(t or "")) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array([i // bucket_width for i in ids], pa.int64()),
+                "doc_len": pa.array(lens, pa.int64()),
+            }
+        )
+
+    lens = ds.map_batches(lens_fn, batch_format="pyarrow").materialize()
+    totals = (
+        lens.groupby("bucket")
+        .aggregate(Sum("doc_len", alias_name="bt"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    run = totals["bt"].cumsum().shift(fill_value=0)
+    offsets_ref = ray.put(dict(zip(totals["bucket"].astype(int), run.astype(int))))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(offsets_ref)  # plasma-shared, cached per node
+        g = g.sort_values("doc_id")
+        dl = g["doc_len"].to_numpy(np.int64)
+        prev = offsets[int(g["bucket"].iloc[0])] + np.cumsum(dl) - dl
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "doc_len": dl,
+                "seq_id": prev // budget,
+                "seq_off": prev % budget,
+            }
+        )
+
+    return lens.groupby("bucket").map_groups(assign, batch_format="pandas")

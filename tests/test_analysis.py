@@ -160,3 +160,30 @@ def test_term_cooccurrence_window_boundary():
         ray.data.from_items([{"doc_id": 0, "text": "b b"}]), window=3, k=10
     )
     assert len(out2) == 0
+
+
+def test_pack_sequences_exact_chunking():
+    """Concatenate-and-chunk math on hand-built lengths: docs straddle
+    budget cuts, a zero-length doc sits exactly at its predecessor's
+    end, and a bucket_width smaller than the corpus forces the
+    cross-bucket offset path. doc_ids arrive unsorted and non-dense."""
+    from information_retrieval_images_ray.pipelines.analysis import pack_sequences
+
+    # token counts: id 3 -> 4, id 0 -> 3, id 7 -> 0, id 5 -> 6, id 12 -> 2
+    rows = [
+        {"doc_id": 3, "text": "a b c d"},
+        {"doc_id": 0, "text": "x y z"},
+        {"doc_id": 7, "text": ""},
+        {"doc_id": 5, "text": "p q r s t u"},
+        {"doc_id": 12, "text": "m n"},
+    ]
+    out = (
+        pack_sequences(ray.data.from_items(rows), budget=5, bucket_width=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # doc_id order: 0(len3, prev0), 3(len4, prev3), 5(len6, prev7),
+    #               7(len0, prev13), 12(len2, prev13)
+    assert out["doc_id"].tolist() == [0, 3, 5, 7, 12]
+    assert out["doc_len"].tolist() == [3, 4, 6, 0, 2]
+    assert out["seq_id"].tolist() == [0, 0, 1, 2, 2]
+    assert out["seq_off"].tolist() == [0, 3, 2, 3, 3]
