@@ -543,7 +543,8 @@ m AS (SELECT DISTINCT q.qid, tf.doc_id
       FROM queries q JOIN tf ON tf.term = q.term),
 j AS (SELECT m.qid, d.lang, d.source
       FROM m JOIN documents d ON d.doc_id = m.doc_id)
-SELECT qid, facet_field, facet_value, count(*) AS n_docs FROM (
+SELECT CAST(qid AS BIGINT) AS qid, facet_field, facet_value,
+       count(*) AS n_docs FROM (
   SELECT qid, 'lang' AS facet_field, lang AS facet_value FROM j
   UNION ALL
   SELECT qid, 'source', source FROM j
@@ -710,7 +711,7 @@ best AS (SELECT qid, doc_id, s, n_match FROM (
                   row_number() OVER (PARTITION BY qid, doc_id
                                      ORDER BY n_match DESC, s) AS rn
            FROM wnd) WHERE rn = 1)
-SELECT b.qid, b.doc_id, b.s AS snip_start, b.n_match,
+SELECT CAST(b.qid AS BIGINT) AS qid, b.doc_id, b.s AS snip_start, b.n_match,
        array_to_string(t.ts[b.s + 1 : b.s + {window}], ' ') AS snippet
 FROM best b JOIN toksl t ON t.doc_id = b.doc_id
 ORDER BY b.qid, b.doc_id"""
