@@ -19,7 +19,11 @@ from typing import Any
 
 import numpy as np
 
-from information_retrieval_images_ray.pipelines.analysis import EN_STOPWORDS
+from information_retrieval_images_ray.pipelines.analysis import (
+    EN_STOPWORDS,
+    PII_ORDER,
+    PII_PATTERNS,
+)
 
 TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
@@ -252,6 +256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprints": lambda sf: analysis.fingerprints(docs(sf)),
         "q_token_count_by_lang": lambda sf: analysis.token_count_by_lang(docs(sf)),
         "q_langid": lambda sf: analysis.langid(docs(sf)),
+        # PII scan + redaction: per-class counts over the original
+        # text, redacted-text length + sha256 prefix per doc
+        "q_pii_scan": lambda sf: analysis.pii_scan(docs(sf)),
         # hash-based train/val/test split: stable under reorder,
         # resume and extend (no doc ever migrates between splits)
         "q_split_summary": lambda sf: analysis.split_summary(docs(sf)),
@@ -1032,6 +1039,31 @@ FROM b
 """
 
 
+def _pii_sql() -> str:
+    """PII oracle: per-class match counts on the original text, then
+    the same sequential class-ordered redaction (nested regexp_replace
+    with 'g') attested by length + sha256 prefix. Patterns are shared
+    constants — ASCII-explicit so RE2 and Python `re` agree."""
+    red = "text"
+    for k in PII_ORDER:
+        red = f"regexp_replace({red}, '{PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
+    count_cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS BIGINT) AS n_{k}"
+        for k in PII_ORDER
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{PII_PATTERNS[k]}'))" for k in PII_ORDER
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {count_cols},
+       CAST({total} AS BIGINT) AS n_pii,
+       CAST(length(red) AS BIGINT) AS red_len,
+       substr(sha256(red), 1, 16) AS red_sha16
+FROM (SELECT doc_id, text, {red} AS red FROM documents)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     return {
@@ -1118,6 +1150,7 @@ FROM t
 SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM documents
 """,
         "q_langid": _langid_sql(),
+        "q_pii_scan": _pii_sql(),
         "q_tfidf_terms": f"""
 WITH docs AS (SELECT doc_id, text FROM documents),
 tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM docs),

@@ -523,3 +523,59 @@ def pack_sequences(
         )
 
     return lens.groupby("bucket").map_groups(assign, batch_format="pandas")
+
+
+# PII patterns (ASCII-explicit so Python `re` and DuckDB's RE2 agree
+# exactly; shared verbatim with the SQL oracle). Redaction applies the
+# classes in PII_ORDER sequentially; counts are over the original text.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^ \t\n\r]+",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+    "id": r"\b[0-9]{9,}\b",
+}
+PII_ORDER = ("email", "url", "ipv4", "phone", "id")
+
+
+class PIIScanStage:
+    """Per-doc PII scan + redaction (actor-pool stage: the five class
+    regexes compile once per actor). Emits per-class match counts
+    (over the original text), the redacted text's length and the first
+    16 hex chars of its sha256 — so the oracle verifies the full
+    redaction transform per doc without shipping text. The scrubbing
+    pass every training-data pipeline runs before tokenization; same
+    shape as the reference's caption normalizer
+    (/root/reference/caption_generator_post.py:11-27) but
+    class-counted and hash-attested."""
+
+    def __init__(self) -> None:
+        import re
+
+        self.pats = [(k, re.compile(PII_PATTERNS[k])) for k in PII_ORDER]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts: dict[str, list[int]] = {k: [] for k in PII_ORDER}
+        red_len, red_sha = [], []
+        for text in batch["text"].to_pylist():
+            t = text or ""
+            red = t
+            for k, p in self.pats:
+                counts[k].append(len(p.findall(t)))
+                red = p.sub(f"<{k.upper()}>", red)
+            red_len.append(len(red))
+            red_sha.append(hashlib.sha256(red.encode("utf-8")).hexdigest()[:16])
+        n = np.zeros(len(red_len), dtype=np.int64)
+        cols: dict[str, pa.Array] = {"doc_id": batch["doc_id"]}
+        for k in PII_ORDER:
+            arr = np.asarray(counts[k], dtype=np.int64)
+            n += arr
+            cols[f"n_{k}"] = pa.array(arr, pa.int64())
+        cols["n_pii"] = pa.array(n, pa.int64())
+        cols["red_len"] = pa.array(red_len, pa.int64())
+        cols["red_sha16"] = pa.array(red_sha, pa.string())
+        return pa.table(cols)
+
+
+def pii_scan(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(PIIScanStage, batch_format="pyarrow", concurrency=(1, 8))

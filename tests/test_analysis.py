@@ -187,3 +187,28 @@ def test_pack_sequences_exact_chunking():
     assert out["doc_len"].tolist() == [3, 4, 6, 0, 2]
     assert out["seq_id"].tolist() == [0, 0, 1, 2, 2]
     assert out["seq_off"].tolist() == [0, 3, 2, 3, 3]
+
+
+def test_pii_scan_planted():
+    """Planted positives per class: counts, sequential redaction text,
+    length and sha prefix all hand-checked; clean doc is untouched."""
+    import hashlib
+
+    from information_retrieval_images_ray.pipelines.analysis import pii_scan
+
+    rows = [
+        {"doc_id": 0, "text": "mail bob@example.com and http://x.co/a?b=1 now"},
+        {"doc_id": 1, "text": "ip 10.0.255.1 phone 555-123-4567 acct 123456789"},
+        {"doc_id": 2, "text": "nothing sensitive here"},
+    ]
+    out = pii_scan(ray.data.from_items(rows)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out.loc[0, ["n_email", "n_url", "n_ipv4", "n_phone", "n_id"]].tolist() == [1, 1, 0, 0, 0]
+    assert out.loc[1, ["n_email", "n_url", "n_ipv4", "n_phone", "n_id"]].tolist() == [0, 0, 1, 1, 1]
+    assert out.loc[2, "n_pii"] == 0
+    red0 = "mail <EMAIL> and <URL> now"
+    red1 = "ip <IPV4> phone <PHONE> acct <ID>"
+    assert out.loc[0, "red_len"] == len(red0)
+    assert out.loc[0, "red_sha16"] == hashlib.sha256(red0.encode()).hexdigest()[:16]
+    assert out.loc[1, "red_sha16"] == hashlib.sha256(red1.encode()).hexdigest()[:16]
+    assert out.loc[2, "red_sha16"] == hashlib.sha256(b"nothing sensitive here").hexdigest()[:16]
