@@ -259,6 +259,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII scan + redaction: per-class counts over the original
         # text, redacted-text length + sha256 prefix per doc
         "q_pii_scan": lambda sf: analysis.pii_scan(docs(sf)),
+        # did-you-mean: top-3 vocab terms within 2 edits per typo,
+        # ranked (dist, df desc, term) — DirectSpellChecker contract
+        "q_spell_suggest": lambda sf: analysis.spell_suggest(docs(sf)),
         # hash-based train/val/test split: stable under reorder,
         # resume and extend (no doc ever migrates between splits)
         "q_split_summary": lambda sf: analysis.split_summary(docs(sf)),
@@ -1064,6 +1067,28 @@ FROM (SELECT doc_id, text, {red} AS red FROM documents)
 """
 
 
+def _spell_sql(max_edits: int = 2, k: int = 3) -> str:
+    """Spell-suggest oracle: DuckDB's unit-cost ``levenshtein`` over
+    the distinct-term vocabulary, ranked (dist, df desc, term)."""
+    from information_retrieval_images_ray.pipelines.analysis import SPELL_BATTERY
+
+    vals = ", ".join(f"('{w}')" for w in SPELL_BATTERY)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(list_distinct({TOK_SQL})) AS term FROM documents),
+tf AS (SELECT term, count(*) AS df FROM tok GROUP BY 1),
+w(word) AS (VALUES {vals}),
+c AS (SELECT w.word, t.term, t.df, levenshtein(w.word, t.term) AS dist
+      FROM w CROSS JOIN tf t WHERE levenshtein(w.word, t.term) <= {max_edits}),
+r AS (SELECT word, term, df, dist,
+             row_number() OVER (PARTITION BY word
+                                ORDER BY dist, df DESC, term) AS rnk
+      FROM c)
+SELECT word, CAST(rnk AS BIGINT) AS "rank", term,
+       CAST(df AS BIGINT) AS df, CAST(dist AS BIGINT) AS dist
+FROM r WHERE rnk <= {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     return {
@@ -1151,6 +1176,7 @@ SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM document
 """,
         "q_langid": _langid_sql(),
         "q_pii_scan": _pii_sql(),
+        "q_spell_suggest": _spell_sql(),
         "q_tfidf_terms": f"""
 WITH docs AS (SELECT doc_id, text FROM documents),
 tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM docs),

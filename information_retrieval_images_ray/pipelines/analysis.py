@@ -579,3 +579,87 @@ class PIIScanStage:
 
 def pii_scan(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(PIIScanStage, batch_format="pyarrow", concurrency=(1, 8))
+
+
+# Deterministic misspelled-word battery for the spell-suggest oracle
+# (typos of frequent corpus terms; shared verbatim with the SQL VALUES).
+SPELL_BATTERY = ("memrge", "fitler", "custmer", "windoq", "strema", "qery")
+
+
+def _lev_capped(a: str, b: str, cap: int) -> int | None:
+    """Exact unit-cost Levenshtein distance if <= cap else None.
+    Banded DP (cells within ``cap`` of the diagonal), same unit-cost
+    metric as DuckDB's ``levenshtein`` and query._levenshtein_leq."""
+    if abs(len(a) - len(b)) > cap:
+        return None
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j in range(1, len(b) + 1):
+        cur = [j] + [cap + 1] * len(a)
+        lo, hi = max(1, j - cap), min(len(a), j + cap)
+        for i in range(lo, hi + 1):
+            cur[i] = min(
+                prev[i] + 1,
+                cur[i - 1] + 1,
+                prev[i - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[len(a)] if prev[len(a)] <= cap else None
+
+
+def spell_suggest(
+    ds: ray.data.Dataset,
+    words: tuple[str, ...] = SPELL_BATTERY,
+    max_edits: int = 2,
+    k: int = 3,
+    tokenizer: str = "simple",
+) -> pd.DataFrame:
+    """Did-you-mean suggestions: for each battery word, the top-``k``
+    corpus-vocabulary terms within ``max_edits`` Levenshtein edits,
+    ranked (dist asc, df desc, term asc) — the DirectSpellChecker
+    contract. The dictionary is the distributed term_stats output; the
+    tiny battery rides in the closure and every dictionary batch emits
+    only its candidate hits (length-prefiltered, banded DP), so the
+    exchange is candidates-only — at web scale the vocab scan is the
+    cost and a prefix-pinned variant (reader.expand_fuzzy) serves the
+    online path; this is the exact batch form."""
+    cands = term_stats(ds, tokenizer)
+
+    def match(batch: pa.Table) -> pa.Table:
+        out_w, out_t, out_df, out_d = [], [], [], []
+        dfs = batch["df"].to_pylist()
+        for i, term in enumerate(batch["term"].to_pylist()):
+            for w in words:
+                d = _lev_capped(w, term, max_edits)
+                if d is not None:
+                    out_w.append(w)
+                    out_t.append(term)
+                    out_df.append(dfs[i])
+                    out_d.append(d)
+        return pa.table(
+            {
+                "word": pa.array(out_w, pa.string()),
+                "term": pa.array(out_t, pa.string()),
+                "df": pa.array(out_df, pa.int64()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    out = cands.map_batches(match, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "word": pd.Series(dtype="object"),
+                "rank": pd.Series(dtype="int64"),
+                "term": pd.Series(dtype="object"),
+                "df": pd.Series(dtype="int64"),
+                "dist": pd.Series(dtype="int64"),
+            }
+        )
+    out = out.sort_values(
+        ["word", "dist", "df", "term"], ascending=[True, True, False, True]
+    ).reset_index(drop=True)
+    out["rank"] = out.groupby("word").cumcount() + 1
+    out = out[out["rank"] <= k]
+    return out[["word", "rank", "term", "df", "dist"]].reset_index(drop=True)

@@ -212,3 +212,29 @@ def test_pii_scan_planted():
     assert out.loc[0, "red_sha16"] == hashlib.sha256(red0.encode()).hexdigest()[:16]
     assert out.loc[1, "red_sha16"] == hashlib.sha256(red1.encode()).hexdigest()[:16]
     assert out.loc[2, "red_sha16"] == hashlib.sha256(b"nothing sensitive here").hexdigest()[:16]
+
+
+def test_spell_suggest_ranking():
+    """Hand-built vocab: dist ascends first, df breaks ties desc,
+    term asc last; beyond-max_edits terms never appear."""
+    from information_retrieval_images_ray.pipelines.analysis import (
+        _lev_capped,
+        spell_suggest,
+    )
+
+    assert _lev_capped("kitten", "sitting", 3) == 3
+    assert _lev_capped("kitten", "sitting", 2) is None
+    assert _lev_capped("abc", "abc", 2) == 0
+
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": "merge merge margin"},
+        {"doc_id": 1, "text": "merge merged"},
+        {"doc_id": 2, "text": "merged verge"},
+        {"doc_id": 3, "text": "unrelatedword"},
+    ])
+    out = spell_suggest(docs, words=("mergee",), max_edits=2, k=3)
+    # dists: merge=1 (df2), merged=1 (df2), verge=2 (df1), margin>2
+    assert out["term"].tolist() == ["merge", "merged", "verge"]
+    assert out["rank"].tolist() == [1, 2, 3]
+    assert out["dist"].tolist() == [1, 1, 2]
+    assert out["df"].tolist() == [2, 2, 1]
