@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # did-you-mean: top-3 vocab terms within 2 edits per typo,
         # ranked (dist, df desc, term) — DirectSpellChecker contract
         "q_spell_suggest": lambda sf: analysis.spell_suggest(docs(sf)),
+        # Gopher repetition filters: top n-gram token fraction +
+        # duplicated-5-gram coverage per doc
+        "q_repetition_stats": lambda sf: analysis.repetition_stats(docs(sf)),
         # hash-based train/val/test split: stable under reorder,
         # resume and extend (no doc ever migrates between splits)
         "q_split_summary": lambda sf: analysis.split_summary(docs(sf)),
@@ -1089,6 +1092,53 @@ FROM r WHERE rnk <= {k}
 """
 
 
+def _repetition_sql() -> str:
+    """Gopher-repetition oracle: per-doc most-frequent n-gram counts
+    (n=2,3,4) and distinct positions covered by >=2-occurrence
+    5-grams, mirrored with per-doc LATERAL unnests; space-joined
+    grams are injective because tokens are [a-z0-9]+."""
+
+    def top_cte(g: int) -> str:
+        return f"""
+g{g} AS (SELECT doc_id, array_to_string(ts[u.i : u.i + {g - 1}], ' ') AS gm
+         FROM base CROSS JOIN LATERAL
+              unnest(range(1, greatest(n - {g} + 2, 1))) AS u(i)),
+c{g} AS (SELECT doc_id, max(cnt) AS topc FROM
+           (SELECT doc_id, gm, count(*) AS cnt FROM g{g} GROUP BY 1, 2)
+         GROUP BY 1)"""
+
+    return f"""
+WITH base AS (SELECT doc_id, {TOK_SQL} AS ts, len({TOK_SQL}) AS n FROM documents),
+{top_cte(2)},
+{top_cte(3)},
+{top_cte(4)},
+g5 AS (SELECT doc_id, u.i AS s, array_to_string(ts[u.i : u.i + 4], ' ') AS gm
+       FROM base CROSS JOIN LATERAL
+            unnest(range(1, greatest(n - 3, 1))) AS u(i)),
+d5 AS (SELECT doc_id, gm FROM
+         (SELECT doc_id, gm, count(*) AS cnt FROM g5 GROUP BY 1, 2)
+       WHERE cnt >= 2),
+cov AS (SELECT DISTINCT g5.doc_id, g5.s + o.o AS p
+        FROM g5 JOIN d5 USING (doc_id, gm)
+        CROSS JOIN LATERAL unnest(range(0, 5)) AS o(o)),
+nc AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY 1)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN b.n = 0 THEN 0 ELSE
+    FLOOR(COALESCE(c2.topc, 0) * 2.0 / b.n * 1000000 + 0.5) END AS BIGINT) AS top2_frac_e6,
+  CAST(CASE WHEN b.n = 0 THEN 0 ELSE
+    FLOOR(COALESCE(c3.topc, 0) * 3.0 / b.n * 1000000 + 0.5) END AS BIGINT) AS top3_frac_e6,
+  CAST(CASE WHEN b.n = 0 THEN 0 ELSE
+    FLOOR(COALESCE(c4.topc, 0) * 4.0 / b.n * 1000000 + 0.5) END AS BIGINT) AS top4_frac_e6,
+  CAST(CASE WHEN b.n = 0 THEN 0 ELSE
+    FLOOR(COALESCE(nc.covered, 0) * 1.0 / b.n * 1000000 + 0.5) END AS BIGINT) AS dup5_frac_e6
+FROM base b
+LEFT JOIN c2 ON c2.doc_id = b.doc_id
+LEFT JOIN c3 ON c3.doc_id = b.doc_id
+LEFT JOIN c4 ON c4.doc_id = b.doc_id
+LEFT JOIN nc ON nc.doc_id = b.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     return {
@@ -1177,6 +1227,7 @@ SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM document
         "q_langid": _langid_sql(),
         "q_pii_scan": _pii_sql(),
         "q_spell_suggest": _spell_sql(),
+        "q_repetition_stats": _repetition_sql(),
         "q_tfidf_terms": f"""
 WITH docs AS (SELECT doc_id, text FROM documents),
 tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM docs),

@@ -663,3 +663,49 @@ def spell_suggest(
     out["rank"] = out.groupby("word").cumcount() + 1
     out = out[out["rank"] <= k]
     return out[["word", "rank", "term", "df", "dist"]].reset_index(drop=True)
+
+
+def repetition_stats(ds: ray.data.Dataset, tokenizer: str = "simple") -> ray.data.Dataset:
+    """Per-doc repetition signals (the Gopher quality-filter family,
+    Rae et al. 2021 §A1.1, token-level): the token fraction claimed by
+    the single most frequent 2-/3-/4-gram, and the fraction of token
+    positions covered by any 5-gram that occurs at least twice —
+    high values flag boilerplate/spam docs a training pipeline drops.
+    Pure per-doc map (no exchange); fixed-point *_e6 outputs."""
+    tok = _tok_fn(tokenizer)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        n_toks, tops, dup5 = [], {2: [], 3: [], 4: []}, []
+        for text in batch["text"].to_pylist():
+            ts = tok(text or "")
+            n = len(ts)
+            n_toks.append(n)
+            for g in (2, 3, 4):
+                counts: dict[tuple, int] = {}
+                for i in range(n - g + 1):
+                    gm = tuple(ts[i : i + g])
+                    counts[gm] = counts.get(gm, 0) + 1
+                top = max(counts.values()) if counts else 0
+                tops[g].append(top * g / n if n else 0.0)
+            starts: dict[tuple, list[int]] = {}
+            for i in range(n - 4):
+                starts.setdefault(tuple(ts[i : i + 5]), []).append(i)
+            covered = np.zeros(n, dtype=bool)
+            for pos in starts.values():
+                if len(pos) >= 2:
+                    for i in pos:
+                        covered[i : i + 5] = True
+            dup5.append(int(covered.sum()) / n if n else 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "top2_frac_e6": pa.array(e6(np.array(tops[2]))),
+                "top3_frac_e6": pa.array(e6(np.array(tops[3]))),
+                "top4_frac_e6": pa.array(e6(np.array(tops[4]))),
+                "dup5_frac_e6": pa.array(e6(np.array(dup5))),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -238,3 +238,21 @@ def test_spell_suggest_ranking():
     assert out["rank"].tolist() == [1, 2, 3]
     assert out["dist"].tolist() == [1, 1, 2]
     assert out["df"].tolist() == [2, 2, 1]
+
+
+def test_repetition_stats_hand_computed():
+    """'a b a b a b c': top 2-gram (a,b)x3 -> 6/7; dup-5gram coverage 0.
+    'x y z' x3: duplicated 5-grams cover every position -> 1.0."""
+    from information_retrieval_images_ray.pipelines.analysis import repetition_stats
+
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": "a b a b a b c"},
+        {"doc_id": 1, "text": "x y z x y z x y z"},
+    ])
+    out = repetition_stats(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_tokens"].tolist() == [7, 9]
+    assert out.loc[0, "top2_frac_e6"] == int(3 * 2 / 7 * 1e6 + 0.5)
+    assert out.loc[0, "top3_frac_e6"] == int(2 * 3 / 7 * 1e6 + 0.5)
+    assert out.loc[0, "top4_frac_e6"] == int(2 * 4 / 7 * 1e6 + 0.5)  # overlap can exceed 1
+    assert out.loc[0, "dup5_frac_e6"] == 0
+    assert out.loc[1, "dup5_frac_e6"] == 1_000_000
