@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher repetition filters: top n-gram token fraction +
         # duplicated-5-gram coverage per doc
         "q_repetition_stats": lambda sf: analysis.repetition_stats(docs(sf)),
+        # the actionable keep/drop: fused single-pass Gopher decision
+        "q_quality_filter": lambda sf: analysis.quality_filter(docs(sf)),
         # hash-based train/val/test split: stable under reorder,
         # resume and extend (no doc ever migrates between splits)
         "q_split_summary": lambda sf: analysis.split_summary(docs(sf)),
@@ -1139,6 +1141,56 @@ LEFT JOIN nc ON nc.doc_id = b.doc_id
 """
 
 
+def _quality_filter_sql() -> str:
+    """Gopher keep/drop oracle: every threshold is an integer-scaled
+    comparison (no float boundary), flags computed in an inner select,
+    keep = conjunction in the outer one."""
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    from information_retrieval_images_ray.pipelines.analysis import (
+        QF_MAX_TOKENS,
+        QF_MIN_TOKENS,
+    )
+
+    return f"""
+WITH base AS (SELECT doc_id, {TOK_SQL} AS ts, len({TOK_SQL}) AS n FROM documents),
+tokc AS (SELECT doc_id, sum(length(tok)) AS sum_len,
+                sum(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop
+         FROM (SELECT doc_id, unnest(ts) AS tok FROM base) GROUP BY doc_id),
+g2 AS (SELECT doc_id, array_to_string(ts[u.i : u.i + 1], ' ') AS gm
+       FROM base CROSS JOIN LATERAL unnest(range(1, greatest(n, 1))) AS u(i)),
+c2 AS (SELECT doc_id, max(cnt) AS top2 FROM
+         (SELECT doc_id, gm, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY 1),
+g5 AS (SELECT doc_id, u.i AS s, array_to_string(ts[u.i : u.i + 4], ' ') AS gm
+       FROM base CROSS JOIN LATERAL unnest(range(1, greatest(n - 3, 1))) AS u(i)),
+d5 AS (SELECT doc_id, gm FROM
+         (SELECT doc_id, gm, count(*) AS cnt FROM g5 GROUP BY 1, 2) WHERE cnt >= 2),
+cov AS (SELECT DISTINCT g5.doc_id, g5.s + o.o AS p
+        FROM g5 JOIN d5 USING (doc_id, gm)
+        CROSS JOIN LATERAL unnest(range(0, 5)) AS o(o)),
+nc AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY 1),
+flags AS (SELECT b.doc_id, b.n,
+  CASE WHEN b.n BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS} THEN 1 ELSE 0 END AS pass_len,
+  CASE WHEN 3 * b.n <= COALESCE(tc.sum_len, 0)
+        AND COALESCE(tc.sum_len, 0) <= 10 * b.n THEN 1 ELSE 0 END AS pass_wordlen,
+  CASE WHEN 100 * COALESCE(tc.n_stop, 0) >= 2 * b.n THEN 1 ELSE 0 END AS pass_stop,
+  CASE WHEN 10 * COALESCE(c2.top2, 0) <= b.n THEN 1 ELSE 0 END AS pass_top2,
+  CASE WHEN 10 * COALESCE(nc.covered, 0) <= 3 * b.n THEN 1 ELSE 0 END AS pass_dup5
+  FROM base b
+  LEFT JOIN tokc tc ON tc.doc_id = b.doc_id
+  LEFT JOIN c2 ON c2.doc_id = b.doc_id
+  LEFT JOIN nc ON nc.doc_id = b.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(pass_len AS BIGINT) AS pass_len,
+       CAST(pass_wordlen AS BIGINT) AS pass_wordlen,
+       CAST(pass_stop AS BIGINT) AS pass_stop,
+       CAST(pass_top2 AS BIGINT) AS pass_top2,
+       CAST(pass_dup5 AS BIGINT) AS pass_dup5,
+       CAST(pass_len * pass_wordlen * pass_stop * pass_top2 * pass_dup5
+            AS BIGINT) AS keep
+FROM flags
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     return {
@@ -1228,6 +1280,7 @@ SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM document
         "q_pii_scan": _pii_sql(),
         "q_spell_suggest": _spell_sql(),
         "q_repetition_stats": _repetition_sql(),
+        "q_quality_filter": _quality_filter_sql(),
         "q_tfidf_terms": f"""
 WITH docs AS (SELECT doc_id, text FROM documents),
 tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM docs),

@@ -709,3 +709,66 @@ def repetition_stats(ds: ray.data.Dataset, tokenizer: str = "simple") -> ray.dat
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# Gopher-rule thresholds for quality_filter, expressed as exact integer
+# comparisons (no float boundaries to disagree on with the SQL oracle):
+#   length:    MIN_TOKENS <= n <= MAX_TOKENS
+#   word len:  3*n <= sum(len(tok)) <= 10*n        (mean in [3, 10])
+#   stopwords: 100*n_stop >= 2*n                   (ratio >= 0.02)
+#   top2gram:  10*top2_count <= n                  (2*top2/n <= 0.2)
+#   dup5gram:  10*covered <= 3*n                   (coverage <= 0.3)
+QF_MIN_TOKENS, QF_MAX_TOKENS = 10, 100_000
+
+
+def quality_filter(ds: ray.data.Dataset, tokenizer: str = "simple") -> ray.data.Dataset:
+    """The actionable keep/drop decision of the Gopher quality rules
+    (Rae et al. 2021 §A1.1): per doc, five pass/fail flags plus the
+    conjunction ``keep``. All comparisons are integer-exact (scaled to
+    avoid division) so the SQL oracle matches bit-for-bit. ONE per-doc
+    map pass computes every signal (token stats, stopword count, top
+    2-gram count, duplicated-5-gram coverage) — the fused form of
+    quality_scores + repetition_stats for the filter path, so the drop
+    stage of a training pipeline costs a single corpus read."""
+    tok = _tok_fn(tokenizer)
+    stops = frozenset(EN_STOPWORDS)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in
+                ("n_tokens", "pass_len", "pass_wordlen", "pass_stop",
+                 "pass_top2", "pass_dup5", "keep")}
+        for text in batch["text"].to_pylist():
+            ts = tok(text or "")
+            n = len(ts)
+            sum_len = sum(len(t) for t in ts)
+            n_stop = sum(1 for t in ts if t in stops)
+            c2: dict[tuple, int] = {}
+            for i in range(n - 1):
+                gm = (ts[i], ts[i + 1])
+                c2[gm] = c2.get(gm, 0) + 1
+            top2 = max(c2.values()) if c2 else 0
+            starts: dict[tuple, list[int]] = {}
+            for i in range(n - 4):
+                starts.setdefault(tuple(ts[i : i + 5]), []).append(i)
+            covered = np.zeros(n, dtype=bool)
+            for pos in starts.values():
+                if len(pos) >= 2:
+                    for i in pos:
+                        covered[i : i + 5] = True
+            ncov = int(covered.sum())
+            p_len = int(QF_MIN_TOKENS <= n <= QF_MAX_TOKENS)
+            p_wl = int(3 * n <= sum_len <= 10 * n)
+            p_st = int(100 * n_stop >= 2 * n)
+            p_t2 = int(10 * top2 <= n)
+            p_d5 = int(10 * ncov <= 3 * n)
+            for k, v in (("n_tokens", n), ("pass_len", p_len),
+                         ("pass_wordlen", p_wl), ("pass_stop", p_st),
+                         ("pass_top2", p_t2), ("pass_dup5", p_d5),
+                         ("keep", p_len & p_wl & p_st & p_t2 & p_d5)):
+                cols[k].append(v)
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             **{k: pa.array(v, pa.int64()) for k, v in cols.items()}}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -256,3 +256,27 @@ def test_repetition_stats_hand_computed():
     assert out.loc[0, "top4_frac_e6"] == int(2 * 4 / 7 * 1e6 + 0.5)  # overlap can exceed 1
     assert out.loc[0, "dup5_frac_e6"] == 0
     assert out.loc[1, "dup5_frac_e6"] == 1_000_000
+
+
+def test_quality_filter_rules():
+    """Each rule trips on its own planted doc; a normal doc keeps."""
+    from information_retrieval_images_ray.pipelines.analysis import quality_filter
+
+    good = "the quick brown fox jumps over the lazy dog near the old stone wall"
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": good},                          # keeps
+        {"doc_id": 1, "text": "too short"},                   # fails len (<10)
+        {"doc_id": 2, "text": "the aa " * 10},                # fails wordlen (mean < 3)
+        {"doc_id": 3, "text": "alpha bravo charlie delta echo foxtrot golf "
+                               "hotel india juliet kilo"},    # fails stopword (0 stops)
+        {"doc_id": 4, "text": "the spam spam " + good},       # top2 'spam spam'? no — 1 occurrence
+        {"doc_id": 5, "text": ("the fox " * 12)},             # fails top2 (12 > 24/10)
+        {"doc_id": 6, "text": "the " + "a b c d e f g h " * 4},  # dup5 coverage high
+    ])
+    out = quality_filter(docs).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "keep"] == 1
+    assert out.loc[1, "pass_len"] == 0 and out.loc[1, "keep"] == 0
+    assert out.loc[2, "pass_wordlen"] == 0
+    assert out.loc[3, "pass_stop"] == 0
+    assert out.loc[5, "pass_top2"] == 0
+    assert out.loc[6, "pass_dup5"] == 0 and out.loc[6, "keep"] == 0
