@@ -267,6 +267,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition_stats": lambda sf: analysis.repetition_stats(docs(sf)),
         # the actionable keep/drop: fused single-pass Gopher decision
         "q_quality_filter": lambda sf: analysis.quality_filter(docs(sf)),
+        # domain mixing: hash-deterministic per-source downsampling
+        "q_source_mix": lambda sf: analysis.source_mix(
+            ray.data.read_parquet(
+                f"{sf}/documents.parquet", columns=["doc_id", "source"]
+            )
+        ),
         # hash-based train/val/test split: stable under reorder,
         # resume and extend (no doc ever migrates between splits)
         "q_split_summary": lambda sf: analysis.split_summary(docs(sf)),
@@ -1281,6 +1287,18 @@ SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM document
         "q_spell_suggest": _spell_sql(),
         "q_repetition_stats": _repetition_sql(),
         "q_quality_filter": _quality_filter_sql(),
+        # md5-prefix UBIGINT mirrors functions.hashing.md5_u64 exactly
+        "q_source_mix": """
+WITH h AS (SELECT source,
+       CAST(concat('0x', substr(md5(source), 1, 16)) AS UBIGINT) % 9 AS rb,
+       CAST(concat('0x', substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 16))
+            AS UBIGINT) % 1000000 AS db
+       FROM documents)
+SELECT source, CAST(100000 * (1 + rb) AS BIGINT) AS rate_ppm,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN db < 100000 * (1 + rb) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM h GROUP BY source, rb
+""",
         "q_tfidf_terms": f"""
 WITH docs AS (SELECT doc_id, text FROM documents),
 tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM docs),

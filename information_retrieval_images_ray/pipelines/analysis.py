@@ -772,3 +772,49 @@ def quality_filter(ds: ray.data.Dataset, tokenizer: str = "simple") -> ray.data.
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def source_mix(ds: ray.data.Dataset) -> pd.DataFrame:
+    """Domain-mixing summary: deterministic hash-based downsampling of
+    each source to its target rate — the data-mixing step that rebalances
+    domains before training. A doc survives iff
+    ``md5('source:doc_id') % 1e6 < rate_ppm(source)`` where the target
+    ``rate_ppm = 100000 * (1 + md5(source) % 9)`` (a stable 0.1–0.9
+    rate per source, scale-agnostic: no config table to ship). Like
+    split_summary the decision is pure hash — stable under reorder,
+    resume and extend, never re-sampling a doc the way seeded shuffles
+    do. Combiner partials per batch, one (source) exchange; returns
+    (source, rate_ppm, n_docs, n_sampled) sorted by source."""
+    from ..functions.hashing import md5_u64
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts: dict[str, list[int]] = {}
+        for did, src in zip(
+            batch["doc_id"].to_pylist(), batch["source"].to_pylist()
+        ):
+            rate_ppm = 100_000 * (1 + md5_u64(src) % 9)
+            keep = md5_u64(f"{src}:{did}") % 1_000_000 < rate_ppm
+            agg = counts.setdefault(src, [0, 0])
+            agg[0] += 1
+            agg[1] += int(keep)
+        keys = sorted(counts)
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                "nd": pa.array([counts[k][0] for k in keys], pa.int64()),
+                "ns": pa.array([counts[k][1] for k in keys], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("nd", alias_name="n_docs"), Sum("ns", alias_name="n_sampled"))
+        .to_pandas()
+    )
+    out["rate_ppm"] = [100_000 * (1 + md5_u64(s) % 9) for s in out["source"]]
+    return (
+        out[["source", "rate_ppm", "n_docs", "n_sampled"]]
+        .sort_values("source").reset_index(drop=True)
+        .astype({"rate_ppm": "int64", "n_docs": "int64", "n_sampled": "int64"})
+    )

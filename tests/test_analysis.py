@@ -280,3 +280,22 @@ def test_quality_filter_rules():
     assert out.loc[3, "pass_stop"] == 0
     assert out.loc[5, "pass_top2"] == 0
     assert out.loc[6, "pass_dup5"] == 0 and out.loc[6, "keep"] == 0
+
+
+def test_source_mix_deterministic_and_rate_bounded():
+    """Sampling is a pure function of (source, doc_id): same result on
+    reordered input; realized rate tracks the target at n=2000."""
+    from information_retrieval_images_ray.functions.hashing import md5_u64
+    from information_retrieval_images_ray.pipelines.analysis import source_mix
+
+    rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(2000)]
+    a = source_mix(ray.data.from_items(rows))
+    b = source_mix(ray.data.from_items(list(reversed(rows))))
+    assert a.equals(b)
+    for _, r in a.iterrows():
+        assert r["rate_ppm"] == 100_000 * (1 + md5_u64(r["source"]) % 9)
+        # binomial(667, p): realized within ~6 sigma of target
+        import math
+        p = r["rate_ppm"] / 1e6
+        sigma = math.sqrt(r["n_docs"] * p * (1 - p))
+        assert abs(r["n_sampled"] - r["n_docs"] * p) < 6 * sigma + 1
