@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dictionary, OR-scored with per-expansion idf
         "q_prefix_search": lambda sf: flagship.run_prefix_queries(sf, k=10),
         "q_fuzzy_search": lambda sf: flagship.run_fuzzy_queries(sf, k=10),
+        "q_synonym_search": lambda sf: flagship.run_synonym_queries(sf, k=10),
         # faceted search: full-match-set distribution over docmeta
         # columns (lang, source) per battery query, computed through
         # the SHARDED service (per-actor bincount partials, router sum)
@@ -1147,6 +1148,33 @@ LEFT JOIN nc ON nc.doc_id = b.doc_id
 """
 
 
+def _synonym_sql(k: int = 10) -> str:
+    """Synonym oracle: the expanded (qid, term) sets are corpus-free
+    (frozen SYNONYMS map, one hop), so they inline as VALUES;
+    out-of-vocabulary expansions drop out of the tf/df joins, then the
+    shared OR-of-terms BM25 tail scores and ranks."""
+    from information_retrieval_images_ray.functions.tokenizer import tokenize_simple
+    from information_retrieval_images_ray.pipelines.flagship import (
+        SYNONYM_QUERIES,
+        SYNONYMS,
+    )
+
+    vals = []
+    for q in SYNONYM_QUERIES:
+        toks = tokenize_simple(q["query"])
+        terms = sorted(set(toks) | {s for t in toks for s in SYNONYMS.get(t, ())})
+        vals.extend(f"({q['qid']}, '{t}')" for t in terms)
+    return f"""
+WITH sq(qid, term) AS (VALUES {", ".join(vals)}),
+{_FT_BASE_CTE},
+{_FT_SCORE_TAIL},
+ranked AS (SELECT qid, doc_id, score,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+           FROM scored)
+{_ft_select(k)}
+"""
+
+
 def _quality_filter_sql() -> str:
     """Gopher keep/drop oracle: every threshold is an integer-scaled
     comparison (no float boundary), flags computed in an inner select,
@@ -1225,6 +1253,7 @@ SELECT min(doc_id) AS doc_id, text FROM (
         "q_boolean_search": _boolean_sql(),
         "q_prefix_search": _prefix_sql(),
         "q_fuzzy_search": _fuzzy_sql(),
+        "q_synonym_search": _synonym_sql(),
         "q_faceted_search": _facet_sql(),
         "q_more_like_this": _mlt_sql(k=10),
         "q_snippets": _snippet_sql(k=5, window=8),

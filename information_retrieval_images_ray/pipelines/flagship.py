@@ -361,6 +361,28 @@ FUZZY_QUERIES = [
 FUZZY_MAX_EDITS = 1
 FUZZY_MAX_EXPANSIONS = 8
 
+# Frozen query-time synonym map (one-directional: a query term pulls
+# in its expansions; expansions never chain). Mostly vocabulary words
+# so the OR-set really widens; 'rapid'/'huge' are deliberate
+# out-of-vocabulary expansions (df=0 terms must score nothing).
+SYNONYMS = {
+    "fast": ("quick", "rapid"),
+    "quick": ("fast",),
+    "merge": ("join",),
+    "table": ("row", "column"),
+    "stream": ("batch",),
+    "big": ("large", "huge"),
+    "small": ("big",),
+}
+SYNONYM_QUERIES = [
+    {"qid": 1, "query": "fast merge"},
+    {"qid": 2, "query": "slow scan"},       # no synonyms at all
+    {"qid": 3, "query": "big table stream"},
+    {"qid": 4, "query": "window merge"},
+    {"qid": 5, "query": "quick zebra"},      # no-hit term + mapped term
+    {"qid": 6, "query": "small sort"},
+]
+
 
 class _ClauseScorer:
     """Actor-pool callable for the clause/expansion batteries — same
@@ -386,6 +408,8 @@ class _ClauseScorer:
                 hits = r.search_prefix(
                     row["prefix"], k=self.k,
                     max_expansions=PREFIX_MAX_EXPANSIONS)
+            elif self.mode == "synonym":
+                hits = r.search_synonym(row["query"], k=self.k)
             else:
                 hits = r.search_fuzzy(
                     row["word"], k=self.k, max_edits=FUZZY_MAX_EDITS,
@@ -439,6 +463,14 @@ def run_prefix_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
 def run_fuzzy_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Fuzzy (edit-distance-1) battery (see FUZZY_QUERIES)."""
     return _run_clause_battery(sf_dir, FUZZY_QUERIES, k, "fuzzy")
+
+
+def run_synonym_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Query-time synonym expansion battery: every query term pulls in
+    its SYNONYMS expansions (one hop, no chaining), the widened set is
+    OR-scored with per-term idf — the SynonymGraphFilter-at-query-time
+    contract. Out-of-vocabulary expansions contribute nothing."""
+    return _run_clause_battery(sf_dir, SYNONYM_QUERIES, k, "synonym")
 
 
 def run_facet_queries(

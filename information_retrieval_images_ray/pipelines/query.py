@@ -919,6 +919,24 @@ class IndexReader:
         terms = self.expand_fuzzy(toks[0], max_edits, prefix_len, max_expansions)
         return self.search_or_terms(terms, k, doc_filter) if terms else []
 
+    def search_synonym(
+        self, query: str, k: int = 10, doc_filter=None,
+        weights: dict[str, float] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Query-time synonym expansion (frozen ``flagship.SYNONYMS``
+        map, one hop — expansions never chain): widen the tokenized
+        query with each term's synonyms, OR-score the set with
+        per-term idf. Out-of-vocabulary expansions have no postings
+        and contribute nothing — the SynonymGraphFilter-at-query-time
+        contract."""
+        from .flagship import SYNONYMS
+
+        toks = self.tokenize(query)
+        if not toks:
+            return []
+        terms = sorted(set(toks) | {s for t in toks for s in SYNONYMS.get(t, ())})
+        return self.search_or_terms(terms, k, doc_filter, weights=weights)
+
     # -- block-max WAND (vectorized block-at-a-time variant) ------------------
     def search_bmw(
         self, query: str, k: int = 10, weights: dict[str, float] | None = None,

@@ -310,6 +310,33 @@ class ShardedQueryService:
         ])
         return self._merge(queries, parts, k)
 
+    def topk_synonym(self, queries: list[dict], k: int = 10,
+                     doc_filter=None) -> list[dict]:
+        """queries: [{"qid", "query"}] — query-time synonym expansion.
+        The expansion is corpus-free (frozen flagship.SYNONYMS map,
+        one hop) so it happens on the router — no expansion exchange;
+        then the usual df exchange + scatter-gather OR scoring,
+        rank-identical to the serial ``search_synonym``."""
+        from .flagship import SYNONYMS
+
+        expansions = []
+        for q in queries:
+            toks = self._tok(q["query"])
+            expansions.append(
+                sorted(set(toks) | {s for t in toks for s in SYNONYMS.get(t, ())})
+                if toks else []
+            )
+        scored = [
+            {"qid": q["qid"], "terms": ts}
+            for q, ts in zip(queries, expansions)
+        ]
+        weights = self._weights_for(expansions)
+        parts = ray.get([
+            a.search_or_terms.remote(scored, k, weights, doc_filter)
+            for a in self.actors
+        ])
+        return self._merge(queries, parts, k)
+
     def topk_more_like_this(
         self, queries: list[dict], k: int = 10, max_terms: int = 8,
         doc_filter=None,

@@ -281,6 +281,9 @@ class IndexHTTPServer:
                 max_expansions=int(params.get("max_expansions", 64)),
                 doc_filter=doc_filter,
             )
+        elif mode == "synonym":
+            hits = svc.topk_synonym([{"qid": 0, "query": query}], k=k,
+                                    doc_filter=doc_filter)
         elif mode == "more_like_this":
             hits = svc.topk_more_like_this([{
                 "qid": 0, "text": query,
@@ -298,7 +301,7 @@ class IndexHTTPServer:
         else:
             raise ValueError(
                 f"unknown mode {mode!r}: expected bm25|boolean|prefix|"
-                "fuzzy|more_like_this|phrase|proximity"
+                "fuzzy|synonym|more_like_this|phrase|proximity"
             )
         rows = [
             {"rank": h["rank"], "doc_id": int(h["doc_id"]), "score": h["score"]}

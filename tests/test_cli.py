@@ -163,6 +163,13 @@ def test_query_modes(cli_index, capsys):
     hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [(h["doc_id"], h["score"]) for h in hits] == reader.search_fuzzy("getx", 5)
 
+    rc = main(["query", "get merge", "--index", cli_index, "-k", "5",
+               "--mode", "synonym"])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [(h["doc_id"], h["score"]) for h in hits] == \
+        reader.search_synonym("get merge", 5)
+
     rc = main(["query", "ignored", "--index", cli_index, "-k", "5",
                "--mode", "boolean", "--must", "get", "--must-not", "sort"])
     assert rc == 0

@@ -458,6 +458,12 @@ def test_search_mode_multiplexing(server):
     want = reader.search_fuzzy("alphq", 5)
     assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
 
+    _, hits = _req(srv.port, "/search", {
+        "mode": "synonym", "query": "fast alpha", "limit": 5,
+    })
+    want = reader.search_synonym("fast alpha", 5)
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+
     reader_texts = reader  # keep name for clarity below
 
     # more-like-this: source text in, anchor excluded, identical to the

@@ -137,6 +137,16 @@ def test_sharded_boolean_prefix_fuzzy_rank_identical(served_index, num_actors):
             want = reader.search_fuzzy(q["word"], 10, max_edits=1,
                                        prefix_len=1, max_expansions=16)
             assert mine == want, ("fuzzy", q)
+
+        # synonym expansion is corpus-free (frozen map) — the router
+        # expands, the df exchange covers OOV expansions with df=0
+        sqs = [{"qid": 0, "query": "fast merge"}, {"qid": 1, "query": "get user"},
+               {"qid": 2, "query": "zzz_nohit"}]
+        got = svc.topk_synonym(sqs, k=10)
+        for q in sqs:
+            mine = [(r["doc_id"], r["score"]) for r in got if r["qid"] == q["qid"]]
+            want = reader.search_synonym(q["query"], 10)
+            assert mine == want, ("synonym", q)
     finally:
         svc.shutdown()
 
