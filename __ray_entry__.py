@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_prefix_search": lambda sf: flagship.run_prefix_queries(sf, k=10),
         "q_fuzzy_search": lambda sf: flagship.run_fuzzy_queries(sf, k=10),
         "q_synonym_search": lambda sf: flagship.run_synonym_queries(sf, k=10),
+        "q_wildcard_search": lambda sf: flagship.run_wildcard_queries(sf, k=10),
         # faceted search: full-match-set distribution over docmeta
         # columns (lang, source) per battery query, computed through
         # the SHARDED service (per-actor bincount partials, router sum)
@@ -1148,6 +1149,37 @@ LEFT JOIN nc ON nc.doc_id = b.doc_id
 """
 
 
+def _wildcard_sql(k: int = 10) -> str:
+    """Wildcard oracle: expansions = distinct corpus terms LIKE the
+    pattern with ``*`` -> ``%`` (patterns are [a-z0-9*], so no LIKE
+    metachar escaping needed), lexicographically-first
+    max_expansions per qid (the reader's deterministic cap), then the
+    shared OR-of-terms BM25 tail."""
+    from information_retrieval_images_ray.pipelines.flagship import (
+        WILDCARD_MAX_EXPANSIONS,
+        WILDCARD_QUERIES,
+    )
+
+    vals = ", ".join(
+        f"({q['qid']}, '{q['pattern'].replace('*', '%')}')"
+        for q in WILDCARD_QUERIES
+    )
+    return f"""
+WITH wq(qid, pat) AS (VALUES {vals}),
+{_FT_BASE_CTE},
+sq AS (SELECT qid, term FROM (
+         SELECT w.qid, d.term,
+                row_number() OVER (PARTITION BY w.qid ORDER BY d.term) AS rn
+         FROM wq w JOIN df d ON d.term LIKE w.pat)
+       WHERE rn <= {WILDCARD_MAX_EXPANSIONS}),
+{_FT_SCORE_TAIL},
+ranked AS (SELECT qid, doc_id, score,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+           FROM scored)
+{_ft_select(k)}
+"""
+
+
 def _synonym_sql(k: int = 10) -> str:
     """Synonym oracle: the expanded (qid, term) sets are corpus-free
     (frozen SYNONYMS map, one hop), so they inline as VALUES;
@@ -1254,6 +1286,7 @@ SELECT min(doc_id) AS doc_id, text FROM (
         "q_prefix_search": _prefix_sql(),
         "q_fuzzy_search": _fuzzy_sql(),
         "q_synonym_search": _synonym_sql(),
+        "q_wildcard_search": _wildcard_sql(),
         "q_faceted_search": _facet_sql(),
         "q_more_like_this": _mlt_sql(k=10),
         "q_snippets": _snippet_sql(k=5, window=8),

@@ -190,6 +190,11 @@ def cmd_query(args) -> int:
             args.query, args.k, max_edits=args.max_edits,
             max_expansions=args.max_expansions, doc_filter=doc_filter,
         )
+    elif mode == "wildcard":
+        hits = reader.search_wildcard(
+            args.query, args.k, max_expansions=args.max_expansions,
+            doc_filter=doc_filter,
+        )
     elif mode == "synonym":
         hits = reader.search_synonym(args.query, args.k, doc_filter=doc_filter)
     elif mode == "more_like_this":
@@ -397,7 +402,7 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--algo", default="bmw", choices=["bmw", "taat"])
     q.add_argument("--mode", default="bm25",
-                   choices=["bm25", "boolean", "prefix", "fuzzy", "synonym",
+                   choices=["bm25", "boolean", "prefix", "fuzzy", "wildcard", "synonym",
                             "more_like_this", "phrase", "proximity"])
     q.add_argument("--must", default="", help="boolean mode: AND terms")
     q.add_argument("--should", default="", help="boolean mode: OR terms")

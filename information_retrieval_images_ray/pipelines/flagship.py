@@ -374,6 +374,18 @@ SYNONYMS = {
     "big": ("large", "huge"),
     "small": ("big",),
 }
+# Frozen wildcard battery: prefix-ish, suffix (leading-* -> per-shard
+# dictionary scan path), infix, contains, no-hit and exact (no star).
+WILDCARD_QUERIES = [
+    {"qid": 1, "pattern": "s*"},
+    {"qid": 2, "pattern": "*er"},
+    {"qid": 3, "pattern": "st*am"},
+    {"qid": 4, "pattern": "*a*"},
+    {"qid": 5, "pattern": "zz*qq"},
+    {"qid": 6, "pattern": "sort"},
+]
+WILDCARD_MAX_EXPANSIONS = 8
+
 SYNONYM_QUERIES = [
     {"qid": 1, "query": "fast merge"},
     {"qid": 2, "query": "slow scan"},       # no synonyms at all
@@ -410,6 +422,10 @@ class _ClauseScorer:
                     max_expansions=PREFIX_MAX_EXPANSIONS)
             elif self.mode == "synonym":
                 hits = r.search_synonym(row["query"], k=self.k)
+            elif self.mode == "wildcard":
+                hits = r.search_wildcard(
+                    row["pattern"], k=self.k,
+                    max_expansions=WILDCARD_MAX_EXPANSIONS)
             else:
                 hits = r.search_fuzzy(
                     row["word"], k=self.k, max_edits=FUZZY_MAX_EDITS,
@@ -463,6 +479,13 @@ def run_prefix_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
 def run_fuzzy_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Fuzzy (edit-distance-1) battery (see FUZZY_QUERIES)."""
     return _run_clause_battery(sf_dir, FUZZY_QUERIES, k, "fuzzy")
+
+
+def run_wildcard_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Wildcard battery (see WILDCARD_QUERIES): dictionary expansion
+    via prefix-range scan + anchored regex tail (leading-* falls back
+    to a dictionary scan — the reversed-dictionary seam), OR-scored."""
+    return _run_clause_battery(sf_dir, WILDCARD_QUERIES, k, "wildcard")
 
 
 def run_synonym_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:

@@ -859,6 +859,64 @@ class IndexReader:
         terms = self.expand_prefix(toks[0], max_expansions)
         return self.search_or_terms(terms, k, doc_filter) if terms else []
 
+    def expand_wildcard(
+        self, pattern: str, max_expansions: int = 64,
+    ) -> list[str]:
+        """Dictionary terms matching a ``*``-wildcard pattern (the
+        Lucene WildcardQuery shape: ``foo*``, ``*bar``, ``fo*ar``,
+        ``*mid*``). The literal prefix before the first ``*`` prunes to
+        one contiguous dictionary range (binary search, as in
+        expand_prefix); the full pattern is then checked with one
+        compiled anchored regex. A leading ``*`` degrades to a per-shard
+        dictionary scan — at web scale that variant wants a
+        reversed-term dictionary sidecar (the standard trick); the scan
+        form here is exact and the seam is this method. Sorted + capped
+        like expand_prefix (mirrored by the oracle's ORDER BY/LIMIT)."""
+        import re as _re
+
+        pattern = pattern.lower()
+        pfx = pattern.split("*", 1)[0]
+        rx = _re.compile(
+            ".*".join(_re.escape(p) for p in pattern.split("*")) + r"\Z")
+        out: set[str] = set()
+        for sh in self.shards:
+            if sh is None or sh._terms is None:
+                continue
+            arr = sh._terms
+            if pfx:
+                lo, hi = 0, len(arr)
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    if arr[mid].as_py() < pfx:
+                        lo = mid + 1
+                    else:
+                        hi = mid
+                j = lo
+                while j < len(arr):
+                    v = arr[j].as_py()
+                    if not v.startswith(pfx):
+                        break
+                    if rx.match(v):
+                        out.add(v)
+                    j += 1
+            else:
+                for j in range(len(arr)):
+                    v = arr[j].as_py()
+                    if rx.match(v):
+                        out.add(v)
+        return sorted(out)[:max_expansions]
+
+    def search_wildcard(
+        self, pattern: str, k: int = 10, max_expansions: int = 64,
+        doc_filter=None,
+    ) -> list[tuple[int, float]]:
+        """Wildcard retrieval: expand the pattern against the term
+        dictionary, OR-score the expansions with per-term idf (same
+        scoring tail as prefix/fuzzy). The pattern is lowercased, NOT
+        tokenized (the tokenizer would split on ``*``)."""
+        terms = self.expand_wildcard(pattern, max_expansions)
+        return self.search_or_terms(terms, k, doc_filter) if terms else []
+
     def expand_fuzzy(
         self, word: str, max_edits: int = 1, prefix_len: int = 1,
         max_expansions: int = 64,

@@ -78,11 +78,14 @@ class ShardQueryActor:
         """All of a battery's expansion requests in ONE round trip
         (the per-(query, actor) RPC form capped prefix/fuzzy battery
         throughput). specs: [("prefix", prefix, cap) |
+        ("wildcard", pattern, cap) |
         ("fuzzy", (word, max_edits, prefix_len), cap), ...]."""
         out = []
         for kind, arg, cap in specs:
             if kind == "prefix":
                 out.append(self.reader.expand_prefix(arg, cap))
+            elif kind == "wildcard":
+                out.append(self.reader.expand_wildcard(arg, cap))
             else:
                 w, me, pl = arg
                 out.append(self.reader.expand_fuzzy(w, me, pl, cap))
@@ -299,6 +302,30 @@ class ShardedQueryService:
             max_expansions,
         )
         expansions = [ts if w else [] for w, ts in zip(norm, expansions)]
+        scored = [
+            {"qid": q["qid"], "terms": ts}
+            for q, ts in zip(queries, expansions)
+        ]
+        weights = self._weights_for(expansions)
+        parts = ray.get([
+            a.search_or_terms.remote(scored, k, weights, doc_filter)
+            for a in self.actors
+        ])
+        return self._merge(queries, parts, k)
+
+    def topk_wildcard(self, queries: list[dict], k: int = 10,
+                      max_expansions: int = 64, doc_filter=None) -> list[dict]:
+        """queries: [{"qid", "pattern"}] — wildcard analogue of
+        topk_prefix: per-actor dictionary expansion (a term in the
+        global lexicographically-first N is in its own actor's first N,
+        so per-actor caps lose nothing), router union + cap, then the
+        df exchange + scatter-gather OR scoring."""
+        pats = [str(q["pattern"]).lower() for q in queries]
+        expansions = self._expand(
+            [("wildcard", p, max_expansions) for p in pats],
+            max_expansions,
+        )
+        expansions = [ts if p else [] for p, ts in zip(pats, expansions)]
         scored = [
             {"qid": q["qid"], "terms": ts}
             for q, ts in zip(queries, expansions)

@@ -281,6 +281,12 @@ class IndexHTTPServer:
                 max_expansions=int(params.get("max_expansions", 64)),
                 doc_filter=doc_filter,
             )
+        elif mode == "wildcard":
+            hits = svc.topk_wildcard(
+                [{"qid": 0, "pattern": query}], k=k,
+                max_expansions=int(params.get("max_expansions", 64)),
+                doc_filter=doc_filter,
+            )
         elif mode == "synonym":
             hits = svc.topk_synonym([{"qid": 0, "query": query}], k=k,
                                     doc_filter=doc_filter)
@@ -301,7 +307,7 @@ class IndexHTTPServer:
         else:
             raise ValueError(
                 f"unknown mode {mode!r}: expected bm25|boolean|prefix|"
-                "fuzzy|synonym|more_like_this|phrase|proximity"
+                "fuzzy|wildcard|synonym|more_like_this|phrase|proximity"
             )
         rows = [
             {"rank": h["rank"], "doc_id": int(h["doc_id"]), "score": h["score"]}

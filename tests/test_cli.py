@@ -163,6 +163,13 @@ def test_query_modes(cli_index, capsys):
     hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [(h["doc_id"], h["score"]) for h in hits] == reader.search_fuzzy("getx", 5)
 
+    rc = main(["query", "g*t", "--index", cli_index, "-k", "5",
+               "--mode", "wildcard", "--max-expansions", "8"])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [(h["doc_id"], h["score"]) for h in hits] == \
+        reader.search_wildcard("g*t", 5, max_expansions=8) and hits
+
     rc = main(["query", "get merge", "--index", cli_index, "-k", "5",
                "--mode", "synonym"])
     assert rc == 0

@@ -459,6 +459,12 @@ def test_search_mode_multiplexing(server):
     assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
 
     _, hits = _req(srv.port, "/search", {
+        "mode": "wildcard", "query": "alp*a", "limit": 5,
+    })
+    want = reader.search_wildcard("alp*a", 5)
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+
+    _, hits = _req(srv.port, "/search", {
         "mode": "synonym", "query": "fast alpha", "limit": 5,
     })
     want = reader.search_synonym("fast alpha", 5)

@@ -147,6 +147,16 @@ def test_sharded_boolean_prefix_fuzzy_rank_identical(served_index, num_actors):
             mine = [(r["doc_id"], r["score"]) for r in got if r["qid"] == q["qid"]]
             want = reader.search_synonym(q["query"], 10)
             assert mine == want, ("synonym", q)
+
+        # wildcard: prefix-range, suffix (dictionary-scan path), infix,
+        # no-hit — per-actor expansion caps compose like prefix
+        wqs = [{"qid": 0, "pattern": "ge*"}, {"qid": 1, "pattern": "*er"},
+               {"qid": 2, "pattern": "g*t"}, {"qid": 3, "pattern": "zz*q"}]
+        got = svc.topk_wildcard(wqs, k=10, max_expansions=8)
+        for q in wqs:
+            mine = [(r["doc_id"], r["score"]) for r in got if r["qid"] == q["qid"]]
+            want = reader.search_wildcard(q["pattern"], 10, max_expansions=8)
+            assert mine == want, ("wildcard", q)
     finally:
         svc.shutdown()
 
