@@ -269,6 +269,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition_stats": lambda sf: analysis.repetition_stats(docs(sf)),
         # the actionable keep/drop: fused single-pass Gopher decision
         "q_quality_filter": lambda sf: analysis.quality_filter(docs(sf)),
+        # deterministic global shuffle: seeded-hash training order,
+        # stable under cluster shape / partitioning / resume
+        "q_train_order": lambda sf: analysis.train_order(
+            ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"]),
+            seed=17,
+        ),
         # domain mixing: hash-deterministic per-source downsampling
         "q_source_mix": lambda sf: analysis.source_mix(
             ray.data.read_parquet(
@@ -1349,6 +1355,15 @@ SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM document
         "q_spell_suggest": _spell_sql(),
         "q_repetition_stats": _repetition_sql(),
         "q_quality_filter": _quality_filter_sql(),
+        "q_train_order": """
+WITH k AS (SELECT doc_id,
+       CAST(concat('0x', substr(md5(concat('17:', CAST(doc_id AS VARCHAR))), 1, 16))
+            AS UBIGINT) AS key
+       FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+FROM k
+""",
         # md5-prefix UBIGINT mirrors functions.hashing.md5_u64 exactly
         "q_source_mix": """
 WITH h AS (SELECT source,

@@ -202,6 +202,12 @@ def bench_code_corpus(num_cpus: int, n_docs: int) -> dict:
         "more_like_this": lambda: svc.topk_more_like_this(
             [{"qid": q["qid"], "text": q["query"]} for q in mq],
             k=10, max_terms=4),
+        "wildcard": lambda: svc.topk_wildcard(
+            [{"qid": q["qid"],
+              "pattern": q["query"].split()[0][:3] + "*"} for q in mq],
+            k=10, max_expansions=16),
+        "synonym": lambda: svc.topk_synonym(
+            [{"qid": q["qid"], "query": q["query"]} for q in mq], k=10),
     }
     for name, fn in mode_batches.items():
         t0 = time.perf_counter()

@@ -818,3 +818,53 @@ def source_mix(ds: ray.data.Dataset) -> pd.DataFrame:
         .sort_values("source").reset_index(drop=True)
         .astype({"rate_ppm": "int64", "n_docs": "int64", "n_sampled": "int64"})
     )
+
+
+def train_order(ds: ray.data.Dataset, seed: int = 17) -> ray.data.Dataset:
+    """Deterministic global training order: position of every doc in
+    the seeded pseudo-random permutation ``sort by md5(seed:doc_id)``
+    — the reproducible global shuffle a training run needs (same seed
+    => same order on any cluster shape / partitioning / resume, unlike
+    ``random_shuffle``; a new epoch is just a new seed). The exact
+    global rank is computed scale-out with the same bucketed two-phase
+    prefix as pack_sequences: the u64 hash key's top 10 bits bucket
+    uniformly (1024 driver-side counts), in-bucket ranks come from a
+    per-group sort, positions = bucket offset + in-bucket rank. Ties
+    (md5 collisions) break by doc_id, mirrored in the oracle."""
+    import ray
+
+    from ..functions.hashing import md5_u64
+
+    def key_fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keys = [md5_u64(f"{seed}:{d}") for d in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "key": pa.array(keys, pa.uint64()),
+                "bucket": pa.array([k >> 54 for k in keys], pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(key_fn, batch_format="pyarrow").materialize()
+    counts = (
+        keyed.groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    run = counts["n"].cumsum().shift(fill_value=0)
+    offsets_ref = ray.put(dict(zip(counts["bucket"].astype(int), run.astype(int))))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(offsets_ref)
+        g = g.sort_values(["key", "doc_id"])
+        start = offsets[int(g["bucket"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "pos": np.arange(start, start + len(g), dtype=np.int64),
+            }
+        )
+
+    return keyed.groupby("bucket").map_groups(rank, batch_format="pandas")

@@ -299,3 +299,22 @@ def test_source_mix_deterministic_and_rate_bounded():
         p = r["rate_ppm"] / 1e6
         sigma = math.sqrt(r["n_docs"] * p * (1 - p))
         assert abs(r["n_sampled"] - r["n_docs"] * p) < 6 * sigma + 1
+
+
+def test_train_order_permutation_and_determinism():
+    """Positions are a 0..n-1 permutation equal to the brute-force
+    seeded-hash sort; input order is irrelevant; a different seed
+    yields a different permutation (epoch semantics)."""
+    from information_retrieval_images_ray.functions.hashing import md5_u64
+    from information_retrieval_images_ray.pipelines.analysis import train_order
+
+    ids = [3, 0, 7, 5, 12, 99, 41, 2]
+    rows = [{"doc_id": i} for i in ids]
+    out = train_order(ray.data.from_items(rows), seed=17).to_pandas()
+    got = dict(zip(out["doc_id"], out["pos"]))
+    want_order = sorted(ids, key=lambda d: (md5_u64(f"17:{d}"), d))
+    assert got == {d: p for p, d in enumerate(want_order)}
+    out2 = train_order(ray.data.from_items(list(reversed(rows))), seed=17).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["pos"])) == got
+    out3 = train_order(ray.data.from_items(rows), seed=18).to_pandas()
+    assert dict(zip(out3["doc_id"], out3["pos"])) != got
