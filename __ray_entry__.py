@@ -269,6 +269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition_stats": lambda sf: analysis.repetition_stats(docs(sf)),
         # the actionable keep/drop: fused single-pass Gopher decision
         "q_quality_filter": lambda sf: analysis.quality_filter(docs(sf)),
+        # token counting both ways (whitespace + BPE-ish pre-tokenizer)
+        "q_token_counts": lambda sf: analysis.token_counts(docs(sf)),
         # deterministic global shuffle: seeded-hash training order,
         # stable under cluster shape / partitioning / resume
         "q_train_order": lambda sf: analysis.train_order(
@@ -1155,6 +1157,32 @@ LEFT JOIN nc ON nc.doc_id = b.doc_id
 """
 
 
+def _token_counts_sql() -> str:
+    """Token-count oracle: the shared ASCII-explicit patterns run
+    identically under RE2; the BPE pattern's leading apostrophe is
+    SQL-escaped by doubling."""
+    from information_retrieval_images_ray.pipelines.analysis import (
+        BPE_PATTERN,
+        WS_PATTERN,
+    )
+
+    bpe = BPE_PATTERN.replace("'", "''")
+    ws = WS_PATTERN.replace("'", "''")
+    return f"""
+WITH c AS (SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{ws}')) AS n_ws,
+       len(regexp_extract_all(lower(text), '{bpe}')) AS n_bpe
+       FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_ws AS BIGINT) AS n_ws_tokens,
+       CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+       CAST(CASE WHEN n_ws = 0 THEN 0
+            ELSE FLOOR(n_bpe * 1.0 / n_ws * 1000000 + 0.5) END AS BIGINT)
+         AS bpe_per_ws_e6
+FROM c
+"""
+
+
 def _wildcard_sql(k: int = 10) -> str:
     """Wildcard oracle: expansions = distinct corpus terms LIKE the
     pattern with ``*`` -> ``%`` (patterns are [a-z0-9*], so no LIKE
@@ -1355,6 +1383,7 @@ SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM document
         "q_spell_suggest": _spell_sql(),
         "q_repetition_stats": _repetition_sql(),
         "q_quality_filter": _quality_filter_sql(),
+        "q_token_counts": _token_counts_sql(),
         "q_train_order": """
 WITH k AS (SELECT doc_id,
        CAST(concat('0x', substr(md5(concat('17:', CAST(doc_id AS VARCHAR))), 1, 16))

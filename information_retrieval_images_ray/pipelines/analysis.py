@@ -868,3 +868,46 @@ def train_order(ds: ray.data.Dataset, seed: int = 17) -> ray.data.Dataset:
         )
 
     return keyed.groupby("bucket").map_groups(rank, batch_format="pandas")
+
+
+# BPE-ish pre-tokenizer pattern (GPT-2 shape, ASCII-explicit so Python
+# `re` and DuckDB's RE2 agree exactly: contractions, space-prefixed
+# letter runs, digit runs, punctuation runs). Shared with the oracle.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9']+"
+WS_PATTERN = r"[^ \t\n\r]+"
+
+
+def token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc token counting both ways a budget estimate is done:
+    whitespace tokens and BPE-ish pre-tokenizer tokens (the GPT-2
+    pre-tokenization shape — the cheap proxy for "how many tokens will
+    the model see"), plus their fixed-point ratio. One vectorizable
+    per-doc map; regexes compile once per actor."""
+
+    class Stage:
+        def __init__(self) -> None:
+            import re
+
+            self.bpe = re.compile(BPE_PATTERN)
+            self.ws = re.compile(WS_PATTERN)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n_ws, n_bpe = [], []
+            for text in batch["text"].to_pylist():
+                t = (text or "").lower()
+                n_ws.append(len(self.ws.findall(t)))
+                n_bpe.append(len(self.bpe.findall(t)))
+            ws = np.asarray(n_ws, dtype=np.int64)
+            bp = np.asarray(n_bpe, dtype=np.int64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = np.where(ws > 0, bp / np.maximum(ws, 1), 0.0)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_ws_tokens": pa.array(ws, pa.int64()),
+                    "n_bpe_tokens": pa.array(bp, pa.int64()),
+                    "bpe_per_ws_e6": pa.array(e6(ratio), pa.int64()),
+                }
+            )
+
+    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 8))

@@ -318,3 +318,22 @@ def test_train_order_permutation_and_determinism():
     assert dict(zip(out2["doc_id"], out2["pos"])) == got
     out3 = train_order(ray.data.from_items(rows), seed=18).to_pandas()
     assert dict(zip(out3["doc_id"], out3["pos"])) != got
+
+
+def test_token_counts_bpe_vs_ws():
+    """Hand-checked: contractions split, punctuation runs separate,
+    digit runs separate; whitespace count is the plain split."""
+    from information_retrieval_images_ray.pipelines.analysis import token_counts
+
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": "it's a test, x99 done"},
+        {"doc_id": 1, "text": "plain words only here"},
+        {"doc_id": 2, "text": ""},
+    ])
+    out = token_counts(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # "it's a test, x99 done" -> it|'s| a| test|,| x|99| done = 8 bpe, 5 ws
+    assert out.loc[0, "n_ws_tokens"] == 5
+    assert out.loc[0, "n_bpe_tokens"] == 8
+    assert out.loc[0, "bpe_per_ws_e6"] == int(8 / 5 * 1e6 + 0.5)
+    assert out.loc[1, "n_bpe_tokens"] == 4 and out.loc[1, "n_ws_tokens"] == 4
+    assert out.loc[2, "n_bpe_tokens"] == 0 and out.loc[2, "bpe_per_ws_e6"] == 0
