@@ -238,14 +238,24 @@ def decontaminate(
     train, < train+val -> val, else test — analysis.split_summary), so
     the verdict is stable under reorder / resume / extend.
 
-    Scale shape: two thin exchanges. Distinct (shingle, doc_id,
-    is_test) rows (val docs never enter the exchange — they cannot
-    leak) -> groupby(shingle) emits the group's TRAIN doc ids iff the
-    group also contains a test doc (hot shingles over ``max_group``
-    docs drop to a logged sentinel — the module-wide skew contract,
-    mirrored in the SQL oracle) -> groupby(doc_id) counts shared
-    shingles. Returns (doc_id, n_shared) sorted by doc_id.
-    """
+    Scale shape (fully vectorized — no per-group python): ONE tokenize
+    pass emits distinct (doc_id, shingle_hash64, is_test) rows (val
+    docs never enter the exchange — they cannot leak); a built-in
+    groupby aggregate computes per-shingle (n_docs, n_test); the
+    CONTAMINATED shingle set — carried by >= 1 test doc and by at most
+    ``max_group`` docs total (the module-wide hot-skew contract,
+    mirrored in the SQL oracle's HAVING cap) — is bounded by the EVAL
+    set's shingle count, so it broadcasts (ray.put of a sorted u64
+    array; the Bloom-filter seam applies beyond that); a second pass
+    over the thin rows counts, per train doc, its shingles inside the
+    broadcast set with one np.isin per batch. Shingles ride as
+    md5-u64 hashes (64-bit collisions are ~(#shingles)^2 / 2^65 —
+    negligible, and deterministic if they ever occur). Returns
+    (doc_id, n_shared) sorted by doc_id."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
     tok = get_tokenizer(tokenizer)
     cut_val = train + val
 
@@ -258,43 +268,65 @@ def decontaminate(
             is_test = 1 if b >= cut_val else 0
             for s in _shingles(tok(text or ""), n):
                 ids.append(did)
-                sh.append(s)
+                sh.append(md5_u64(s))
                 tst.append(is_test)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "shingle": pa.array(sh, pa.string()),
+                "sh": pa.array(sh, pa.uint64()),
                 "is_test": pa.array(tst, pa.int64()),
             }
         )
 
-    def emit_contaminated(g: pd.DataFrame) -> pd.DataFrame:
-        if max_group is not None and len(g) > max_group:
-            return pd.DataFrame({"doc_id": [-1]}).astype("int64")
-        tst = g["is_test"].to_numpy(np.int64)
-        if not tst.any():
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
-        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64)[tst == 0]})
+    rows = ds.map_batches(fn, batch_format="pyarrow").materialize()
+    test_stats = (
+        rows.groupby("sh")
+        .aggregate(Count(alias_name="n_sh"), Sum("is_test", alias_name="n_test"))
+        .filter(expr="n_test >= 1")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "n_shared": pd.Series(dtype="int64")}
+    )
+    if test_stats.empty:
+        return empty
+    if max_group is not None:
+        hot = int((test_stats["n_sh"] > max_group).sum())
+        if hot:
+            print(f"[decontaminate] {hot} hot test-carried shingles over "
+                  f"max_group={max_group} dropped from the collision check")
+        test_stats = test_stats[test_stats["n_sh"] <= max_group]
+    contaminated = np.sort(test_stats["sh"].to_numpy(np.uint64))
+    if not len(contaminated):
+        return empty
+    cont_ref = ray.put(contaminated)
+
+    def count_shared(batch: pa.Table) -> pa.Table:
+        cont = ray.get(cont_ref)  # plasma-shared per node
+        tst = batch["is_test"].to_numpy(zero_copy_only=False)
+        sh = batch["sh"].to_numpy(zero_copy_only=False)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (tst == 0) & (
+            cont[np.minimum(np.searchsorted(cont, sh), len(cont) - 1)] == sh
+        )
+        uids, cnts = np.unique(dids[mask], return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, pa.int64()),
+                "c": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
 
     out = (
-        ds.map_batches(fn, batch_format="pyarrow")
-        .groupby("shingle")
-        .map_groups(emit_contaminated, batch_format="pandas")
+        rows.map_batches(count_shared, batch_format="pyarrow")
         .groupby("doc_id")
-        .aggregate(Count(alias_name="n_shared"))
+        .aggregate(Sum("c", alias_name="n_shared"))
         .to_pandas()
     )
     if out.empty:
-        return pd.DataFrame(
-            {"doc_id": pd.Series(dtype="int64"), "n_shared": pd.Series(dtype="int64")}
-        )
-    sentinel = out["doc_id"] < 0
-    n_dropped = int(out.loc[sentinel, "n_shared"].sum())
-    if n_dropped:
-        print(f"[decontaminate] {n_dropped} hot shingles over "
-              f"max_group={max_group} dropped from the collision check")
+        return empty
     return (
-        out[~sentinel].sort_values("doc_id").reset_index(drop=True).astype("int64")
+        out.sort_values("doc_id").reset_index(drop=True).astype("int64")
     )
 
 
