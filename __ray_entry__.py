@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- evaluation harness (G2-G5: P/R/F1, MAP, overlap@k) --------------
         "q_token_prf": lambda sf: evaluation.token_prf_documents(sf),
         "q_map_at_k": lambda sf: evaluation.map_at_k_documents(sf, k=10),
+        "q_mrr_at_k": lambda sf: evaluation.mrr_documents(sf, k=10),
         "q_overlap_topk": lambda sf: evaluation.overlap_documents(sf, k=10),
         "q_ndcg_at_k": lambda sf: evaluation.ndcg_at_k_documents(sf, k=10),
         # -- relational shapes (J1-J4, G1-G7, T1-T2, §2.9 windows) -----------
@@ -816,6 +817,29 @@ SELECT CAST(allq.qid AS BIGINT) AS qid,
 FROM allq
 LEFT JOIN nrel ON nrel.qid = allq.qid
 LEFT JOIN ap ON ap.qid = allq.qid
+"""
+
+
+def _mrr_sql() -> str:
+    """MRR@10: reciprocal rank of the first conjunctive-relevant hit
+    (same relevance CTEs as MAP; 0 when no relevant hit in the page)."""
+    return f"""
+WITH {_bm25_cte_body()},
+nq AS (SELECT qid, count(DISTINCT term) AS nt FROM queries GROUP BY 1),
+relc AS (SELECT q.qid, tf.doc_id, count(DISTINCT tf.term) AS c
+         FROM queries q JOIN tf ON tf.term = q.term GROUP BY 1, 2),
+rel AS (SELECT relc.qid, relc.doc_id FROM relc JOIN nq ON nq.qid = relc.qid
+        WHERE relc.c = nq.nt),
+hits AS (SELECT qid, rnk, doc_id FROM ranked WHERE rnk <= 10),
+fr AS (SELECT h.qid, min(h.rnk) AS frr
+       FROM hits h JOIN rel r ON r.qid = h.qid AND r.doc_id = h.doc_id
+       GROUP BY 1),
+allq AS (SELECT DISTINCT qid FROM queries)
+SELECT CAST(allq.qid AS BIGINT) AS qid,
+       CAST(coalesce(fr.frr, 0) AS BIGINT) AS first_rel_rank,
+       CAST(FLOOR((CASE WHEN fr.frr IS NULL THEN 0.0
+                   ELSE 1.0 / fr.frr END) * 1000000 + 0.5) AS BIGINT) AS rr_e6
+FROM allq LEFT JOIN fr ON fr.qid = allq.qid
 """
 
 
@@ -1328,6 +1352,7 @@ SELECT min(doc_id) AS doc_id, text FROM (
             ranked_where="WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'fr')"
         ),
         "q_map_at_k": _map_at_k_sql(),
+        "q_mrr_at_k": _mrr_sql(),
         "q_overlap_topk": _overlap_topk_sql(),
         "q_ndcg_at_k": _ndcg_sql(),
         "q_token_prf": _token_prf_sql(),

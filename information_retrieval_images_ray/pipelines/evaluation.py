@@ -307,3 +307,37 @@ def ndcg_at_k_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
         nd = dcg / idcg if idcg > 0 else 0.0
         rows.append((qid, n_graded, int(e6(np.array([nd]))[0])))
     return pd.DataFrame(rows, columns=["qid", "n_graded", "ndcg_e6"]).astype("int64")
+
+
+def mrr_at_k(
+    hits: pd.DataFrame, rel: pd.DataFrame, qids: list[int], k: int = 10
+) -> pd.DataFrame:
+    """Per-query (qid, first_rel_rank, rr_e6): reciprocal rank of the
+    FIRST relevant hit within the top-k (0 / rr 0 when none) — the
+    fourth standard rank metric next to MAP, overlap@k and nDCG@k.
+    Relevance = the same conjunctive-containment oracle as MAP."""
+    rel_sets = {qid: set(g["doc_id"]) for qid, g in rel.groupby("qid")}
+    rows = []
+    for qid in qids:
+        rset = rel_sets.get(qid, set())
+        ranked = hits[hits["qid"] == qid].sort_values("rank")
+        first = 0
+        for r, doc in enumerate(ranked["doc_id"], start=1):
+            if doc in rset:
+                first = r
+                break
+        rr = 1.0 / first if first else 0.0
+        rows.append((qid, first, int(e6(np.array([rr]))[0])))
+    return pd.DataFrame(
+        rows, columns=["qid", "first_rel_rank", "rr_e6"]
+    ).astype("int64")
+
+
+def mrr_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """(qid, first_rel_rank, rr_e6) for the frozen BM25 battery."""
+    from .flagship import BM25_QUERIES, run_bm25_queries
+
+    qterms = _query_term_sets(BM25_QUERIES, "simple")
+    hits = run_bm25_queries(sf_dir, k=k)[["qid", "rank", "doc_id"]]
+    rel = conjunctive_matches(_docs(sf_dir), qterms)
+    return mrr_at_k(hits, rel, [q["qid"] for q in BM25_QUERIES], k)

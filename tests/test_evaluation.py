@@ -101,3 +101,24 @@ def test_rrf_fuse_multi_query_and_k():
     # score -> doc_id order; k=2 cuts doc 21
     assert list(out[out["qid"] == 2]["doc_id"]) == [11, 99]
     assert out.groupby("qid")["rank"].max().eq(2).all()
+
+
+def test_mrr_at_k_hand_computed():
+    """First relevant at rank 1/3/none -> rr 1e6 / 333333 / 0."""
+    import pandas as pd
+
+    from information_retrieval_images_ray.pipelines.evaluation import mrr_at_k
+
+    hits = pd.DataFrame({
+        "qid":    [1, 1, 1, 2, 2, 2, 3, 3],
+        "rank":   [1, 2, 3, 1, 2, 3, 1, 2],
+        "doc_id": [10, 11, 12, 20, 21, 22, 30, 31],
+    })
+    rel = pd.DataFrame({
+        "qid":    [1, 2, 2],
+        "doc_id": [10, 22, 99],
+    })
+    out = mrr_at_k(hits, rel, [1, 2, 3], k=3).set_index("qid")
+    assert out.loc[1, "first_rel_rank"] == 1 and out.loc[1, "rr_e6"] == 1_000_000
+    assert out.loc[2, "first_rel_rank"] == 3 and out.loc[2, "rr_e6"] == 333333
+    assert out.loc[3, "first_rel_rank"] == 0 and out.loc[3, "rr_e6"] == 0
