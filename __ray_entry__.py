@@ -269,6 +269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition_stats": lambda sf: analysis.repetition_stats(docs(sf)),
         # the actionable keep/drop: fused single-pass Gopher decision
         "q_quality_filter": lambda sf: analysis.quality_filter(docs(sf)),
+        # HyperLogLog distinct-term sketch: mergeable per-batch
+        # registers (integer-exact oracle) + estimate vs exact
+        "q_hll_registers": lambda sf: analysis.hll_registers(docs(sf)),
+        "q_hll_distinct": lambda sf: analysis.hll_distinct(docs(sf)),
         # token counting both ways (whitespace + BPE-ish pre-tokenizer)
         "q_token_counts": lambda sf: analysis.token_counts(docs(sf)),
         # deterministic global shuffle: seeded-hash training order,
@@ -1181,6 +1185,22 @@ LEFT JOIN nc ON nc.doc_id = b.doc_id
 """
 
 
+# HLL register CTE: md5-u64 term hash -> top-6-bit bucket, max rho of
+# the 58 remaining bits; len(bin(x)) is DuckDB's exact bit_length.
+_HLL_REG_CTE = f"""terms AS (SELECT DISTINCT unnest({TOK_SQL}) AS term FROM documents),
+h AS (SELECT CAST(concat('0x', substr(md5(term), 1, 16)) AS UBIGINT) AS hv FROM terms),
+p AS (SELECT hv >> 58 AS bucket, hv & ((1::UBIGINT << 58) - 1) AS rest FROM h),
+reg AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+               max(CASE WHEN rest = 0 THEN 59
+                        ELSE 58 - length(bin(rest)) + 1 END) AS reg
+        FROM p GROUP BY 1)"""
+
+_HLL_REG_SQL = f"""
+WITH {_HLL_REG_CTE}
+SELECT bucket, CAST(reg AS BIGINT) AS reg FROM reg
+"""
+
+
 def _token_counts_sql() -> str:
     """Token-count oracle: the shared ASCII-explicit patterns run
     identically under RE2; the BPE pattern's leading apostrophe is
@@ -1408,6 +1428,20 @@ SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM document
         "q_spell_suggest": _spell_sql(),
         "q_repetition_stats": _repetition_sql(),
         "q_quality_filter": _quality_filter_sql(),
+        "q_hll_registers": _HLL_REG_SQL,
+        "q_hll_distinct": f"""
+WITH {_HLL_REG_CTE},
+s AS (SELECT count(*) AS nb,
+             sum(CAST(1::BIGINT << (63 - reg) AS HUGEINT)) AS s_obs
+      FROM reg),
+tot AS (SELECT nb, s_obs + CAST(64 - nb AS HUGEINT) * CAST(9223372036854775808 AS HUGEINT) AS s_int FROM s),
+ex AS (SELECT count(*) AS exact FROM (SELECT DISTINCT unnest({TOK_SQL}) FROM documents))
+SELECT CAST(64 AS BIGINT) AS m, CAST(nb AS BIGINT) AS n_buckets_hit,
+       CAST(FLOOR(0.709 * 64 * 64 * 9223372036854775808.0
+                  / CAST(s_int AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS est_e6,
+       CAST(ex.exact AS BIGINT) AS exact_distinct
+FROM tot CROSS JOIN ex
+""",
         "q_token_counts": _token_counts_sql(),
         "q_train_order": """
 WITH k AS (SELECT doc_id,

@@ -911,3 +911,80 @@ def token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
             )
 
     return ds.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-term sketch (Flajolet et al. 2007). m = 64
+# registers (6-bit bucket index off the md5-u64 hash top bits); rho =
+# 1-based position of the leftmost 1 bit in the remaining 58 bits.
+HLL_M = 64
+_HLL_REST_BITS = 58
+_HLL_ALPHA = 0.709  # alpha_64 from the paper
+
+
+def hll_registers(ds: ray.data.Dataset, tokenizer: str = "simple") -> ray.data.Dataset:
+    """The distributed sketch itself: every batch computes its local
+    64 max-rho registers over its DISTINCT tokens (a combiner — the
+    full term stream never leaves the map task), one tiny
+    groupby(bucket).max merges them. Registers are pure integers, so
+    the oracle is exact (DuckDB mirrors bit_length with len(bin(x))).
+    Missing buckets mean register 0. This is the mergeable-state
+    pattern every streaming distinct-count needs at 10^12 rows —
+    union of sketches == sketch of union."""
+    from ..functions.hashing import md5_u64
+
+    tok = _tok_fn(tokenizer)
+    mask = (1 << _HLL_REST_BITS) - 1
+
+    def fn(batch: pa.Table) -> pa.Table:
+        regs: dict[int, int] = {}
+        for text in batch["text"].to_pylist():
+            for t in set(tok(text or "")):
+                h = md5_u64(t)
+                b = h >> _HLL_REST_BITS
+                rest = h & mask
+                rho = (
+                    _HLL_REST_BITS + 1
+                    if rest == 0
+                    else _HLL_REST_BITS - rest.bit_length() + 1
+                )
+                if rho > regs.get(b, 0):
+                    regs[b] = rho
+        keys = sorted(regs)
+        return pa.table(
+            {
+                "bucket": pa.array(keys, pa.int64()),
+                "reg": pa.array([regs[k] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("reg", alias_name="reg"))
+    )
+
+
+def hll_distinct(ds: ray.data.Dataset, tokenizer: str = "simple") -> pd.DataFrame:
+    """One-row summary: the raw HLL estimate (integer-exact register
+    sum scaled by 2^63 — no float accumulation, so the oracle divides
+    the SAME two numbers) next to the exact distinct-term count. The
+    raw estimator is the operative branch at web scale (vocab >> m);
+    production code would add the linear-counting small-range branch,
+    deliberately omitted here because ln() is not bit-portable across
+    engines and the driver compares hashes."""
+    regs = hll_registers(ds, tokenizer).to_pandas()
+    s_int = sum(1 << (63 - int(r)) for r in regs["reg"])
+    s_int += (HLL_M - len(regs)) * (1 << 63)
+    est = _HLL_ALPHA * HLL_M * HLL_M * 9223372036854775808.0 / float(s_int)
+    exact = int(term_stats(ds, tokenizer).count())
+    return pd.DataFrame(
+        [
+            {
+                "m": HLL_M,
+                "n_buckets_hit": len(regs),
+                "est_e6": int(e6(np.array([est]))[0]),
+                "exact_distinct": exact,
+            }
+        ]
+    ).astype("int64")

@@ -337,3 +337,44 @@ def test_token_counts_bpe_vs_ws():
     assert out.loc[0, "bpe_per_ws_e6"] == int(8 / 5 * 1e6 + 0.5)
     assert out.loc[1, "n_bpe_tokens"] == 4 and out.loc[1, "n_ws_tokens"] == 4
     assert out.loc[2, "n_bpe_tokens"] == 0 and out.loc[2, "bpe_per_ws_e6"] == 0
+
+
+def test_hll_registers_and_estimate():
+    """Registers equal the brute-force sketch of the distinct vocab;
+    merging two disjoint corpora's sketches == sketch of the union
+    (the mergeable-state property); estimate tracks exact within the
+    ~13% expected rel-error at m=64 for a 200-term vocab."""
+    from information_retrieval_images_ray.functions.hashing import md5_u64
+    from information_retrieval_images_ray.pipelines.analysis import (
+        HLL_M,
+        hll_distinct,
+        hll_registers,
+    )
+
+    words = [f"w{i}" for i in range(200)]
+    half1 = " ".join(words[:100])
+    half2 = " ".join(words[100:])
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": half1}, {"doc_id": 1, "text": half2},
+    ])
+
+    def brute(ws):
+        regs = {}
+        for t in ws:
+            h = md5_u64(t)
+            b, rest = h >> 58, h & ((1 << 58) - 1)
+            rho = 59 if rest == 0 else 58 - rest.bit_length() + 1
+            regs[b] = max(regs.get(b, 0), rho)
+        return regs
+
+    got = hll_registers(docs).to_pandas()
+    assert dict(zip(got["bucket"], got["reg"])) == brute(words)
+    # mergeability: max of the halves' sketches == union sketch
+    m1, m2 = brute(words[:100]), brute(words[100:])
+    merged = {b: max(m1.get(b, 0), m2.get(b, 0)) for b in set(m1) | set(m2)}
+    assert merged == brute(words)
+
+    out = hll_distinct(docs)
+    assert out.loc[0, "exact_distinct"] == 200
+    est = out.loc[0, "est_e6"] / 1e6
+    assert abs(est - 200) / 200 < 0.4  # raw HLL, no small-range branch
