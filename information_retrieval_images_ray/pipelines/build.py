@@ -943,6 +943,22 @@ def extend_index(
         man.mark_done(f"delta_docmeta:{delta_id}",
                       duration_s=round(time.perf_counter() - _t, 3))
 
+    # ---- phase: delta positions sidecar (only when one exists) --------------
+    # Without this, a sidecar built before the extend silently lacks
+    # the new docs and phrase/proximity verification drops their true
+    # matches; extend_positions_sidecar is a no-op when no sidecar was
+    # ever built, and idempotent via the marker's doc_id_span.
+    if not man.is_done(f"delta_positions:{delta_id}"):
+        from .positions import extend_positions_sidecar
+
+        _t = time.perf_counter()
+        pinfo = extend_positions_sidecar(_kept(delta_source), index_dir)
+        man.mark_done(
+            f"delta_positions:{delta_id}",
+            sidecar=bool(pinfo),
+            duration_s=round(time.perf_counter() - _t, 3),
+        )
+
     from ..state.manifest import fingerprint_file
 
     man.mark_done(

@@ -103,7 +103,95 @@ def build_positions_sidecar(ds: ray.data.Dataset, index_dir: str) -> dict:
         pq.read_metadata(f).num_rows
         for f in glob.glob(os.path.join(pdir, "**", "*.parquet"), recursive=True)
     )
-    info = {"rows": n_rows, "tokenizer": tokenizer}
+    info = {"rows": n_rows, "tokenizer": tokenizer,
+            "doc_id_span": stats["doc_id_span"]}
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(info, f)
+    os.replace(tmp, marker)
+    return info
+
+
+def extend_positions_sidecar(delta_ds, index_dir: str) -> dict | None:
+    """Append the delta docs' position lists to an existing sidecar so
+    phrase/proximity stay correct after ``extend_index`` (without this
+    the sidecar silently lacked the new docs and verification dropped
+    their true matches). No-op when no sidecar was ever built. New
+    docs land in NEW shards, so appending files into the hive layout
+    never touches existing partitions. Crash-safe: the delta is
+    written to a staging dir, moved in under a delta-unique filename
+    prefix (a rerun first removes files with that prefix), and the
+    marker — which carries the covered ``doc_id_span`` — is replaced
+    LAST; the staleness check in ``_read_positions`` refuses to serve
+    a sidecar whose span lags the index."""
+    import shutil
+
+    from .build import make_shard_of
+
+    pdir = positions_dir(index_dir)
+    marker = os.path.join(pdir, "_positions.json")
+    if not os.path.exists(marker):
+        return None  # sidecar not in use
+    with open(marker) as f:
+        info = json.load(f)
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    span = stats["doc_id_span"]
+    if info.get("doc_id_span") == span:
+        return info  # already current (idempotent resume)
+    prefix = f"delta{span}_"
+    for old in glob.glob(os.path.join(pdir, "**", f"{prefix}*.parquet"),
+                         recursive=True):
+        os.remove(old)  # crashed previous attempt
+
+    shard_of = make_shard_of(stats["shard_bounds"])
+    tokenizer = stats["tokenizer"]
+
+    class PositionsStage:
+        def __init__(self):
+            self._tok = get_tokenizer(tokenizer)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out_t: list[str] = []
+            out_d: list[int] = []
+            out_p: list[list[int]] = []
+            for did, text in zip(ids, batch["content"].to_pylist()):
+                by_term: dict[str, list[int]] = {}
+                for i, t in enumerate(self._tok(text or "")):
+                    by_term.setdefault(t, []).append(i)
+                for t, p in by_term.items():
+                    out_t.append(t)
+                    out_d.append(int(did))
+                    out_p.append(p)
+            docs = pa.array(out_d, pa.int64())
+            return pa.table({
+                "term": pa.array(out_t, pa.string()),
+                "doc_id": docs,
+                "positions": pa.array(out_p, pa.large_list(pa.int32())),
+                "shard": pa.array(
+                    shard_of(np.asarray(out_d, np.int64)), pa.int32()),
+            })
+
+    staging = pdir.rstrip(os.sep) + f".delta_tmp_{span}"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        delta_ds.map_batches(PositionsStage, batch_format="pyarrow",
+                             concurrency=(1, 8))
+        .sort(["shard", "term"])
+        .write_parquet(staging, partition_cols=["shard"], compression="zstd")
+    )
+    n_new = 0
+    for i, f in enumerate(sorted(glob.glob(
+            os.path.join(staging, "**", "*.parquet"), recursive=True))):
+        shard_part = os.path.basename(os.path.dirname(f))
+        tgt_dir = os.path.join(pdir, shard_part)
+        os.makedirs(tgt_dir, exist_ok=True)
+        n_new += pq.read_metadata(f).num_rows
+        os.rename(f, os.path.join(tgt_dir, f"{prefix}{i}.parquet"))
+    shutil.rmtree(staging, ignore_errors=True)
+    info = {"rows": info["rows"] + n_new, "tokenizer": tokenizer,
+            "doc_id_span": span}
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump(info, f)
@@ -119,6 +207,19 @@ def _read_positions(
     term-sorted) and, when given, only candidate doc_ids."""
     import pyarrow.dataset as pads
 
+    marker = os.path.join(positions_dir(index_dir), "_positions.json")
+    with open(marker) as f:
+        _info = json.load(f)
+    if "doc_id_span" in _info:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            _span = json.load(f)["doc_id_span"]
+        if _info["doc_id_span"] != _span:
+            raise RuntimeError(
+                f"positions sidecar covers doc span {_info['doc_id_span']} "
+                f"but the index spans {_span} — run extend_positions_sidecar "
+                "with the delta (extend_index does this automatically) or "
+                "rebuild the sidecar"
+            )
     filt = pads.field("term").isin(sorted(set(terms)))
     if doc_ids is not None:
         filt = filt & pads.field("doc_id").isin(pa.array(doc_ids, pa.int64()))

@@ -146,3 +146,43 @@ def test_best_window_planted(idx):
     # a doc with no occurrence of any term emits no row
     out_none = best_window_positions(idx, ["zzz"], 4, cand)
     assert out_none.empty
+
+
+def test_sidecar_extends_with_index(tmp_path):
+    """extend_index on an index with a sidecar appends the delta's
+    positions: a phrase planted ONLY in the extended docs verifies; a
+    manually-staled marker makes reads refuse instead of silently
+    dropping new docs."""
+    import json
+
+    from information_retrieval_images_ray.pipelines.build import extend_index
+
+    d = str(tmp_path / "i")
+    ds = ray.data.from_items(DOCS)
+    build_index(ds, d, tokenizer="simple", num_shards=2)
+    build_positions_sidecar(ds, d)
+
+    new = [{"doc_id": 10, "content": "purple orange cyan", "lang": "en"},
+           {"doc_id": 11, "content": "orange purple cyan", "lang": "en"}]
+    extend_index(ray.data.from_items(new), d, delta_id="d1")
+
+    toks = tokenize_simple("purple orange")
+    reader = IndexReader(d)
+    ids, _ = reader.conjunctive_scores(sorted(set(toks)))
+    ok = verify_phrase_positions(d, toks, ids)
+    assert set(ok.tolist()) == {10}  # phrase only in doc 10 (extended)
+
+    # idempotent: re-extending the sidecar is a no-op
+    from information_retrieval_images_ray.pipelines.positions import (
+        extend_positions_sidecar,
+    )
+    info1 = json.load(open(os.path.join(positions_dir(d), "_positions.json")))
+    info2 = extend_positions_sidecar(ray.data.from_items(new), d)
+    assert info2 == info1
+
+    # staleness guard: a marker whose span lags the index refuses reads
+    marker = os.path.join(positions_dir(d), "_positions.json")
+    info1["doc_id_span"] = 6
+    json.dump(info1, open(marker, "w"))
+    with pytest.raises(RuntimeError, match="stale|covers doc span"):
+        verify_phrase_positions(d, toks, ids)
