@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII scan + redaction: per-class counts over the original
         # text, redacted-text length + sha256 prefix per doc
         "q_pii_scan": lambda sf: analysis.pii_scan(docs(sf)),
+        # search-as-you-type: top-5 df-ranked completions per prefix
+        "q_autocomplete": lambda sf: analysis.autocomplete(docs(sf)),
         # did-you-mean: top-3 vocab terms within 2 edits per typo,
         # ranked (dist, df desc, term) — DirectSpellChecker contract
         "q_spell_suggest": lambda sf: analysis.spell_suggest(docs(sf)),
@@ -1116,6 +1118,27 @@ FROM (SELECT doc_id, text, {red} AS red FROM documents)
 """
 
 
+def _autocomplete_sql(k: int = 5) -> str:
+    """Autocomplete oracle: df-ranked (df desc, term asc) completions
+    per prefix over the distinct-term df table."""
+    from information_retrieval_images_ray.pipelines.analysis import (
+        AUTOCOMPLETE_BATTERY,
+    )
+
+    vals = ", ".join(f"('{p}')" for p in AUTOCOMPLETE_BATTERY)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(list_distinct({TOK_SQL})) AS term FROM documents),
+tf AS (SELECT term, count(*) AS df FROM tok GROUP BY 1),
+p(pfx) AS (VALUES {vals}),
+r AS (SELECT p.pfx AS prefix, t.term, t.df,
+             row_number() OVER (PARTITION BY p.pfx
+                                ORDER BY t.df DESC, t.term) AS rnk
+      FROM p JOIN tf t ON t.term LIKE p.pfx || '%')
+SELECT prefix, CAST(rnk AS BIGINT) AS "rank", term, CAST(df AS BIGINT) AS df
+FROM r WHERE rnk <= {k}
+"""
+
+
 def _spell_sql(max_edits: int = 2, k: int = 3) -> str:
     """Spell-suggest oracle: DuckDB's unit-cost ``levenshtein`` over
     the distinct-term vocabulary, ranked (dist, df desc, term)."""
@@ -1425,6 +1448,7 @@ SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM document
 """,
         "q_langid": _langid_sql(),
         "q_pii_scan": _pii_sql(),
+        "q_autocomplete": _autocomplete_sql(),
         "q_spell_suggest": _spell_sql(),
         "q_repetition_stats": _repetition_sql(),
         "q_quality_filter": _quality_filter_sql(),

@@ -988,3 +988,69 @@ def hll_distinct(ds: ray.data.Dataset, tokenizer: str = "simple") -> pd.DataFram
             }
         ]
     ).astype("int64")
+
+
+# Frozen autocomplete battery (shared with the SQL VALUES list).
+AUTOCOMPLETE_BATTERY = ("s", "st", "co", "w", "qu", "zz")
+
+
+def autocomplete(
+    ds: ray.data.Dataset,
+    prefixes: tuple[str, ...] = AUTOCOMPLETE_BATTERY,
+    k: int = 5,
+    tokenizer: str = "simple",
+) -> pd.DataFrame:
+    """Search-as-you-type completions: for each prefix, the top-``k``
+    vocabulary terms ranked by document frequency (df desc, term asc)
+    — the suggest box every search engine serves. The dictionary is
+    the distributed term_stats output; the tiny prefix battery rides
+    in the closure and each dictionary batch emits candidate hits only
+    (vectorized startswith), so the exchange is candidates-sized. The
+    index-backed online form is reader.expand_prefix + df ranking;
+    this is the exact batch form over the corpus."""
+    stats = term_stats(ds, tokenizer)
+
+    def match(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tbl_parts = []
+        for p in prefixes:
+            mask = pc.starts_with(batch["term"], p)
+            sub = batch.filter(mask)
+            if sub.num_rows:
+                tbl_parts.append(
+                    pa.table(
+                        {
+                            "prefix": pa.array([p] * sub.num_rows, pa.string()),
+                            "term": sub["term"],
+                            "df": sub["df"],
+                        }
+                    )
+                )
+        if not tbl_parts:
+            return pa.table(
+                {
+                    "prefix": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(tbl_parts)
+
+    out = stats.map_batches(match, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "prefix": pd.Series(dtype="object"),
+                "rank": pd.Series(dtype="int64"),
+                "term": pd.Series(dtype="object"),
+                "df": pd.Series(dtype="int64"),
+            }
+        )
+    out = out.sort_values(
+        ["prefix", "df", "term"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    out["rank"] = out.groupby("prefix").cumcount() + 1
+    out = out[out["rank"] <= k]
+    out["df"] = out["df"].astype("int64")
+    return out[["prefix", "rank", "term", "df"]].reset_index(drop=True)

@@ -378,3 +378,21 @@ def test_hll_registers_and_estimate():
     assert out.loc[0, "exact_distinct"] == 200
     est = out.loc[0, "est_e6"] / 1e6
     assert abs(est - 200) / 200 < 0.4  # raw HLL, no small-range branch
+
+
+def test_autocomplete_ranking():
+    """df desc ranks first, term asc breaks ties, k caps, no-hit
+    prefix absent."""
+    from information_retrieval_images_ray.pipelines.analysis import autocomplete
+
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": "star star stone stop"},
+        {"doc_id": 1, "text": "star stone"},
+        {"doc_id": 2, "text": "step star"},
+    ])
+    out = autocomplete(docs, prefixes=("st", "zz"), k=3)
+    got = out[out["prefix"] == "st"]
+    # dfs: star 3, stone 2, step 1, stop 1 -> top3 = star, stone, step
+    assert got["term"].tolist() == ["star", "stone", "step"]
+    assert got["df"].tolist() == [3, 2, 1]
+    assert "zz" not in set(out["prefix"])
