@@ -177,4 +177,10 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
                       n_tombstoned=int(len(tomb)), tomb_hash=tomb_hash)
 
     # remaining phases are the ordinary build over the checkpoint
-    return build_index(None, out_dir, **cfg)
+    stats = build_index(None, out_dir, **cfg)
+    # a sidecar on the source index follows the compaction (re-sharded
+    # by the new bounds, tombstoned rows dropped); no-op without one
+    from .positions import compact_positions_sidecar
+
+    compact_positions_sidecar(index_dir, out_dir)
+    return stats

@@ -199,6 +199,62 @@ def extend_positions_sidecar(delta_ds, index_dir: str) -> dict | None:
     return info
 
 
+def compact_positions_sidecar(index_dir: str, out_dir: str) -> dict | None:
+    """Carry the positions sidecar through compaction: drop the
+    tombstoned docs' rows and re-shard by the COMPACTED index's bounds
+    (compaction recomputes shard bounds over the survivors, so the old
+    hive partitioning no longer matches). No-op when the source index
+    has no sidecar; idempotent via the output marker (compact_index
+    wipes a stale out_dir wholesale, marker included, when the
+    tombstone set changes)."""
+    import shutil
+
+    from .build import make_shard_of
+    from .maintenance import is_tombstoned, load_tombstones
+
+    src_marker = os.path.join(positions_dir(index_dir), "_positions.json")
+    if not os.path.exists(src_marker):
+        return None
+    out_pdir = positions_dir(out_dir)
+    out_marker = os.path.join(out_pdir, "_positions.json")
+    if os.path.exists(out_marker):
+        with open(out_marker) as f:
+            return json.load(f)
+    shutil.rmtree(out_pdir, ignore_errors=True)
+
+    with open(os.path.join(out_dir, "stats.json")) as f:
+        stats = json.load(f)
+    shard_of = make_shard_of(stats["shard_bounds"])
+    tomb = load_tombstones(index_dir)
+
+    def reshard(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        batch = batch.filter(pa.array(~is_tombstoned(tomb, ids)))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "shard", pa.array(shard_of(ids), pa.int32()))
+
+    (
+        ray.data.read_parquet(
+            positions_dir(index_dir), columns=["term", "doc_id", "positions"])
+        .map_batches(reshard, batch_format="pyarrow")
+        .sort(["shard", "term"])
+        .write_parquet(out_pdir, partition_cols=["shard"], compression="zstd")
+    )
+    n_rows = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(out_pdir, "**", "*.parquet"),
+                           recursive=True)
+    )
+    info = {"rows": n_rows, "tokenizer": stats["tokenizer"],
+            "doc_id_span": stats["doc_id_span"]}
+    tmp = out_marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(info, f)
+    os.replace(tmp, out_marker)
+    return info
+
+
 def _read_positions(
     index_dir: str, terms: list[str], doc_ids: np.ndarray | None = None,
 ) -> ray.data.Dataset:

@@ -186,3 +186,37 @@ def test_sidecar_extends_with_index(tmp_path):
     json.dump(info1, open(marker, "w"))
     with pytest.raises(RuntimeError, match="stale|covers doc span"):
         verify_phrase_positions(d, toks, ids)
+
+
+def test_sidecar_follows_compaction(tmp_path):
+    """compact_index carries the sidecar: tombstoned docs' positions
+    are gone, survivors re-shard by the compacted bounds, and phrase
+    verification over the compacted index works immediately."""
+    from information_retrieval_images_ray.pipelines.build import build_index
+    from information_retrieval_images_ray.pipelines.maintenance import (
+        compact_index,
+        delete_docs,
+    )
+
+    d = str(tmp_path / "i")
+    out = str(tmp_path / "c")
+    ds = ray.data.from_items(DOCS)
+    build_index(ds, d, tokenizer="simple", num_shards=2)
+    build_positions_sidecar(ds, d)
+    delete_docs(d, [0])  # doc 0 held the "red green blue" phrase
+    compact_index(d, out)
+
+    toks = tokenize_simple("red green blue")
+    reader = IndexReader(out)
+    ids, _ = reader.conjunctive_scores(sorted(set(toks)))
+    ok = verify_phrase_positions(out, toks, ids)
+    assert set(ok.tolist()) == {3}  # doc 0 compacted away, doc 3 remains
+    import glob as _glob
+    import pyarrow.parquet as _pq
+
+    rows = [
+        _pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy()
+        for f in _glob.glob(os.path.join(positions_dir(out), "**", "*.parquet"),
+                            recursive=True)
+    ]
+    assert 0 not in set(np.concatenate(rows).tolist())
