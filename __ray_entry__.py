@@ -216,6 +216,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query-time metadata filter: rank only docs whose docmeta
         # lang matches; corpus stats stay GLOBAL (tombstone-style
         # semantics), so the oracle is ranked_where on the full CTE
+        # deterministic deep paging: absolute ranks 11..20
+        "q_bm25_page": lambda sf: flagship.run_bm25_queries_page(
+            sf, k=10, offset=10
+        ),
         "q_bm25_filtered": lambda sf: flagship.run_bm25_queries_filtered(sf, lang="fr", k=10, algo="bmw"),
         # phrase search: conjunctive candidates from the postings, then
         # distributed adjacency verification over a doc-id-pruned read
@@ -1391,6 +1395,13 @@ SELECT min(doc_id) AS doc_id, text FROM (
         "q_faceted_search": _facet_sql(),
         "q_more_like_this": _mlt_sql(k=10),
         "q_snippets": _snippet_sql(k=5, window=8),
+        "q_bm25_page": f"""
+WITH {_bm25_cte_body()}
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM ranked WHERE rnk BETWEEN 11 AND 20
+""",
         "q_bm25_filtered": _bm25_sql(
             ranked_where="WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'fr')"
         ),

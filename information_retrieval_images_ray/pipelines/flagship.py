@@ -81,6 +81,18 @@ def run_bm25_queries(
     return _run_battery(build_documents_index(sf_dir), queries, k, algo)
 
 
+def run_bm25_queries_page(
+    sf_dir: str, queries=BM25_QUERIES, k: int = 10, offset: int = 10,
+    algo: str = "bmw",
+) -> pd.DataFrame:
+    """Page 2 of the battery: absolute ranks offset+1..offset+k of the
+    (score desc, doc_id asc) total order — deterministic deep paging
+    (fetch top-(offset+k), keep the tail slice)."""
+    out = _run_battery(build_documents_index(sf_dir), queries, k + offset, algo)
+    out = out[out["rank"] > offset]
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
 def run_bm25_queries_filtered(
     sf_dir: str, lang: str = "fr", queries=BM25_QUERIES, k: int = 10,
     algo: str = "bmw",

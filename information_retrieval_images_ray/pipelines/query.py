@@ -977,6 +977,19 @@ class IndexReader:
         terms = self.expand_fuzzy(toks[0], max_edits, prefix_len, max_expansions)
         return self.search_or_terms(terms, k, doc_filter) if terms else []
 
+    def search_page(
+        self, query: str, k: int = 10, offset: int = 0, algo: str = "bmw",
+        doc_filter=None,
+    ) -> list[tuple[int, float]]:
+        """Deterministic deep paging: ranks offset+1..offset+k of the
+        (score desc, doc_id asc) total order — fetch top-(offset+k)
+        and slice, the standard exact form (the total order makes a
+        page stable across calls; cursor/search_after is the same slice
+        keyed by the last (score, doc_id) seen)."""
+        hits = getattr(self, f"search_{algo}")(
+            query, k + offset, doc_filter=doc_filter)
+        return hits[offset : offset + k]
+
     def search_synonym(
         self, query: str, k: int = 10, doc_filter=None,
         weights: dict[str, float] | None = None,

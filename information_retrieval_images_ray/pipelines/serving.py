@@ -174,10 +174,14 @@ class ShardedQueryService:
         self._tok = get_tokenizer(self.tokenizer_mode)
 
     def topk(self, queries: list[dict], k: int = 10, algo: str = "bmw",
-             doc_filter=None) -> list[dict]:
+             doc_filter=None, offset: int = 0) -> list[dict]:
         """queries: [{"qid": int, "query": str}] ->
         [{"qid", "rank", "doc_id", "score"}], rank-identical to a
-        whole-index IndexReader."""
+        whole-index IndexReader. ``offset`` pages deterministically:
+        actors each return their local top-(offset+k), the merged rank
+        list is sliced to ranks offset+1..offset+k (absolute ranks in
+        the output) — exact deep paging, the (score, doc_id) total
+        order makes pages stable across calls."""
         per_query_terms = [sorted(set(self._tok(q["query"]))) for q in queries]
         all_terms = sorted({t for ts in per_query_terms for t in ts})
 
@@ -196,7 +200,8 @@ class ShardedQueryService:
         # engine-wide tie-break
         parts = ray.get(
             [
-                a.search.remote(queries, k, weights_per_query, algo, doc_filter)
+                a.search.remote(queries, k + offset, weights_per_query, algo,
+                                doc_filter)
                 for a in self.actors
             ]
         )
@@ -206,8 +211,10 @@ class ShardedQueryService:
                 by_qid[qid].append((score, doc))
         out = []
         for q in queries:
-            hits = sorted(by_qid.get(q["qid"], []), key=lambda e: (-e[0], e[1]))[:k]
-            for rank, (score, doc) in enumerate(hits, start=1):
+            ordered = sorted(
+                by_qid.get(q["qid"], []), key=lambda e: (-e[0], e[1])
+            )[offset : offset + k]
+            for rank, (score, doc) in enumerate(ordered, start=offset + 1):
                 out.append(
                     {"qid": q["qid"], "rank": rank, "doc_id": doc, "score": score}
                 )

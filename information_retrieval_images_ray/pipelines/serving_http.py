@@ -171,7 +171,7 @@ class IndexHTTPServer:
                                     "must", "should", "must_not",
                                     "max_edits", "prefix_len",
                                     "max_expansions", "window",
-                                    "max_terms", "exclude_doc",
+                                    "max_terms", "exclude_doc", "offset",
                                 ) if kk in req},
                             ))
                         except ValueError as e:  # bad mode / bad param
@@ -259,7 +259,8 @@ class IndexHTTPServer:
         doc_filter = ("lang", lang) if lang else None
         if mode == "bm25":
             hits = svc.topk([{"qid": 0, "query": query}], k=k,
-                            doc_filter=doc_filter)
+                            doc_filter=doc_filter,
+                            offset=int(params.get("offset", 0)))
         elif mode == "boolean":
             hits = svc.topk_boolean([{
                 "qid": 0,

@@ -459,6 +459,13 @@ def test_search_mode_multiplexing(server):
     assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
 
     _, hits = _req(srv.port, "/search", {
+        "query": "alpha dup", "limit": 3, "offset": 3,
+    })
+    want = reader.search_page("alpha dup", k=3, offset=3)
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+    assert [h["rank"] for h in hits] == [4, 5, 6]
+
+    _, hits = _req(srv.port, "/search", {
         "mode": "wildcard", "query": "alp*a", "limit": 5,
     })
     want = reader.search_wildcard("alp*a", 5)

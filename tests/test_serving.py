@@ -278,3 +278,20 @@ def test_sharded_more_like_this_matches_serial(served_index, num_actors):
             assert all(r["doc_id"] != anchor for r in got_ex)
     finally:
         svc.shutdown()
+
+
+def test_paging_offset_matches_serial_tail(served_index):
+    """Router offset paging == the serial reader's ranks 6..10 slice;
+    absolute ranks in the output; page beyond the hits is empty."""
+    reader = IndexReader(served_index)
+    svc = ShardedQueryService(served_index, num_actors=3)
+    try:
+        got = svc.topk([{"qid": 0, "query": "get"}], k=5, offset=5)
+        want = reader.search_page("get", k=5, offset=5)
+        assert [(r["doc_id"], r["score"]) for r in got] == want
+        assert [r["rank"] for r in got] == [6, 7, 8, 9, 10]
+        assert want == reader.search_bmw("get", 10)[5:10]
+        deep = svc.topk([{"qid": 0, "query": "zzz_nohit"}], k=5, offset=5)
+        assert deep == []
+    finally:
+        svc.shutdown()
