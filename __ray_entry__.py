@@ -216,6 +216,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query-time metadata filter: rank only docs whose docmeta
         # lang matches; corpus stats stay GLOBAL (tombstone-style
         # semantics), so the oracle is ranked_where on the full CTE
+        # segment merge: two disjoint half indexes combined ==
+        # a single full build (full-corpus oracle)
+        "q_bm25_merged": lambda sf: flagship.run_bm25_queries_merged(sf, k=10),
         # deterministic deep paging: absolute ranks 11..20
         "q_bm25_page": lambda sf: flagship.run_bm25_queries_page(
             sf, k=10, offset=10
@@ -1395,6 +1398,7 @@ SELECT min(doc_id) AS doc_id, text FROM (
         "q_faceted_search": _facet_sql(),
         "q_more_like_this": _mlt_sql(k=10),
         "q_snippets": _snippet_sql(k=5, window=8),
+        "q_bm25_merged": _bm25_sql(),
         "q_bm25_page": f"""
 WITH {_bm25_cte_body()}
 SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",

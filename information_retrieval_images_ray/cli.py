@@ -145,6 +145,17 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Combine disjoint-id indexes into one (segment merge; input
+    tombstones are materialized)."""
+    _ensure_ray(args.num_cpus)
+    from .pipelines.maintenance import merge_indexes
+
+    stats = merge_indexes(list(args.inputs), args.out)
+    print(json.dumps({k: stats[k] for k in ("n_docs", "num_shards")}))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """HTTP JSON API over the sharded actor pool (reference
     server.py:46-177 surface)."""
@@ -395,6 +406,12 @@ def make_parser() -> argparse.ArgumentParser:
     c.add_argument("--out", required=True)
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(func=cmd_compact)
+
+    mg = sub.add_parser("merge", help="combine disjoint-id indexes into one")
+    mg.add_argument("inputs", nargs="+", help="two or more index dirs")
+    mg.add_argument("--out", required=True)
+    mg.add_argument("--num-cpus", type=int, default=None)
+    mg.set_defaults(func=cmd_merge)
 
     q = sub.add_parser("query", help="top-k over a built index (all modes)")
     q.add_argument("query")

@@ -93,6 +93,39 @@ def run_bm25_queries_page(
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)
 
 
+def run_bm25_queries_merged(
+    sf_dir: str, queries=BM25_QUERIES, k: int = 10, algo: str = "bmw"
+) -> pd.DataFrame:
+    """The battery over a MERGED index: the documents table is built
+    as two disjoint half indexes (split at the midpoint doc_id) and
+    combined with maintenance.merge_indexes — scores must equal a
+    single full build, so the oracle is the ordinary full-corpus BM25
+    SQL. Exercises the segment-merge path end-to-end."""
+    import pyarrow.parquet as pq
+
+    from .maintenance import merge_indexes
+
+    src = f"{sf_dir}/documents.parquet"
+    t = pq.read_table(src, columns=["doc_id"])
+    ids = t["doc_id"].to_numpy()
+    mid = int(ids.min() + (ids.max() - ids.min() + 1) // 2)
+
+    halves = []
+    for name, expr in (("mgA", f"doc_id < {mid}"), ("mgB", f"doc_id >= {mid}")):
+        d = documents_index_dir(sf_dir, variant=name)
+        build_index(
+            read_documents_table(sf_dir).filter(expr=expr),
+            d, source_files=[src], tokenizer="simple",
+            num_shards=max(1, NUM_SHARDS // 2),
+            hot_df_threshold=HOT_DF_THRESHOLD, salt_factor=SALT_FACTOR,
+            exact_termstats=False,
+        )
+        halves.append(d)
+    merged = documents_index_dir(sf_dir, variant="merged")
+    merge_indexes(halves, merged)
+    return _run_battery(merged, queries, k, algo)
+
+
 def run_bm25_queries_filtered(
     sf_dir: str, lang: str = "fr", queries=BM25_QUERIES, k: int = 10,
     algo: str = "bmw",

@@ -184,3 +184,120 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
 
     compact_positions_sidecar(index_dir, out_dir)
     return stats
+
+
+def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
+    """Segment merge: combine N indexes whose doc_id spaces are
+    pairwise disjoint (the engine's append-only id contract) into one
+    index — the multi-way analogue of Lucene's segment merge, and the
+    way independently-built partition indexes (per day, per source)
+    become one searchable index. Reuses every input's tokenized
+    docterms checkpoint (no raw text is re-read); each input's
+    tombstones are materialized during the merge (so merge doubles as
+    a multi-input compaction); the remaining phases are the ordinary
+    build over the combined checkpoint. Configs must match except
+    shard count (the merged index gets the summed shard count, keeping
+    per-shard size). Idempotent/resumable via ``out_dir``'s manifest,
+    keyed by the input set + tombstone state. Positions sidecars merge
+    too when EVERY input has one (filtered + re-sharded by the merged
+    bounds)."""
+    import shutil
+
+    from .build import _parquet_rows, build_index
+
+    if len(index_dirs) < 2:
+        raise ValueError("merge_indexes needs at least two inputs")
+    for d in index_dirs:
+        if os.path.abspath(d) == os.path.abspath(out_dir):
+            raise ValueError("merge_indexes writes to a NEW directory")
+
+    cfgs, stats_list, tombs = [], [], []
+    for d in index_dirs:
+        with open(os.path.join(d, "manifest.json")) as f:
+            cfgs.append(json.load(f)["config"])
+        with open(os.path.join(d, "stats.json")) as f:
+            stats_list.append(json.load(f))
+        tombs.append(load_tombstones(d))
+    base = {k: v for k, v in cfgs[0].items() if k != "num_shards"}
+    for c in cfgs[1:]:
+        if {k: v for k, v in c.items() if k != "num_shards"} != base:
+            raise ValueError(
+                "merge_indexes needs identical configs (tokenizer, k1, b, "
+                "codec) across inputs; only shard count may differ"
+            )
+    # disjointness: doc ranges from docmeta parquet column stats
+    spans = []
+    for d in index_dirs:
+        lo, hi = None, None
+        for f in glob.glob(os.path.join(d, "docmeta", "**", "*.parquet"),
+                           recursive=True):
+            md = pq.read_metadata(f)
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            ci = names["doc_id"]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        spans.append((lo, hi, d))
+    for (lo1, hi1, d1) in spans:
+        for (lo2, hi2, d2) in spans:
+            if d1 < d2 and not (hi1 < lo2 or hi2 < lo1):
+                raise ValueError(
+                    f"doc_id ranges overlap: {d1} [{lo1},{hi1}] vs "
+                    f"{d2} [{lo2},{hi2}] — merge needs disjoint id spaces"
+                )
+
+    merge_hash = hashlib.sha256(json.dumps(sorted(
+        [os.path.abspath(d) for d in index_dirs]
+        + [hashlib.sha256(t.tobytes()).hexdigest() for t in tombs]
+    )).encode()).hexdigest()[:16]
+    out_stats = os.path.join(out_dir, "stats.json")
+    out_man = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(out_man):
+        with open(out_man) as f:
+            entries = json.load(f).get("entries", {})
+        recorded = entries.get("docterms", {}).get("merge_hash")
+        if recorded != merge_hash:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        elif entries.get("docmeta", {}).get("status") == "done" and os.path.exists(
+            out_stats
+        ):
+            with open(out_stats) as f:
+                return json.load(f)
+
+    cfg = dict(cfgs[0])
+    cfg["num_shards"] = sum(s["num_shards"] for s in stats_list)
+    os.makedirs(out_dir, exist_ok=True)
+    man = Manifest.load_or_create(out_dir, dict(cfg))
+
+    tomb_all = (
+        np.unique(np.concatenate(tombs)) if any(len(t) for t in tombs)
+        else np.empty(0, dtype=np.int64)
+    )
+    out_dt = os.path.join(out_dir, "docterms")
+    if not man.is_done("docterms"):
+        shutil.rmtree(out_dt, ignore_errors=True)
+        files = [
+            f for d in index_dirs
+            for f in sorted(glob.glob(
+                os.path.join(d, "docterms", "**", "*.parquet"), recursive=True))
+        ]
+        src = ray.data.read_parquet(files)
+
+        def drop_tombstoned(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(~is_tombstoned(tomb_all, ids)))
+
+        src.map_batches(drop_tombstoned, batch_format="pyarrow").write_parquet(out_dt)
+        man.mark_done("docterms", rows=_parquet_rows(out_dt),
+                      merged_from=[os.path.abspath(d) for d in index_dirs],
+                      merge_hash=merge_hash)
+
+    stats = build_index(None, out_dir, **cfg)
+
+    # sidecars merge only when every input has one (else phrase modes
+    # stay explicitly unavailable on the merged index until rebuilt)
+    from .positions import merge_positions_sidecars
+
+    merge_positions_sidecars(index_dirs, out_dir, tomb_all)
+    return stats

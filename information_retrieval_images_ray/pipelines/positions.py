@@ -255,6 +255,66 @@ def compact_positions_sidecar(index_dir: str, out_dir: str) -> dict | None:
     return info
 
 
+def merge_positions_sidecars(index_dirs, out_dir: str, tomb) -> dict | None:
+    """Sidecar counterpart of ``merge_indexes``: when EVERY input has
+    a sidecar, union their rows (minus the merged tombstone set) and
+    re-shard by the merged index's bounds; when any input lacks one,
+    no-op (phrase modes on the merged index then require an explicit
+    rebuild, same contract as a fresh index)."""
+    import shutil
+
+    import numpy as np
+
+    from .build import make_shard_of
+    from .maintenance import is_tombstoned
+
+    markers = [os.path.join(positions_dir(d), "_positions.json")
+               for d in index_dirs]
+    if not all(os.path.exists(m) for m in markers):
+        return None
+    out_pdir = positions_dir(out_dir)
+    out_marker = os.path.join(out_pdir, "_positions.json")
+    if os.path.exists(out_marker):
+        with open(out_marker) as f:
+            return json.load(f)
+    shutil.rmtree(out_pdir, ignore_errors=True)
+
+    with open(os.path.join(out_dir, "stats.json")) as f:
+        stats = json.load(f)
+    shard_of = make_shard_of(stats["shard_bounds"])
+    files = [
+        f for d in index_dirs
+        for f in sorted(glob.glob(
+            os.path.join(positions_dir(d), "**", "*.parquet"), recursive=True))
+    ]
+
+    def reshard(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        batch = batch.filter(pa.array(~is_tombstoned(tomb, ids)))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "shard", pa.array(shard_of(ids), pa.int32()))
+
+    (
+        ray.data.read_parquet(files, columns=["term", "doc_id", "positions"])
+        .map_batches(reshard, batch_format="pyarrow")
+        .sort(["shard", "term"])
+        .write_parquet(out_pdir, partition_cols=["shard"], compression="zstd")
+    )
+    n_rows = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(out_pdir, "**", "*.parquet"),
+                           recursive=True)
+    )
+    info = {"rows": n_rows, "tokenizer": stats["tokenizer"],
+            "doc_id_span": stats["doc_id_span"]}
+    tmp = out_marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(info, f)
+    os.replace(tmp, out_marker)
+    return info
+
+
 def _read_positions(
     index_dir: str, terms: list[str], doc_ids: np.ndarray | None = None,
 ) -> ray.data.Dataset:

@@ -152,3 +152,48 @@ def test_compact_rematerializes_new_tombstones(index, tmp_path_factory):
     r2 = IndexReader(out)
     assert victim not in {d for d, _ in r2.search_taat("alpha", 50)}
     assert len(r2.tombstones) == 0
+
+
+def test_merge_indexes_equals_single_build(tmp_path):
+    """Two disjoint-id half indexes merged == one full build: battery
+    ranks AND scores identical; a tombstone in one half is materialized
+    by the merge; mismatched configs and overlapping ids refuse."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.build import build_index
+    from information_retrieval_images_ray.pipelines.maintenance import (
+        delete_docs,
+        merge_indexes,
+    )
+    from information_retrieval_images_ray.pipelines.query import IndexReader
+
+    rows = [{"doc_id": i, "content": f"alpha {'beta ' * (i % 5)}tail{i}",
+             "lang": "en"} for i in range(40)]
+    a, b, full, merged = (str(tmp_path / n) for n in "abfm")
+    build_index(ray.data.from_items(rows[:20]), a, tokenizer="simple", num_shards=2)
+    build_index(ray.data.from_items(rows[20:]), b, tokenizer="simple", num_shards=2)
+    build_index(ray.data.from_items(rows), full, tokenizer="simple", num_shards=4)
+
+    merge_indexes([a, b], merged)
+    rm, rf = IndexReader(merged), IndexReader(full)
+    for q in ("alpha beta", "beta", "tail7 alpha"):
+        assert rm.search_bmw(q, 10) == rf.search_bmw(q, 10), q
+
+    # tombstones materialize through the merge
+    delete_docs(a, [0, 3])
+    merged2 = str(tmp_path / "m2")
+    merge_indexes([a, b], merged2)
+    hits = {d for d, _ in IndexReader(merged2).search_bmw("alpha", 40)}
+    assert not ({0, 3} & hits) and 1 in hits
+
+    # config mismatch refuses
+    c = str(tmp_path / "c")
+    build_index(ray.data.from_items(rows[:5]), c, tokenizer="code", num_shards=1)
+    with pytest.raises(ValueError, match="identical configs"):
+        merge_indexes([a, c], str(tmp_path / "x1"))
+
+    # overlapping id spaces refuse
+    d = str(tmp_path / "d")
+    build_index(ray.data.from_items(rows[10:25]), d, tokenizer="simple", num_shards=1)
+    with pytest.raises(ValueError, match="overlap"):
+        merge_indexes([a, d], str(tmp_path / "x2"))
