@@ -290,6 +290,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"]),
             seed=17,
         ),
+        # domain characterization: top log-odds terms per source
+        "q_distinctive_terms": lambda sf: analysis.distinctive_terms(
+            ray.data.read_parquet(
+                f"{sf}/documents.parquet", columns=["source", "text"]
+            ),
+            k=3,
+        ),
         # domain mixing: hash-deterministic per-source downsampling
         "q_source_mix": lambda sf: analysis.source_mix(
             ray.data.read_parquet(
@@ -1490,6 +1497,28 @@ WITH k AS (SELECT doc_id,
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
 FROM k
+""",
+        # ties rank on the e6-rounded value (both sides), term asc
+        "q_distinctive_terms": f"""
+WITH c AS (SELECT source, unnest({TOK_SQL}) AS term FROM documents),
+a AS (SELECT source, term, count(*) AS cnt FROM c GROUP BY 1, 2),
+ts AS (SELECT source, sum(cnt) AS tot_s FROM a GROUP BY 1),
+tt AS (SELECT term, sum(cnt) AS tot_t FROM a GROUP BY 1),
+g AS (SELECT sum(cnt) AS total FROM a),
+l AS (SELECT a.source, a.term, a.cnt,
+             ln((a.cnt + 1.0) / (ts.tot_s - a.cnt + 1.0))
+             - ln((tt.tot_t - a.cnt + 1.0)
+                  / (g.total - ts.tot_s - (tt.tot_t - a.cnt) + 1.0)) AS lor
+      FROM a JOIN ts USING (source) JOIN tt USING (term) CROSS JOIN g),
+r AS (SELECT source, term, cnt,
+             CAST(FLOOR(lor * 1000000 + 0.5) AS BIGINT) AS lor_e6,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY FLOOR(lor * 1000000 + 0.5) DESC, term) AS rnk
+      FROM l)
+SELECT source, CAST(rnk AS BIGINT) AS "rank", term,
+       CAST(cnt AS BIGINT) AS cnt, lor_e6
+FROM r WHERE rnk <= 3
 """,
         # md5-prefix UBIGINT mirrors functions.hashing.md5_u64 exactly
         "q_source_mix": """

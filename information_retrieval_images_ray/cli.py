@@ -11,6 +11,7 @@ index engine:
   python -m information_retrieval_images_ray show    --index DIR
   python -m information_retrieval_images_ray delete  --index DIR IDS...
   python -m information_retrieval_images_ray compact --index DIR --out DIR
+  python -m information_retrieval_images_ray merge   DIR1 DIR2... --out DIR
   python -m information_retrieval_images_ray reset   --index DIR --yes
 
 Vector-index verbs (the persisted-IVF lifecycle, mirroring the text
@@ -183,9 +184,15 @@ def cmd_query(args) -> int:
     doc_filter = ("lang", args.lang) if args.lang else None
     mode = getattr(args, "mode", "bm25")
     if mode == "bm25":
-        hits = getattr(reader, f"search_{args.algo}")(
-            args.query, args.k, doc_filter=doc_filter
-        )
+        if getattr(args, "offset", 0):
+            hits = reader.search_page(
+                args.query, args.k, offset=args.offset, algo=args.algo,
+                doc_filter=doc_filter,
+            )
+        else:
+            hits = getattr(reader, f"search_{args.algo}")(
+                args.query, args.k, doc_filter=doc_filter
+            )
     elif mode == "boolean":
         hits = reader.search_boolean(
             args.must or args.query, args.should or "", args.must_not or "",
@@ -418,6 +425,8 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("--index", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--algo", default="bmw", choices=["bmw", "taat"])
+    q.add_argument("--offset", type=int, default=0,
+                   help="bm25 mode: skip the first N ranks (deep paging)")
     q.add_argument("--mode", default="bm25",
                    choices=["bm25", "boolean", "prefix", "fuzzy", "wildcard", "synonym",
                             "more_like_this", "phrase", "proximity"])

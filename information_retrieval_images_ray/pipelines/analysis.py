@@ -1054,3 +1054,71 @@ def autocomplete(
     out = out[out["rank"] <= k]
     out["df"] = out["df"].astype("int64")
     return out[["prefix", "rank", "term", "df"]].reset_index(drop=True)
+
+
+def distinctive_terms(
+    ds: ray.data.Dataset, k: int = 3, tokenizer: str = "simple"
+) -> pd.DataFrame:
+    """Per-source distinctive vocabulary: the top-``k`` terms by
+    add-one-smoothed log-odds ratio of the term's token share inside
+    the source vs the rest of the corpus — the domain-characterization
+    report a data-mixing decision reads. One combiner pass emits
+    per-batch (source, term, cnt) partials; one groupby-sum exchange
+    bounded by sources x vocabulary; the odds math and per-source
+    ranking run on that aggregate (small relative to the corpus — at
+    web scale it is the exchange, not the rank, that costs). ln() is
+    bit-identical between numpy and DuckDB's RE2-side ln (the BM25
+    oracles already rely on this), so lor_e6 hashes exactly."""
+    tok = _tok_fn(tokenizer)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for src, text in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for t in tok(text or ""):
+                counts[(src, t)] = counts.get((src, t), 0) + 1
+        keys = list(counts)
+        return pa.table(
+            {
+                "source": pa.array([s for s, _ in keys], pa.string()),
+                "term": pa.array([t for _, t in keys], pa.string()),
+                "cnt": pa.array([counts[p] for p in keys], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({
+            "source": pd.Series(dtype="object"),
+            "rank": pd.Series(dtype="int64"),
+            "term": pd.Series(dtype="object"),
+            "cnt": pd.Series(dtype="int64"),
+            "lor_e6": pd.Series(dtype="int64"),
+        })
+    tot_s = agg.groupby("source")["cnt"].transform("sum").to_numpy(np.float64)
+    tot_t = agg.groupby("term")["cnt"].transform("sum").to_numpy(np.float64)
+    total = float(agg["cnt"].sum())
+    c_s = agg["cnt"].to_numpy(np.float64)
+    c_r = tot_t - c_s
+    rest = total - tot_s
+    lor = (
+        np.log((c_s + 1.0) / (tot_s - c_s + 1.0))
+        - np.log((c_r + 1.0) / (rest - c_r + 1.0))
+    )
+    agg = agg.assign(lor_e6=e6(lor))
+    agg = agg.sort_values(
+        ["source", "lor_e6", "term"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    agg["rank"] = agg.groupby("source").cumcount() + 1
+    out = agg[agg["rank"] <= k]
+    return (
+        out[["source", "rank", "term", "cnt", "lor_e6"]]
+        .reset_index(drop=True)
+        .astype({"rank": "int64", "cnt": "int64", "lor_e6": "int64"})
+    )

@@ -396,3 +396,22 @@ def test_autocomplete_ranking():
     assert got["term"].tolist() == ["star", "stone", "step"]
     assert got["df"].tolist() == [3, 2, 1]
     assert "zz" not in set(out["prefix"])
+
+
+def test_distinctive_terms_log_odds():
+    """Hand-built: each source's marker word wins rank 1 with the
+    exact add-one log-odds value; shared filler never outranks it."""
+    import math
+
+    from information_retrieval_images_ray.pipelines.analysis import distinctive_terms
+
+    docs = ray.data.from_items([
+        {"source": "a", "text": "zebra zebra common common"},
+        {"source": "b", "text": "yak common common"},
+    ])
+    out = distinctive_terms(docs, k=2)
+    top = out[out["rank"] == 1].set_index("source")
+    assert top.loc["a", "term"] == "zebra" and top.loc["b", "term"] == "yak"
+    # source a: zebra c_s=2 tot_s=4; rest: c_r=0 rest_tot=3
+    want = math.log(3 / 3) - math.log(1 / 4)
+    assert top.loc["a", "lor_e6"] == int(want * 1e6 + 0.5)
