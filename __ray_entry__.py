@@ -282,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # registers (integer-exact oracle) + estimate vs exact
         "q_hll_registers": lambda sf: analysis.hll_registers(docs(sf)),
         "q_hll_distinct": lambda sf: analysis.hll_distinct(docs(sf)),
+        # corpus length histogram (10-token buckets)
+        "q_length_histogram": lambda sf: analysis.length_histogram(docs(sf)),
         # token counting both ways (whitespace + BPE-ish pre-tokenizer)
         "q_token_counts": lambda sf: analysis.token_counts(docs(sf)),
         # deterministic global shuffle: seeded-hash training order,
@@ -1474,6 +1476,13 @@ SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM document
         "q_spell_suggest": _spell_sql(),
         "q_repetition_stats": _repetition_sql(),
         "q_quality_filter": _quality_filter_sql(),
+        "q_length_histogram": f"""
+WITH dl AS (SELECT len({TOK_SQL}) AS n FROM documents)
+SELECT CAST((n // 10) * 10 AS BIGINT) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens
+FROM dl GROUP BY 1
+""",
         "q_hll_registers": _HLL_REG_SQL,
         "q_hll_distinct": f"""
 WITH {_HLL_REG_CTE},

@@ -1122,3 +1122,42 @@ def distinctive_terms(
         .reset_index(drop=True)
         .astype({"rank": "int64", "cnt": "int64", "lor_e6": "int64"})
     )
+
+
+def length_histogram(
+    ds: ray.data.Dataset, bucket_width: int = 10, tokenizer: str = "simple"
+) -> pd.DataFrame:
+    """Corpus doc-length histogram: token-count buckets of width
+    ``bucket_width`` with doc counts and per-bucket token totals — the
+    distribution every batch/packing/truncation decision reads. One
+    combiner pass (per-batch bucket partials), one bucket-sized
+    exchange."""
+    tok = _tok_fn(tokenizer)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts: dict[int, list[int]] = {}
+        for text in batch["text"].to_pylist():
+            n = len(tok(text or ""))
+            b = n // bucket_width
+            agg = counts.setdefault(b, [0, 0])
+            agg[0] += 1
+            agg[1] += n
+        keys = sorted(counts)
+        return pa.table(
+            {
+                "bucket_lo": pa.array([k * bucket_width for k in keys], pa.int64()),
+                "nd": pa.array([counts[k][0] for k in keys], pa.int64()),
+                "tt": pa.array([counts[k][1] for k in keys], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket_lo")
+        .aggregate(Sum("nd", alias_name="n_docs"), Sum("tt", alias_name="total_tokens"))
+        .to_pandas()
+    )
+    return (
+        out.sort_values("bucket_lo").reset_index(drop=True)
+        .astype({"bucket_lo": "int64", "n_docs": "int64", "total_tokens": "int64"})
+    )

@@ -415,3 +415,20 @@ def test_distinctive_terms_log_odds():
     # source a: zebra c_s=2 tot_s=4; rest: c_r=0 rest_tot=3
     want = math.log(3 / 3) - math.log(1 / 4)
     assert top.loc["a", "lor_e6"] == int(want * 1e6 + 0.5)
+
+
+def test_length_histogram_buckets():
+    """Hand-built: docs of 3/12/15/25 tokens with width 10 land in
+    buckets 0/10/10/20 with exact token totals."""
+    from information_retrieval_images_ray.pipelines.analysis import length_histogram
+
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": "a " * 3},
+        {"doc_id": 1, "text": "b " * 12},
+        {"doc_id": 2, "text": "c " * 15},
+        {"doc_id": 3, "text": "d " * 25},
+    ])
+    out = length_histogram(docs, bucket_width=10)
+    assert out["bucket_lo"].tolist() == [0, 10, 20]
+    assert out["n_docs"].tolist() == [1, 2, 1]
+    assert out["total_tokens"].tolist() == [3, 27, 25]
