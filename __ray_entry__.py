@@ -292,6 +292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"]),
             seed=17,
         ),
+        # per-language keep rates of the Gopher filter
+        "q_quality_filter_rates": lambda sf: analysis.quality_filter_rates(docs(sf)),
         # domain characterization: top log-odds terms per source
         "q_distinctive_terms": lambda sf: analysis.distinctive_terms(
             ray.data.read_parquet(
@@ -1506,6 +1508,15 @@ WITH k AS (SELECT doc_id,
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
 FROM k
+""",
+        "q_quality_filter_rates": f"""
+WITH qf AS ({_quality_filter_sql()}),
+j AS (SELECT d.lang, qf.keep FROM qf JOIN documents d ON d.doc_id = qf.doc_id)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_keep,
+       CAST(FLOOR(sum(keep) * 1.0 / count(*) * 1000000 + 0.5) AS BIGINT)
+         AS keep_rate_e6
+FROM j GROUP BY lang
 """,
         # ties rank on the e6-rounded value (both sides), term asc
         "q_distinctive_terms": f"""

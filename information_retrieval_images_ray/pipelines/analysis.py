@@ -721,7 +721,10 @@ def repetition_stats(ds: ray.data.Dataset, tokenizer: str = "simple") -> ray.dat
 QF_MIN_TOKENS, QF_MAX_TOKENS = 10, 100_000
 
 
-def quality_filter(ds: ray.data.Dataset, tokenizer: str = "simple") -> ray.data.Dataset:
+def quality_filter(
+    ds: ray.data.Dataset, tokenizer: str = "simple",
+    passthrough: tuple[str, ...] = (),
+) -> ray.data.Dataset:
     """The actionable keep/drop decision of the Gopher quality rules
     (Rae et al. 2021 §A1.1): per doc, five pass/fail flags plus the
     conjunction ``keep``. All comparisons are integer-exact (scaled to
@@ -768,10 +771,32 @@ def quality_filter(ds: ray.data.Dataset, tokenizer: str = "simple") -> ray.data.
                 cols[k].append(v)
         return pa.table(
             {"doc_id": batch["doc_id"],
+             **{c: batch[c] for c in passthrough},
              **{k: pa.array(v, pa.int64()) for k, v in cols.items()}}
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_filter_rates(ds: ray.data.Dataset, tokenizer: str = "simple") -> pd.DataFrame:
+    """Per-language keep rates of the Gopher quality filter — the
+    report a data-mixing decision actually reads (which languages the
+    thresholds bite). Same fused per-doc pass with the lang column
+    carried through, then one lang-sized exchange."""
+    per_doc = quality_filter(ds, tokenizer, passthrough=("lang",))
+    out = (
+        per_doc.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("keep", alias_name="n_keep"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    nd = out["n_docs"].to_numpy(np.float64)
+    nk = out["n_keep"].to_numpy(np.float64)
+    out["keep_rate_e6"] = e6(np.where(nd > 0, nk / np.maximum(nd, 1), 0.0))
+    return out.astype(
+        {"n_docs": "int64", "n_keep": "int64", "keep_rate_e6": "int64"}
+    )
 
 
 def source_mix(ds: ray.data.Dataset) -> pd.DataFrame:

@@ -432,3 +432,21 @@ def test_length_histogram_buckets():
     assert out["bucket_lo"].tolist() == [0, 10, 20]
     assert out["n_docs"].tolist() == [1, 2, 1]
     assert out["total_tokens"].tolist() == [3, 27, 25]
+
+
+def test_quality_filter_rates_by_lang():
+    """Keep decisions aggregate per lang with exact e6 rates."""
+    from information_retrieval_images_ray.pipelines.analysis import (
+        quality_filter_rates,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog near the old stone wall"
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": good, "lang": "en"},
+        {"doc_id": 1, "text": "too short", "lang": "en"},  # fails len
+        {"doc_id": 2, "text": good, "lang": "fr"},
+    ])
+    out = quality_filter_rates(docs).set_index("lang")
+    assert out.loc["en", "n_docs"] == 2 and out.loc["en", "n_keep"] == 1
+    assert out.loc["en", "keep_rate_e6"] == 500000
+    assert out.loc["fr", "keep_rate_e6"] == 1000000
