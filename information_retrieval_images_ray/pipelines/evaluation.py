@@ -320,11 +320,13 @@ def mrr_at_k(
     rows = []
     for qid in qids:
         rset = rel_sets.get(qid, set())
-        ranked = hits[hits["qid"] == qid].sort_values("rank")
+        # enforce the k contract HERE, not in the caller: a deeper hits
+        # frame (page-2, k mismatch) must not silently change the metric
+        ranked = hits[(hits["qid"] == qid) & (hits["rank"] <= k)].sort_values("rank")
         first = 0
-        for r, doc in enumerate(ranked["doc_id"], start=1):
+        for r, doc in zip(ranked["rank"], ranked["doc_id"]):
             if doc in rset:
-                first = r
+                first = int(r)
                 break
         rr = 1.0 / first if first else 0.0
         rows.append((qid, first, int(e6(np.array([rr]))[0])))

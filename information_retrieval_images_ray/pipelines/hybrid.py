@@ -63,6 +63,36 @@ def rrf_fuse(
     return pd.concat(frames, ignore_index=True)
 
 
+def fetch_anchor_vectors(path: str, qids) -> np.ndarray:
+    """Fetch the ``len(qids)`` anchor embeddings as an (nq, dim) float64
+    matrix via a predicate-pushdown parquet read: row-group statistics
+    prune every row group whose vec_id range excludes the anchors, so
+    only O(nq) rows' data pages are ever decoded — never a full-table
+    driver materialization (the 100-TB-safe anchor-fetch contract;
+    verified by the corrupted-non-anchor-row-group spy test)."""
+    import functools
+    import operator
+
+    import pyarrow.dataset as pads
+
+    # An OR-of-equalities, NOT .isin(): pyarrow's row-group pruner only
+    # evaluates comparison expressions against parquet statistics, so an
+    # isin filter would decode every row group (verified empirically —
+    # the spy test fails with it). nq is ~10, the expression stays tiny.
+    f = pads.field("vec_id")
+    pred = functools.reduce(operator.or_, [(f == int(i)) for i in qids])
+    anchor_t = pads.dataset(path, format="parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pred
+    )
+    by_id = dict(
+        zip(anchor_t["vec_id"].to_pylist(), anchor_t["embedding"].to_pylist())
+    )
+    missing = [i for i in qids if i not in by_id]
+    if missing:
+        raise KeyError(f"anchor vec_ids not found in {path}: {missing}")
+    return np.stack([np.asarray(by_id[i], np.float64) for i in qids])
+
+
 def hybrid_rrf_documents(
     sf_dir: str,
     queries=None,
@@ -80,18 +110,7 @@ def hybrid_rrf_documents(
 
     lex = flagship.run_bm25_queries(sf_dir, queries=queries, k=n_each, algo=algo)
 
-    import pyarrow.parquet as pq
-
-    anchors = (
-        pq.read_table(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
-        .to_pandas()
-        .set_index("vec_id")
-    )
-    qmat = np.stack(
-        [np.asarray(anchors.loc[i, "embedding"], np.float64) for i in qids]
-    )
+    qmat = fetch_anchor_vectors(f"{sf_dir}/embeddings.parquet", qids)
     emb_ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     vec = similarity.knn_bruteforce(emb_ds, qmat, k=n_each)
     # knn qids are positional 0..nq-1 -> map back to battery qids

@@ -155,6 +155,13 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
         elif entries.get("docmeta", {}).get("status") == "done" and os.path.exists(
             out_stats
         ):  # already compacted against this exact tombstone set
+            # the sidecar carry runs AFTER the build phases, so a crash
+            # in that window leaves a half-written positions/ dir that
+            # this early return would otherwise never repair; the call
+            # is marker-idempotent (instant no-op once complete)
+            from .positions import compact_positions_sidecar
+
+            compact_positions_sidecar(index_dir, out_dir)
             with open(out_stats) as f:
                 return json.load(f)
 
@@ -236,8 +243,16 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
             ci = names["doc_id"]
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            raise ValueError(
+                f"merge_indexes: {d} yields no doc_id row-group statistics "
+                "(empty or stats-less docmeta) — cannot prove id-range "
+                "disjointness; rebuild the input index"
+            )
         spans.append((lo, hi, d))
     for (lo1, hi1, d1) in spans:
         for (lo2, hi2, d2) in spans:
@@ -247,9 +262,12 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
                     f"{d2} [{lo2},{hi2}] — merge needs disjoint id spaces"
                 )
 
+    # (abspath, tomb_hash) PAIRS sorted by path — a flattened sorted
+    # list would collide for two states whose multisets match while the
+    # dir->tombstone pairing differs, wrongly reusing a stale out_dir
     merge_hash = hashlib.sha256(json.dumps(sorted(
-        [os.path.abspath(d) for d in index_dirs]
-        + [hashlib.sha256(t.tobytes()).hexdigest() for t in tombs]
+        (os.path.abspath(d), hashlib.sha256(t.tobytes()).hexdigest())
+        for d, t in zip(index_dirs, tombs)
     )).encode()).hexdigest()[:16]
     out_stats = os.path.join(out_dir, "stats.json")
     out_man = os.path.join(out_dir, "manifest.json")
@@ -262,6 +280,15 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
         elif entries.get("docmeta", {}).get("status") == "done" and os.path.exists(
             out_stats
         ):
+            # repair a sidecar carry interrupted between build completion
+            # and sidecar completion (marker-idempotent, see compact)
+            from .positions import merge_positions_sidecars
+
+            tomb_all = (
+                np.unique(np.concatenate(tombs)) if any(len(t) for t in tombs)
+                else np.empty(0, dtype=np.int64)
+            )
+            merge_positions_sidecars(index_dirs, out_dir, tomb_all)
             with open(out_stats) as f:
                 return json.load(f)
 

@@ -4,14 +4,16 @@ The reference's core data is images on disk, md5-hashed and pushed
 through stateful model stages (/root/reference/db.py:106-134,
 gemini_api.py:29-87). Here the Ray-side plumbing is real and tested —
 opaque ``binary`` payload column + typed metadata, actor-pool decode /
-feature / resize stages with small batches for wide rows — while the
-actual codec work is STUBBED deterministically (no image/audio libs in
-this container):
+feature / resize stages with small batches for wide rows — and the
+codec work is layered by what this container can honestly do:
 
 - ``decode="fake"`` (default): deterministic pseudo-decode, metadata
   derived from payload bytes only — reproducible, oracle-able.
-- ``decode="real"``: raises NotImplementedError with instructions —
-  the marked seam where PIL/ffmpeg would plug in.
+- ``decode="real"``: stdlib-only container parse of real PNG / JPEG /
+  GIF / BMP / PPM headers (width, height, channels, bit depth); pixel
+  decode runs pure-numpy for the uncompressed formats (BMP, PPM) and
+  through PIL when installed for compressed ones — absent PIL, those
+  rows surface ``decode_error`` rather than fabricated pixels.
 
 Batch-size note: payloads at real scale are MBs; callers should pass
 ``batch_size`` small (e.g. 32) and rely on Arrow binary buffers staying

@@ -197,3 +197,37 @@ def test_merge_indexes_equals_single_build(tmp_path):
     build_index(ray.data.from_items(rows[10:25]), d, tokenizer="simple", num_shards=1)
     with pytest.raises(ValueError, match="overlap"):
         merge_indexes([a, d], str(tmp_path / "x2"))
+
+
+def test_compact_resume_repairs_interrupted_sidecar(tmp_path):
+    """A crash between build completion and sidecar completion leaves
+    positions/ absent (or half-written, markerless) while the manifest
+    says done; the next compact_index must repair the sidecar on its
+    early-return path instead of leaving phrase queries broken
+    (ADVICE r4, maintenance.py:159)."""
+    import shutil
+
+    from information_retrieval_images_ray.pipelines.positions import (
+        build_positions_sidecar,
+        positions_dir,
+        verify_phrase_positions,
+    )
+
+    src = str(tmp_path / "src")
+    rows = _mk_rows(80, seed=21)
+    build_index(ray.data.from_items(rows), src, **CFG)
+    build_positions_sidecar(ray.data.from_items(rows), src)
+    delete_docs(src, [0, 1])
+
+    out = str(tmp_path / "out")
+    stats = compact_index(src, out)
+    marker = os.path.join(positions_dir(out), "_positions.json")
+    assert os.path.exists(marker)
+
+    # simulate the crash window: build phases done, sidecar not
+    shutil.rmtree(positions_dir(out))
+    stats2 = compact_index(src, out)  # early-return path
+    assert stats2["n_docs"] == stats["n_docs"]
+    assert os.path.exists(marker), "resume did not repair the sidecar"
+    ids = np.array([r["doc_id"] for r in rows[2:]], dtype=np.int64)
+    assert len(verify_phrase_positions(out, ["dup", "zebra"], ids)) >= 0
