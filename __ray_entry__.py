@@ -368,6 +368,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_multimodal_features": lambda sf: multimodal.feature_table(
             multimodal.make_binary_corpus(docs(sf))
         ),
+        # real-pixel decode over genuine (PGM) images derived from the
+        # text bytes — pix_mean_e6 comes from decoded PIXELS and the
+        # oracle recomputes it over the utf-8 bytes in SQL
+        "q_pixel_decode": lambda sf: multimodal.decode_pipeline(
+            multimodal.make_image_corpus(docs(sf)), decode="real"
+        ).drop_columns(["payload", "payload_md5", "n_bytes", "decode_error"]),
         "q_multimodal_resize": lambda sf: multimodal.resize_pipeline(
             multimodal.make_binary_corpus(docs(sf))
         ),
@@ -1692,6 +1698,23 @@ SELECT doc_id,
   CAST(FLOOR(coalesce(max(CASE WHEN c=6 THEN mu END), 0)*1000000 + 0.5) AS BIGINT) AS f6_e6,
   CAST(FLOOR(coalesce(max(CASE WHEN c=7 THEN mu END), 0)*1000000 + 0.5) AS BIGINT) AS f7_e6
 FROM m GROUP BY doc_id
+""",
+        # the real-pixel path: payload is a 1 x n grayscale PGM of the
+        # utf-8 bytes, so decoded pixel mean == byte mean (both sides
+        # sum int-valued doubles then divide once -> bit-identical)
+        "q_pixel_decode": """
+WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  greatest(octet_length(encode(text)), 1) AS n
+           FROM documents),
+b AS (SELECT doc_id, n,
+        CASE WHEN length(hx) = 0 THEN 0
+             ELSE CAST(concat('0x', substr(hx, CAST(2*u.i + 1 AS INT), 2)) AS INT) END AS byte
+      FROM d CROSS JOIN LATERAL unnest(range(0, n)) AS u(i))
+SELECT doc_id, 'pgm' AS format,
+       CAST(n AS BIGINT) AS width, CAST(1 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(FLOOR(avg(byte * 1.0) * 1000000 + 0.5) AS BIGINT) AS pix_mean_e6
+FROM b GROUP BY doc_id, n
 """,
         "q_multimodal_resize": """
 WITH d AS (SELECT doc_id, strlen(text) AS n FROM documents),

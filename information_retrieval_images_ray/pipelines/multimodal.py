@@ -74,7 +74,163 @@ def parse_image_header(b: bytes) -> tuple[str, int, int, int] | None:
     if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", b[6:10])
         return "gif", w, h, 3
+    if len(b) >= 54 and b[:2] == b"BM":
+        w = struct.unpack("<i", b[18:22])[0]
+        h = abs(struct.unpack("<i", b[22:26])[0])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        return "bmp", w, h, {8: 1, 24: 3, 32: 4}.get(bpp, -1)
+    if len(b) >= 2 and b[:1] == b"P" and b[1:2] in b"2356":
+        hdr = _parse_pnm_header(b)
+        if hdr is not None:
+            magic, w, h, _, _ = hdr
+            return ("ppm" if magic in (b"P3", b"P6") else "pgm"), w, h, (
+                3 if magic in (b"P3", b"P6") else 1
+            )
     return None
+
+
+def _parse_pnm_header(b: bytes) -> tuple[bytes, int, int, int, int] | None:
+    """(magic, width, height, maxval, data_offset) for P2/P3/P5/P6 PNM
+    bytes; None when malformed. Handles '#' comments and arbitrary
+    whitespace per the netpbm spec."""
+    magic = b[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        return None
+    vals: list[int] = []
+    i = 2
+    n = len(b)
+    while len(vals) < 3 and i < n:
+        c = b[i:i + 1]
+        if c == b"#":  # comment to end of line
+            while i < n and b[i:i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and b[j:j + 1].isdigit():
+                j += 1
+            vals.append(int(b[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < 3 or i >= n or not b[i:i + 1].isspace():
+        return None
+    return magic, vals[0], vals[1], vals[2], i + 1
+
+
+def decode_bmp_pixels(b: bytes) -> np.ndarray:
+    """Pure-numpy pixel decode of an uncompressed (BI_RGB) BMP — 8-bit
+    paletted, 24-bit BGR or 32-bit BGRA — to an (H, W, C) uint8 array
+    in RGB channel order (the dependency-free half of the reference's
+    Image.open, caption_generator.py:10-17). Raises ValueError on
+    compressed or exotic variants (PIL's seam)."""
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack("<I", b[10:14])[0]
+    dib = struct.unpack("<I", b[14:18])[0]
+    if dib < 40:
+        raise ValueError(f"unsupported DIB header size {dib}")
+    w = struct.unpack("<i", b[18:22])[0]
+    h_raw = struct.unpack("<i", b[22:26])[0]
+    bpp = struct.unpack("<H", b[28:30])[0]
+    comp = struct.unpack("<I", b[30:34])[0]
+    if comp != 0:
+        raise ValueError(f"compressed BMP (method {comp}) needs PIL")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported bpp {bpp}")
+    if w <= 0 or h_raw == 0:
+        raise ValueError("bad dimensions")
+    h = abs(h_raw)
+    bottom_up = h_raw > 0
+    row = (w * bpp // 8 + 3) // 4 * 4
+    if data_off + row * h > len(b):
+        raise ValueError("truncated pixel data")
+    raw = np.frombuffer(b, np.uint8, count=row * h, offset=data_off)
+    raw = raw.reshape(h, row)
+    if bottom_up:
+        raw = raw[::-1]
+    if bpp == 8:
+        n_colors = struct.unpack("<I", b[46:50])[0] or 256
+        pal_off = 14 + dib
+        pal = np.frombuffer(b, np.uint8, count=n_colors * 4, offset=pal_off)
+        pal = pal.reshape(n_colors, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+        return np.ascontiguousarray(pal[raw[:, :w]])
+    c = bpp // 8
+    px = raw[:, : w * c].reshape(h, w, c)
+    order = [2, 1, 0] if c == 3 else [2, 1, 0, 3]  # BGR(A) -> RGB(A)
+    return np.ascontiguousarray(px[:, :, order])
+
+
+def decode_pnm_pixels(b: bytes) -> np.ndarray:
+    """Pure-numpy pixel decode of binary PPM/PGM (P5/P6, maxval<=255)
+    and their ASCII forms (P2/P3) to (H, W, C) uint8."""
+    hdr = _parse_pnm_header(b)
+    if hdr is None:
+        raise ValueError("not a PNM")
+    magic, w, h, maxval, off = hdr
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"16-bit PNM (maxval {maxval}) needs PIL")
+    c = 3 if magic in (b"P3", b"P6") else 1
+    need = w * h * c
+    if magic in (b"P5", b"P6"):
+        if off + need > len(b):
+            raise ValueError("truncated pixel data")
+        px = np.frombuffer(b, np.uint8, count=need, offset=off)
+    else:  # ASCII samples
+        toks = b[off:].split()
+        if len(toks) < need:
+            raise ValueError("truncated pixel data")
+        px = np.array([int(t) for t in toks[:need]], np.uint8)
+    return px.reshape(h, w, c)
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Deterministic 24-bit BI_RGB BMP encoder (test fixtures and
+    round-trip proofs; (H, W, 3) uint8 RGB in)."""
+    px = np.asarray(px, np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("need (H, W, 3) RGB")
+    h, w, _ = px.shape
+    row = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, row), np.uint8)
+    body[:, : w * 3] = px[::-1, :, [2, 1, 0]].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    )
+    return header + data
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """Deterministic binary P6/P5 PNM encoder ((H, W, 3) or (H, W, 1)
+    / (H, W) uint8 in)."""
+    px = np.asarray(px, np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    if c not in (1, 3):
+        raise ValueError("need 1 or 3 channels")
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def decode_pixels(b: bytes, pil=None) -> np.ndarray:
+    """Dispatch pixel decode: pure numpy for the uncompressed formats
+    (BMP, PPM/PGM), PIL (when provided) for compressed ones. Raises
+    ValueError when undecodable with what's available."""
+    if len(b) >= 2 and b[:2] == b"BM":
+        return decode_bmp_pixels(b)
+    if len(b) >= 2 and b[:1] == b"P" and b[1:2] in b"2356":
+        return decode_pnm_pixels(b)
+    if pil is not None:  # pragma: no cover - PIL absent in this container
+        import io
+
+        arr = np.asarray(pil.open(io.BytesIO(b)).convert("RGB"), np.uint8)
+        return arr
+    raise ValueError("compressed format needs PIL (not installed)")
 
 
 def make_binary_corpus(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
@@ -94,6 +250,33 @@ def make_binary_corpus(ds: ray.data.Dataset, text_col: str = "text") -> ray.data
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def make_image_corpus(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Derive a REAL-image binary corpus from a text table: each doc's
+    utf-8 bytes become the pixel row of a 1 x n grayscale binary PGM
+    (empty text -> a single zero pixel). Every payload is a genuine,
+    pixel-decodable image whose statistics are exactly expressible over
+    the source text in SQL — the oracle-checkable real-decode path."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch[text_col].to_pylist():
+            b = (t or "").encode("utf-8") or b"\x00"
+            payloads.append(
+                encode_ppm(np.frombuffer(b, np.uint8).reshape(1, len(b)))
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+                "kind": pa.array(["image"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 class DecodeStage:
     """Actor-pool decode: payload binary -> (md5, n_bytes, width,
     height, channels).
@@ -101,13 +284,14 @@ class DecodeStage:
     - ``decode="fake"`` (default): dimensions derived deterministically
       from the payload length (SQL-parity: width = n%97+16 etc.) — the
       oracle-checkable mode for opaque synthetic payloads.
-    - ``decode="real"``: REAL header decode — PNG/JPEG/GIF dimensions +
-      channel count parsed from the bytes (stdlib struct, no image
-      libs; ``parse_image_header``); non-image payloads get format
-      'unknown' and -1 dimensions. Full pixel decode (HxWxC arrays)
-      additionally needs PIL, probed once per actor in __init__ —
-      absent in this container, so ``self.pixels`` stays None and only
-      metadata is emitted (the documented seam boundary).
+    - ``decode="real"``: REAL header decode — PNG/JPEG/GIF/BMP/PNM
+      dimensions + channel count parsed from the bytes (stdlib struct,
+      ``parse_image_header``); non-image payloads get format 'unknown'
+      and -1 dimensions. Pixel decode runs pure-numpy for uncompressed
+      formats (BMP, PPM/PGM — ``decode_pixels``) emitting
+      ``pix_mean_e6``; compressed formats go through PIL (probed once
+      per actor in __init__) and, absent it, surface the reason in
+      ``decode_error`` with pix_mean_e6 = -1 — never fabricated pixels.
     """
 
     def __init__(self, decode: str = "fake"):
@@ -129,19 +313,32 @@ class DecodeStage:
         n = np.array([len(p or b"") for p in payloads], dtype=np.int64)
         if self.decode == "real":
             fmt, ws, hs, cs = [], [], [], []
+            means, errs = [], []
             for p in payloads:
-                parsed = parse_image_header(p or b"")
+                p = p or b""
+                parsed = parse_image_header(p)
                 if parsed is None:
                     fmt.append("unknown")
                     ws.append(-1)
                     hs.append(-1)
                     cs.append(-1)
-                else:
-                    f, w, h, c = parsed
-                    fmt.append(f)
-                    ws.append(int(w))
-                    hs.append(int(h))
-                    cs.append(int(c))
+                    means.append(-1)
+                    errs.append("unrecognized container")
+                    continue
+                f, w, h, c = parsed
+                fmt.append(f)
+                ws.append(int(w))
+                hs.append(int(h))
+                cs.append(int(c))
+                try:
+                    px = decode_pixels(p, pil=self.pixels)
+                    means.append(int(np.floor(px.mean() * 1e6 + 0.5)))
+                    errs.append("")
+                except (ValueError, OSError) as e:
+                    # real header, pixels out of reach (compressed format
+                    # without PIL / malformed body) — surfaced, never faked
+                    means.append(-1)
+                    errs.append(str(e))
             return pa.table(
                 {
                     "doc_id": batch["doc_id"],
@@ -151,6 +348,8 @@ class DecodeStage:
                     "width": pa.array(ws, pa.int64()),
                     "height": pa.array(hs, pa.int64()),
                     "channels": pa.array(cs, pa.int64()),
+                    "pix_mean_e6": pa.array(means, pa.int64()),
+                    "decode_error": pa.array(errs, pa.string()),
                     "payload": batch["payload"],
                 }
             )
@@ -227,6 +426,73 @@ def feature_table(ds: ray.data.Dataset, batch_size: int = 32) -> ray.data.Datase
         return pa.table(cols)
 
     return feature_pipeline(ds, batch_size).map_batches(explode, batch_format="pyarrow")
+
+
+class PixelFeatureStage:
+    """Actor-pool REAL-pixel featurizer: decode the payload (pure numpy
+    for BMP/PPM/PGM, PIL for compressed when installed) and emit a
+    deterministic grid-pooled feature — the image split into a
+    ``grid`` x ``grid`` lattice, per-cell per-RGB-channel mean — the
+    classic color-layout descriptor, and the dependency-free stand-in
+    for the reference's learned visual features (gemini_api.py:67-87).
+    Undecodable payloads emit a null feature + decode_error so the
+    pipeline keeps streaming at scale instead of dying on one bad blob.
+    """
+
+    def __init__(self, grid: int = 2):
+        self.grid = int(grid)
+        try:  # pragma: no cover - PIL absent in this container
+            from PIL import Image
+
+            self.pixels = Image
+        except ImportError:
+            self.pixels = None
+
+    def _pool(self, px: np.ndarray) -> list[float]:
+        if px.ndim == 2:
+            px = px[:, :, None]
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        px = px[:, :, :3].astype(np.float64)
+        g = self.grid
+        h, w = px.shape[:2]
+        ys = np.linspace(0, h, g + 1).astype(np.int64)
+        xs = np.linspace(0, w, g + 1).astype(np.int64)
+        out = []
+        for i in range(g):
+            for j in range(g):
+                cell = px[ys[i]:max(ys[i + 1], ys[i] + 1),
+                          xs[j]:max(xs[j + 1], xs[j] + 1)]
+                out.extend(float(cell[:, :, c].mean()) for c in range(3))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, errs = [], []
+        for p in batch["payload"].to_pylist():
+            try:
+                feats.append(self._pool(decode_pixels(p or b"", pil=self.pixels)))
+                errs.append("")
+            except (ValueError, OSError) as e:
+                feats.append([])  # empty, not null: fixed-arity consumers
+                errs.append(str(e))  # filter on decode_error == ""
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pixel_feature": pa.array(feats, pa.list_(pa.float64())),
+                "decode_error": pa.array(errs, pa.string()),
+            }
+        )
+
+
+def pixel_feature_pipeline(
+    ds: ray.data.Dataset, grid: int = 2, batch_size: int = 32
+) -> ray.data.Dataset:
+    """Real-pixel grid-pooled features as an actor-pool stage (small
+    batches — wide binary rows in, a fixed 3*grid^2-dim vector out)."""
+    return ds.map_batches(
+        PixelFeatureStage, fn_constructor_kwargs={"grid": grid},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 4),
+    )
 
 
 class ResizeStage:
