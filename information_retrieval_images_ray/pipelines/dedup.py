@@ -34,6 +34,7 @@ contract and mirrored in the SQL oracle.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -278,56 +279,74 @@ def decontaminate(
             }
         )
 
-    rows = ds.map_batches(fn, batch_format="pyarrow").materialize()
-    test_stats = (
-        rows.groupby("sh")
-        .aggregate(Count(alias_name="n_sh"), Sum("is_test", alias_name="n_test"))
-        .filter(expr="n_test >= 1")
-        .to_pandas()
-    )
-    empty = pd.DataFrame(
-        {"doc_id": pd.Series(dtype="int64"), "n_shared": pd.Series(dtype="int64")}
-    )
-    if test_stats.empty:
-        return empty
-    if max_group is not None:
-        hot = int((test_stats["n_sh"] > max_group).sum())
-        if hot:
-            print(f"[decontaminate] {hot} hot test-carried shingles over "
-                  f"max_group={max_group} dropped from the collision check")
-        test_stats = test_stats[test_stats["n_sh"] <= max_group]
-    contaminated = np.sort(test_stats["sh"].to_numpy(np.uint64))
-    if not len(contaminated):
-        return empty
-    cont_ref = ray.put(contaminated)
+    # The per-shingle row stream is corpus-token-sized and BOTH passes
+    # read it; spill it to compressed temp parquet instead of pinning it
+    # in the object store (a .materialize() here holds ~corpus-scale
+    # plasma+disk at 100 TB). write_parquet streams with backpressure;
+    # the two consumers then re-read from disk, not from plasma.
+    import glob as _glob
+    import shutil
+    import tempfile
 
-    def count_shared(batch: pa.Table) -> pa.Table:
-        cont = ray.get(cont_ref)  # plasma-shared per node
-        tst = batch["is_test"].to_numpy(zero_copy_only=False)
-        sh = batch["sh"].to_numpy(zero_copy_only=False)
-        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = (tst == 0) & (
-            cont[np.minimum(np.searchsorted(cont, sh), len(cont) - 1)] == sh
+    spill_dir = tempfile.mkdtemp(prefix="decon_rows_", dir="/tmp")
+    try:
+        ds.map_batches(fn, batch_format="pyarrow").write_parquet(spill_dir)
+        spill_files = sorted(_glob.glob(os.path.join(spill_dir, "*.parquet")))
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "n_shared": pd.Series(dtype="int64")}
         )
-        uids, cnts = np.unique(dids[mask], return_counts=True)
-        return pa.table(
-            {
-                "doc_id": pa.array(uids, pa.int64()),
-                "c": pa.array(cnts.astype(np.int64), pa.int64()),
-            }
+        if not spill_files:
+            return empty
+        rows = ray.data.read_parquet(spill_files)
+        test_stats = (
+            rows.groupby("sh")
+            .aggregate(Count(alias_name="n_sh"), Sum("is_test", alias_name="n_test"))
+            .filter(expr="n_test >= 1")
+            .to_pandas()
         )
+        if test_stats.empty:
+            return empty
+        if max_group is not None:
+            hot = int((test_stats["n_sh"] > max_group).sum())
+            if hot:
+                print(f"[decontaminate] {hot} hot test-carried shingles over "
+                      f"max_group={max_group} dropped from the collision check")
+            test_stats = test_stats[test_stats["n_sh"] <= max_group]
+        contaminated = np.sort(test_stats["sh"].to_numpy(np.uint64))
+        if not len(contaminated):
+            return empty
+        cont_ref = ray.put(contaminated)
 
-    out = (
-        rows.map_batches(count_shared, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("c", alias_name="n_shared"))
-        .to_pandas()
-    )
-    if out.empty:
-        return empty
-    return (
-        out.sort_values("doc_id").reset_index(drop=True).astype("int64")
-    )
+        def count_shared(batch: pa.Table) -> pa.Table:
+            cont = ray.get(cont_ref)  # plasma-shared per node
+            tst = batch["is_test"].to_numpy(zero_copy_only=False)
+            sh = batch["sh"].to_numpy(zero_copy_only=False)
+            dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (tst == 0) & (
+                cont[np.minimum(np.searchsorted(cont, sh), len(cont) - 1)] == sh
+            )
+            uids, cnts = np.unique(dids[mask], return_counts=True)
+            return pa.table(
+                {
+                    "doc_id": pa.array(uids, pa.int64()),
+                    "c": pa.array(cnts.astype(np.int64), pa.int64()),
+                }
+            )
+
+        out = (
+            ray.data.read_parquet(spill_files)
+            .map_batches(count_shared, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("c", alias_name="n_shared"))
+            .to_pandas()
+        )
+        if out.empty:
+            return empty
+        return (
+            out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+        )
+    finally:
+        shutil.rmtree(spill_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
