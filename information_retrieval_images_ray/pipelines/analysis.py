@@ -1029,10 +1029,14 @@ def autocomplete(
     vocabulary terms ranked by document frequency (df desc, term asc)
     — the suggest box every search engine serves. The dictionary is
     the distributed term_stats output; the tiny prefix battery rides
-    in the closure and each dictionary batch emits candidate hits only
-    (vectorized startswith), so the exchange is candidates-sized. The
-    index-backed online form is reader.expand_prefix + df ranking;
-    this is the exact batch form over the corpus."""
+    in the closure and each dictionary batch emits AT MOST k candidates
+    per prefix (vectorized startswith + per-batch top-k combiner — the
+    exact max-merge property: the global top-k is contained in the
+    union of per-batch top-ks), so the driver merge is bounded by
+    prefixes x k x num_batches even for a 1-char prefix over a 10^9
+    term vocabulary. The index-backed online form is
+    reader.expand_prefix + df ranking; this is the exact batch form
+    over the corpus."""
     stats = term_stats(ds, tokenizer)
 
     def match(batch: pa.Table) -> pa.Table:
@@ -1043,6 +1047,11 @@ def autocomplete(
             mask = pc.starts_with(batch["term"], p)
             sub = batch.filter(mask)
             if sub.num_rows:
+                order = pc.sort_indices(
+                    sub,
+                    sort_keys=[("df", "descending"), ("term", "ascending")],
+                )[: k]
+                sub = sub.take(order)
                 tbl_parts.append(
                     pa.table(
                         {

@@ -31,27 +31,30 @@ POST /reset-db over FastAPI) re-expressed as a dependency-free stdlib
                       is re-attached via POST /reload (or a restart).
   POST /reload        {} -> {"n_docs": n} — attach a (re)built index
                       from disk by swapping in a fresh actor pool.
-  POST /knn           {"vector": [float, ...], "limit": int=10,
+  POST /knn           {"vector": [float, ...] | "text": str,
+                       "limit": int=10,
                        "nprobe": int=4, "filter_col": str|null,
                        "filter_value": any, "hydrate": bool=true}
                       -> pure ANN ranking over the attached persisted
                       IVF index (the reference's search_by_embedding
-                      endpoint, vector_db.py:93-103 / server.py:147 —
-                      client supplies the query vector). Tombstone-
-                      aware like /hybrid; 409 when no vector index is
-                      attached.
-  POST /hybrid        {"query": str, "vector": [float, ...],
-                       "limit": int=10, "n_each": int=20,
+                      endpoint, vector_db.py:93-103 / server.py:147).
+                      The query vector comes from the client OR the
+                      server embeds ``text`` itself (the reference's
+                      search-time embed, server.py:135-140, re-done
+                      with the deterministic hashed-n-gram embedder —
+                      functions.embedder — at the index's dim).
+                      Tombstone-aware like /hybrid; 409 when no vector
+                      index is attached.
+  POST /hybrid        {"query": str, "vector": [float, ...] |
+                       "text": str, "limit": int=10, "n_each": int=20,
                        "nprobe": int=4, "hydrate": bool=true}
                       -> RRF fusion of the BM25 ranking for ``query``
                       and the ANN ranking for ``vector`` against the
                       persisted IVF index the server was started with
-                      (``vector_index_dir=``; 409 when absent). The
-                      vector comes from the client — the reference
-                      computes embeddings with an external model API
-                      (gemini_api.py), which this container cannot do,
-                      so the contract is the vector-DB-standard
-                      "client supplies the query vector".
+                      (``vector_index_dir=``; 409 when absent). With
+                      ``text`` and no ``vector``/``query``, the one
+                      string drives both sides — the full text-in
+                      hybrid loop, server-embedded.
 
 Design notes, deliberately NOT the reference's shape where the
 reference got it wrong: the heavy state (index shards) lives in the
@@ -83,11 +86,18 @@ class IndexHTTPServer:
     stops the listener and kills the actor pool."""
 
     def __init__(self, index_dir: str, num_actors: int = 2, port: int = 0,
-                 host: str = "127.0.0.1", vector_index_dir: str | None = None):
+                 host: str = "127.0.0.1", vector_index_dir: str | None = None,
+                 embedder=None):
         self.index_dir = index_dir
         self.num_actors = num_actors
         self.vector_index_dir = vector_index_dir
         self._ivf = None  # lazy IVFIndexReader over vector_index_dir
+        # server-side query embedder (reference embeds query TEXT at
+        # search time, server.py:135-140): any object with
+        # .embed([str]) -> (1, dim); default = the engine's own
+        # HashedNgramEmbedder at the attached index's dim, built
+        # lazily on the first text query
+        self.embedder = embedder
         self.service: ShardedQueryService | None = ShardedQueryService(
             index_dir, num_actors=num_actors
         )
@@ -199,8 +209,11 @@ class IndexHTTPServer:
                             self._json(409, {"error": "no vector index attached (vector_index_dir)"})
                             return
                         vec = req.get("vector")
+                        txt = req.get("text")
+                        if vec is None and isinstance(txt, str) and txt.strip():
+                            vec = outer.embed_text(txt)
                         if not isinstance(vec, list) or not vec:
-                            self._json(400, {"error": "\"vector\" must be a non-empty list of floats"})
+                            self._json(400, {"error": "need \"vector\" (non-empty list of floats) or \"text\" (str)"})
                             return
                         self._json(200, outer.knn(
                             vec,
@@ -215,11 +228,16 @@ class IndexHTTPServer:
                             self._json(409, {"error": "no vector index attached (vector_index_dir)"})
                             return
                         vec = req.get("vector")
+                        txt = req.get("text")
+                        if vec is None and isinstance(txt, str) and txt.strip():
+                            vec = outer.embed_text(txt)
                         if not isinstance(vec, list) or not vec:
-                            self._json(400, {"error": "\"vector\" must be a non-empty list of floats"})
+                            self._json(400, {"error": "need \"vector\" (non-empty list of floats) or \"text\" (str)"})
                             return
                         self._json(200, outer.hybrid(
-                            req.get("query", ""),
+                            # text-only hybrid: the same string drives
+                            # BOTH the lexical and the vector side
+                            req.get("query") or (txt if isinstance(txt, str) else ""),
                             vec,
                             k=int(req.get("limit", 10)),
                             n_each=int(req.get("n_each", 20)),
@@ -344,6 +362,22 @@ class IndexHTTPServer:
 
             self._ivf = IVFIndexReader(self.vector_index_dir, num_actors=self.num_actors)
         return self._ivf
+
+    def embed_text(self, text: str) -> list[float]:
+        """Server-side query embedding (the reference's search-time
+        text embed, server.py:135-140 -> embeddings.py:12-31): embed
+        with the configured embedder, or default to the engine's own
+        HashedNgramEmbedder at the attached IVF index's dim — matching
+        an index built by similarity.embed_text_pipeline with default
+        seed. Deterministic, so server-embedded text and a client
+        embedding the same text rank identically."""
+        if self.embedder is None:
+            from ..functions.embedder import HashedNgramEmbedder
+            from .similarity import _read_ivf_meta
+
+            dim = int(_read_ivf_meta(self.vector_index_dir)["dim"])
+            self.embedder = HashedNgramEmbedder(dim=dim)
+        return self.embedder.embed([text])[0].tolist()
 
     def _vector_topk(self, ivf, vector, n: int, nprobe: int, tombs,
                      filter_col: str | None = None, filter_value=None) -> pd.DataFrame:

@@ -44,6 +44,50 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+class TextEmbedStage:
+    """Actor-pool stage: text -> deterministic hashed-n-gram embedding
+    (functions.embedder). The embedder is built once per actor in
+    __init__; __call__ embeds the batch. Closes the reference's
+    text-embedding loop (embeddings.py:12-31) without any model dep —
+    the same embedder instance on the serving side embeds QUERY text
+    into the identical space (serving_http /knn, /hybrid)."""
+
+    def __init__(self, dim: int = 64, seed: int = 0,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        from ..functions.embedder import HashedNgramEmbedder
+
+        self.embedder = HashedNgramEmbedder(dim=dim, seed=seed)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = self.embedder.embed(batch[self.text_col].to_pylist())
+        return pa.table(
+            {
+                "vec_id": batch[self.id_col],
+                "embedding": pa.array(
+                    list(mat), pa.list_(pa.float64(), self.embedder.dim)
+                ),
+            }
+        )
+
+
+def embed_text_pipeline(
+    ds: ray.data.Dataset, dim: int = 64, seed: int = 0,
+    text_col: str = "text", id_col: str = "doc_id", batch_size: int = 256,
+) -> ray.data.Dataset:
+    """(vec_id, embedding) from a text table — feeds straight into
+    build_ivf_index / knn_bruteforce. Deterministic across runs and
+    nodes (md5-based feature hashing)."""
+    return ds.map_batches(
+        TextEmbedStage,
+        fn_constructor_kwargs={
+            "dim": dim, "seed": seed, "text_col": text_col, "id_col": id_col,
+        },
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8),
+    )
+
+
 def knn_bruteforce(
     ds: ray.data.Dataset,
     queries: np.ndarray,

@@ -398,6 +398,29 @@ def test_autocomplete_ranking():
     assert "zz" not in set(out["prefix"])
 
 
+def test_autocomplete_per_batch_topk_merges_exactly():
+    """The per-batch top-k combiner must preserve the global top-k
+    across many blocks: 60 terms matching one prefix spread over many
+    docs/blocks; global winners are the highest-df terms regardless of
+    which block carried them."""
+    import numpy as np
+
+    from information_retrieval_images_ray.pipelines.analysis import autocomplete
+
+    # term pre{i} appears in (i+1) docs -> df = i+1; highest dfs win
+    rows = []
+    did = 0
+    for i in range(60):
+        for _ in range(i + 1):
+            rows.append({"doc_id": did, "text": f"pre{i:02d} filler{did}"})
+            did += 1
+    docs = ray.data.from_items(rows).repartition(8)
+    out = autocomplete(docs, prefixes=("pre",), k=5)
+    assert out["term"].tolist() == [f"pre{i:02d}" for i in (59, 58, 57, 56, 55)]
+    assert out["df"].tolist() == [60, 59, 58, 57, 56]
+    assert out["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
 def test_distinctive_terms_log_odds():
     """Hand-built: each source's marker word wins rank 1 with the
     exact add-one log-odds value; shared filler never outranks it."""

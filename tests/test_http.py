@@ -547,3 +547,85 @@ def test_search_mode_multiplexing(server):
     want = serial(["alpha", "zebra"], lambda ids: verify_proximity_positions(
         idx, ["alpha", "zebra"], 6, ids))
     assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+
+
+# ---------------------------------------------------------------------------
+# server-side text embedding (/knn and /hybrid with "text")
+
+
+@pytest.fixture(scope="module")
+def text_embed_server(tmp_path_factory):
+    """Index + IVF built from the engine's OWN text embedder
+    (similarity.embed_text_pipeline), so the server can embed query
+    text into the same space — the reference's search-time embed loop
+    (server.py:135-140) closed end-to-end."""
+    rng = np.random.default_rng(55)
+    rows = [
+        {
+            "doc_id": i,
+            "content": " ".join(WORDS[j] for j in rng.integers(0, len(WORDS), 30)),
+            "lang": "en",
+        }
+        for i in range(50)
+    ]
+    idx = str(tmp_path_factory.mktemp("teidx"))
+    vidx = str(tmp_path_factory.mktemp("tevec")) + "/ivf"
+    build_index(ray.data.from_items(rows), idx, tokenizer="simple", num_shards=2)
+    from information_retrieval_images_ray.pipelines.similarity import (
+        build_ivf_index,
+        embed_text_pipeline,
+    )
+
+    emb = embed_text_pipeline(
+        ray.data.from_items(rows), dim=32, text_col="content"
+    )
+    build_ivf_index(emb, vidx, nlist=8)
+    srv = IndexHTTPServer(idx, num_actors=2, port=0, vector_index_dir=vidx).start()
+    yield srv, rows
+    srv.close()
+
+
+def test_knn_text_query_matches_client_vector(text_embed_server):
+    """POST /knn {"text": q} ranks EXACTLY like the client embedding
+    the same text with the same public embedder and posting the
+    vector; a doc's own content self-matches at rank 1 / sim 1."""
+    from information_retrieval_images_ray.functions.embedder import (
+        HashedNgramEmbedder,
+    )
+
+    srv, rows = text_embed_server
+    q = rows[13]["content"]
+    status, by_text = _req(srv.port, "/knn", {"text": q, "limit": 5, "nprobe": 8})
+    assert status == 200 and len(by_text) == 5
+    vec = HashedNgramEmbedder(dim=32).embed([q])[0].tolist()
+    _, by_vec = _req(srv.port, "/knn", {"vector": vec, "limit": 5, "nprobe": 8})
+    assert [h["doc_id"] for h in by_text] == [h["doc_id"] for h in by_vec]
+    assert by_text[0]["doc_id"] == 13 and abs(by_text[0]["sim"] - 1.0) < 1e-6
+
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(srv.port, "/knn", {"limit": 5})  # neither vector nor text
+    assert ei.value.code == 400
+
+
+def test_hybrid_text_only_drives_both_sides(text_embed_server):
+    """POST /hybrid {"text": q} == /hybrid {"query": q, "vector":
+    embed(q)} — one string, server-embedded, fused."""
+    from information_retrieval_images_ray.functions.embedder import (
+        HashedNgramEmbedder,
+    )
+
+    srv, rows = text_embed_server
+    q = rows[7]["content"]
+    status, by_text = _req(srv.port, "/hybrid", {"text": q, "limit": 10, "nprobe": 8})
+    assert status == 200 and len(by_text) > 0
+    vec = HashedNgramEmbedder(dim=32).embed([q])[0].tolist()
+    _, explicit = _req(srv.port, "/hybrid", {
+        "query": q, "vector": vec, "limit": 10, "nprobe": 8,
+    })
+    assert [h["doc_id"] for h in by_text] == [h["doc_id"] for h in explicit]
+    # the vector side self-matches doc 7 at rank 1 (fusion rank may
+    # differ — BM25 over a 30-token bag can prefer another doc)
+    h7 = next(h for h in by_text if h["doc_id"] == 7)
+    assert h7["vec_rank"] == 1

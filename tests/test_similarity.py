@@ -365,3 +365,49 @@ def test_real_decode_pipeline_emits_pixels_for_uncompressed(tmp_path):
     if not has_pil:
         assert len(feats.loc[2, "pixel_feature"]) == 0
         assert feats.loc[2, "decode_error"] != ""
+
+
+def test_hashed_ngram_embedder_properties():
+    """Determinism across instances, unit norm, zero for empty text,
+    seed/dim incompatibility by construction, and topical signal:
+    texts sharing words are closer than disjoint ones."""
+    from information_retrieval_images_ray.functions.embedder import (
+        HashedNgramEmbedder,
+    )
+
+    e = HashedNgramEmbedder(dim=64)
+    a = e.embed(["the quick brown fox", "", "   "])
+    b = HashedNgramEmbedder(dim=64).embed(["the quick brown fox"])
+    np.testing.assert_array_equal(a[0], b[0])  # cross-instance determinism
+    assert abs(np.linalg.norm(a[0]) - 1.0) < 1e-12
+    assert np.all(a[1] == 0) and np.all(a[2] == 0)  # empty -> zero vector
+
+    s = e.embed(["alpha beta gamma", "alpha beta delta", "xxqjz wvkpy mmnrt"])
+    assert s[0] @ s[1] > s[0] @ s[2]  # shared words -> higher cosine
+
+    assert not np.array_equal(
+        HashedNgramEmbedder(dim=64, seed=1).embed(["alpha"])[0],
+        HashedNgramEmbedder(dim=64, seed=2).embed(["alpha"])[0],
+    )
+    with pytest.raises(ValueError):
+        HashedNgramEmbedder(dim=0)
+
+
+def test_embed_text_pipeline_feeds_knn():
+    """embed_text_pipeline output drops straight into knn_bruteforce;
+    a doc queried by its own text self-matches at sim 1."""
+    from information_retrieval_images_ray.functions.embedder import (
+        HashedNgramEmbedder,
+    )
+    from information_retrieval_images_ray.pipelines.similarity import (
+        embed_text_pipeline,
+        knn_bruteforce,
+    )
+
+    rows = [{"doc_id": i, "text": f"topic{i % 5} word{i} filler common"}
+            for i in range(40)]
+    emb = embed_text_pipeline(ray.data.from_items(rows), dim=32)
+    q = HashedNgramEmbedder(dim=32).embed([rows[11]["text"]])
+    out = knn_bruteforce(emb, q, k=3)
+    assert int(out.iloc[0]["vec_id"]) == 11
+    assert int(out.iloc[0]["sim_e6"]) == 1_000_000
