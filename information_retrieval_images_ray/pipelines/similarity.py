@@ -358,6 +358,35 @@ def _tombstone_ids(index_dir: str) -> np.ndarray:
     return _pq.read_table(path)["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+def _write_clusters_direct(assigned: ray.data.Dataset, vectors_dir: str) -> int:
+    """Write hive ``cluster=K/part-0.parquet`` files straight out of the
+    groupby's reduce tasks — one file per cluster, written WHILE the
+    exchange drains (no separate full-dataset write pass after a global
+    sort). The ``cluster`` column lives in the dir name only, matching
+    the hive layout every reader/extend schema check expects. Returns
+    the number of rows written."""
+    import pyarrow.parquet as _pq
+
+    os.makedirs(vectors_dir, exist_ok=True)
+
+    def write_group(g: pa.Table) -> pa.Table:
+        cl = int(g["cluster"][0].as_py())
+        cdir = os.path.join(vectors_dir, f"cluster={cl}")
+        os.makedirs(cdir, exist_ok=True)
+        out = os.path.join(cdir, "part-0.parquet")
+        tmp = out + ".tmp"
+        _pq.write_table(g.drop_columns(["cluster"]), tmp)
+        os.replace(tmp, out)  # retry-safe: same cluster -> same path
+        return pa.table({"n": pa.array([g.num_rows], pa.int64())})
+
+    counts = (
+        assigned.groupby("cluster")
+        .map_groups(write_group, batch_format="pyarrow")
+        .sum("n")
+    )
+    return int(counts or 0)
+
+
 def build_ivf_index(
     ds: ray.data.Dataset, index_dir: str, nlist: int = 16, id_col: str = "vec_id",
 ) -> dict:
@@ -380,15 +409,18 @@ def build_ivf_index(
     os.makedirs(build_dir)
     cent = fit_centroids(ds, nlist, id_col=id_col)
     np.save(os.path.join(build_dir, "centroids.npy"), cent)
-    # sort by cluster BEFORE the hive write: without the co-locating
-    # exchange, file count = read-blocks x clusters (measured 65k tiny
-    # files at 1M vectors / nlist 256 — every later probe, attach and
-    # extend paid the per-file open cost); sorted, each cluster lands
-    # in ~1-2 contiguous blocks -> ~nlist files total. One range
-    # exchange, same shape as the text build's single groupby.
-    ivf_assign(ds, cent).sort("cluster").write_parquet(
-        os.path.join(build_dir, "vectors"), partition_cols=["cluster"]
-    )
+    # co-locate by cluster, then write EACH cluster's file directly
+    # from its reduce task (groupby().map_groups) instead of a global
+    # sort followed by a separate hive-write pass: the write overlaps
+    # the exchange (a cluster flushes to disk the moment its group
+    # materializes, while other groups are still shuffling), and the
+    # layout is exactly one file per cluster — the co-location that
+    # fixed the 65k-tiny-files / 23x cold-read regression, kept.
+    # Deterministic path + atomic replace make a retried reduce task
+    # rewrite its own file, never append beside it. Assumes one
+    # cluster's vectors fit a task heap (same bound the sorted hive
+    # write already imposed per output block).
+    _write_clusters_direct(ivf_assign(ds, cent), os.path.join(build_dir, "vectors"))
     meta = {
         "nlist": int(len(cent)), "dim": int(cent.shape[1]),
         "epochs": ["vectors"], "n_tombstones": 0, "gen": 0,
