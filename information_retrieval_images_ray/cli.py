@@ -22,6 +22,8 @@ verbs — reference vector_db.py create/insert/delete/search):
   python -m information_retrieval_images_ray vec-delete  --index DIR IDS...
   python -m information_retrieval_images_ray vec-compact --index DIR [--refit]
   python -m information_retrieval_images_ray vec-search  --index DIR "[...]" -k K
+  python -m information_retrieval_images_ray vec-search  --index DIR --text "..." -k K
+  python -m information_retrieval_images_ray vec-embed   --corpus PQ --out DIR --dim D
 
 ``extend`` diffs the corpus listing against the manifest's ingested
 files and indexes only the NEW files (the reference's re-run-to-extend
@@ -344,15 +346,44 @@ def cmd_vec_compact(args) -> int:
     return 0
 
 
+def cmd_vec_embed(args) -> int:
+    """Embed a text parquet into (vec_id, embedding) parquet with the
+    deterministic hashed-n-gram embedder — the corpus half of the
+    text->vector->index loop (then: vec-build --vectors OUT)."""
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.similarity import embed_text_pipeline
+
+    embed_text_pipeline(
+        ray.data.read_parquet(args.corpus, columns=[args.id_col, args.text_col]),
+        dim=args.dim, seed=args.seed,
+        text_col=args.text_col, id_col=args.id_col,
+    ).write_parquet(args.out)
+    print(json.dumps({"out": args.out, "dim": args.dim, "seed": args.seed}))
+    return 0
+
+
 def cmd_vec_search(args) -> int:
-    """ANN top-k for a JSON query vector (client-supplied, the
-    vector-DB-standard contract)."""
+    """ANN top-k for a JSON query vector — or raw --text, embedded
+    with the same hashed-n-gram embedder at the index's dim (the
+    reference's search-time text embed, server.py:135-140)."""
     _ensure_ray(args.num_cpus)
     import numpy as np
 
     from .pipelines.similarity import IVFIndexReader
 
-    vec = np.asarray(json.loads(args.vector), np.float64)
+    if args.vector is None and not args.text:
+        print("need a JSON vector argument or --text", file=sys.stderr)
+        return 2
+    if args.vector is not None:
+        vec = np.asarray(json.loads(args.vector), np.float64)
+    else:
+        from .functions.embedder import HashedNgramEmbedder
+        from .pipelines.similarity import _read_ivf_meta
+
+        dim = int(_read_ivf_meta(args.index)["dim"])
+        vec = HashedNgramEmbedder(dim=dim, seed=args.seed).embed([args.text])[0]
     reader = IVFIndexReader(args.index, num_actors=args.actors)
     try:
         out = reader.search(
@@ -495,8 +526,25 @@ def make_parser() -> argparse.ArgumentParser:
     vc.add_argument("--num-cpus", type=int, default=None)
     vc.set_defaults(func=cmd_vec_compact)
 
-    vs = sub.add_parser("vec-search", help="ANN top-k for a JSON query vector")
-    vs.add_argument("vector", help='JSON list of floats, e.g. "[0.1, 0.2, ...]"')
+    vm = sub.add_parser("vec-embed",
+                        help="embed a text parquet with the hashed-n-gram embedder")
+    vm.add_argument("--corpus", required=True, help="parquet with id + text columns")
+    vm.add_argument("--out", required=True, help="output parquet dir (vec_id, embedding)")
+    vm.add_argument("--dim", type=int, default=64)
+    vm.add_argument("--seed", type=int, default=0)
+    vm.add_argument("--text-col", default="text")
+    vm.add_argument("--id-col", default="doc_id")
+    vm.add_argument("--num-cpus", type=int, default=None)
+    vm.set_defaults(func=cmd_vec_embed)
+
+    vs = sub.add_parser("vec-search",
+                        help="ANN top-k for a JSON query vector or raw --text")
+    vs.add_argument("vector", nargs="?", default=None,
+                    help='JSON list of floats, e.g. "[0.1, 0.2, ...]" (or use --text)')
+    vs.add_argument("--text", default=None,
+                    help="raw query text, embedded server-side at the index dim")
+    vs.add_argument("--seed", type=int, default=0,
+                    help="embedder seed for --text (must match vec-embed)")
     vs.add_argument("--index", required=True)
     vs.add_argument("-k", type=int, default=10)
     vs.add_argument("--nprobe", type=int, default=4)

@@ -203,3 +203,38 @@ def test_query_modes(cli_index, capsys):
     fc = json.loads(lines[0])["facets"]
     assert fc == reader.facet_counts("get", ["lang"])
     assert json.loads(lines[-1])  # ranked hits still printed
+
+
+def test_vec_embed_and_text_search_verbs(tmp_path, capsys):
+    """vec-embed -> vec-build -> vec-search --text: the full
+    text->vector->index->query loop through the CLI; a doc queried by
+    its own text self-matches at rank 1."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from information_retrieval_images_ray.cli import main
+
+    corpus_pq = str(tmp_path / "docs.parquet")
+    rows = [f"topic{i % 4} token{i} shared words here" for i in range(30)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "text": pa.array(rows, pa.string()),
+    }), corpus_pq)
+
+    emb_dir = str(tmp_path / "emb")
+    idx = str(tmp_path / "ivf")
+    assert main(["vec-embed", "--corpus", corpus_pq, "--out", emb_dir,
+                 "--dim", "32"]) == 0
+    capsys.readouterr()
+    assert main(["vec-build", "--vectors", emb_dir, "--index", idx,
+                 "--nlist", "4"]) == 0
+    capsys.readouterr()
+    assert main(["vec-search", "--index", idx, "--text", rows[17],
+                 "-k", "3", "--nprobe", "4"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits[0]["vec_id"] == 17 and hits[0]["sim_e6"] == 1_000_000
+
+    # neither vector nor --text -> usage error, not a traceback
+    assert main(["vec-search", "--index", idx]) == 2
