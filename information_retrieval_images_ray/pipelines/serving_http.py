@@ -129,6 +129,20 @@ class IndexHTTPServer:
 
             def do_GET(self):
                 try:
+                    if self.path in ("/", "/ui"):
+                        # built-in search UI (the reference's frontend
+                        # view layer, Search.tsx, as one self-contained
+                        # page over the same POST /search contract)
+                        from .frontend import INDEX_HTML
+
+                        body = INDEX_HTML.encode()
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "text/html; charset=utf-8")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
                     if outer.service is None and self.path != "/stats":
                         self._json(409, {"error": "index was reset; rebuild and POST /reload"})
                         return

@@ -629,3 +629,19 @@ def test_hybrid_text_only_drives_both_sides(text_embed_server):
     # differ — BM25 over a 30-token bag can prefer another doc)
     h7 = next(h for h in by_text if h["doc_id"] == 7)
     assert h7["vec_rank"] == 1
+
+
+def test_ui_served_at_root(server):
+    """GET / (and /ui) returns the built-in search page — the
+    reference frontend's analogue (Search.tsx) over the same POST
+    /search contract, one self-contained HTML document."""
+    srv, _ = server
+    for path in ("/", "/ui"):
+        r = urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}", timeout=30)
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        body = r.read().decode()
+        # the page drives the documented JSON API, nothing else
+        for needle in ('"/search"', '"/facets"', '"/knn"', '"/hybrid"',
+                       "/stats", "<form", "more_like_this"):
+            assert needle in body, needle
