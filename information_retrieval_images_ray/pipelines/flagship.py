@@ -419,8 +419,9 @@ SYNONYMS = {
     "big": ("large", "huge"),
     "small": ("big",),
 }
-# Frozen wildcard battery: prefix-ish, suffix (leading-* -> per-shard
-# dictionary scan path), infix, contains, no-hit and exact (no star).
+# Frozen wildcard battery: prefix-ish, suffix (leading-* -> the
+# lazily-built per-shard REVERSED-term dictionary range), doubly-open
+# infix (the one remaining scan shape), no-hit and exact (no star).
 WILDCARD_QUERIES = [
     {"qid": 1, "pattern": "s*"},
     {"qid": 2, "pattern": "*er"},

@@ -175,6 +175,27 @@ class _ShardIndex:
         self.n_terms = len(self._terms)
         self.df_local_sum = int(self._df_local.sum())
 
+    def rev_terms(self):
+        """Reversed-term dictionary (terms codepoint-reversed, then
+        C-sorted), built lazily on the FIRST leading-``*`` wildcard
+        and cached for the shard's lifetime — suffix queries become
+        one contiguous prefix range on this array (the standard
+        reversed-dictionary trick; Lucene's ReverseStringFilter
+        sidecar field). Vectorized arrow build (utf8_reverse +
+        sort_indices), O(vocab) memory like the forward dictionary,
+        paid only by workloads that actually issue ``*tail``
+        patterns."""
+        rev = getattr(self, "_rev_terms", None)
+        if rev is None and self._terms is not None:
+            import pyarrow.compute as pc
+
+            flipped = pc.utf8_reverse(self._terms)
+            rev = pc.take(flipped, pc.sort_indices(flipped))
+            if isinstance(rev, pa.ChunkedArray):
+                rev = rev.combine_chunks()
+            self._rev_terms = rev
+        return rev
+
     def find(self, term: str) -> int | None:
         """Binary search the sorted term column; row index or None."""
         arr = self._terms
@@ -867,37 +888,52 @@ class IndexReader:
         ``*mid*``). The literal prefix before the first ``*`` prunes to
         one contiguous dictionary range (binary search, as in
         expand_prefix); the full pattern is then checked with one
-        compiled anchored regex. A leading ``*`` degrades to a per-shard
-        dictionary scan — at web scale that variant wants a
-        reversed-term dictionary sidecar (the standard trick); the scan
-        form here is exact and the seam is this method. Sorted + capped
-        like expand_prefix (mirrored by the oracle's ORDER BY/LIMIT)."""
+        compiled anchored regex. A leading ``*`` with a literal TAIL
+        (``*bar``, ``*mi*ar``) prunes the same way against the
+        per-shard REVERSED-term dictionary (built lazily, see
+        ``_ShardIndex.rev_terms``) — the suffix becomes a contiguous
+        prefix range on reversed terms, so neither anchored variant
+        ever scans the vocabulary. Only the doubly-open ``*mid*``
+        shape remains a scan (exact; the production answer for infix
+        at web scale is a term n-gram index, out of scope here).
+        Sorted + capped like expand_prefix (mirrored by the oracle's
+        ORDER BY/LIMIT)."""
         import re as _re
 
         pattern = pattern.lower()
         pfx = pattern.split("*", 1)[0]
+        sfx = pattern.rsplit("*", 1)[-1] if "*" in pattern else ""
         rx = _re.compile(
             ".*".join(_re.escape(p) for p in pattern.split("*")) + r"\Z")
         out: set[str] = set()
         for sh in self.shards:
             if sh is None or sh._terms is None:
                 continue
-            arr = sh._terms
             if pfx:
+                arr = sh._terms
+                probe, flip = pfx, False
+            elif sfx:
+                arr = sh.rev_terms()
+                probe, flip = sfx[::-1], True
+            else:
+                arr = sh._terms
+                probe, flip = "", False
+            if probe:
                 lo, hi = 0, len(arr)
                 while lo < hi:
                     mid = (lo + hi) // 2
-                    if arr[mid].as_py() < pfx:
+                    if arr[mid].as_py() < probe:
                         lo = mid + 1
                     else:
                         hi = mid
                 j = lo
                 while j < len(arr):
                     v = arr[j].as_py()
-                    if not v.startswith(pfx):
+                    if not v.startswith(probe):
                         break
-                    if rx.match(v):
-                        out.add(v)
+                    w = v[::-1] if flip else v
+                    if rx.match(w):
+                        out.add(w)
                     j += 1
             else:
                 for j in range(len(arr)):

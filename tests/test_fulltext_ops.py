@@ -113,6 +113,35 @@ def test_prefix_search_equals_or_of_expansions(reader):
     assert reader.search_prefix("zz", k=5) == []
 
 
+def test_wildcard_reversed_dict_matches_brute_scan(reader, tokens_of):
+    """Leading-* patterns route through the lazily-built reversed-term
+    dictionary (query.py _ShardIndex.rev_terms) and must expand to
+    EXACTLY the regex-scan answer; the reversed dict is built only
+    when a suffix pattern actually arrives."""
+    import re
+
+    vocab = sorted(set().union(*tokens_of.values()))
+
+    # forward pattern first: no shard builds the reversed dictionary
+    reader.expand_wildcard("s*am", max_expansions=64)
+    assert all(getattr(sh, "_rev_terms", None) is None
+               for sh in reader.shards if sh is not None)
+
+    for pat in ["*er", "*t", "*a*le", "*zzzz", "sort", "nosuchterm"]:
+        rx = re.compile(".*".join(re.escape(p) for p in pat.split("*")) + r"\Z")
+        expect = [t for t in vocab if rx.match(t)]
+        assert reader.expand_wildcard(pat, max_expansions=64) == expect[:64]
+        assert reader.expand_wildcard(pat, max_expansions=3) == expect[:3]
+
+    # suffix patterns DID build + cache the reversed dictionary
+    assert any(getattr(sh, "_rev_terms", None) is not None
+               for sh in reader.shards if sh is not None)
+    # doubly-open infix still matches the scan answer
+    rx = re.compile(r".*a.*\Z")
+    expect = [t for t in vocab if rx.match(t)]
+    assert reader.expand_wildcard("*a*", max_expansions=64) == expect[:64]
+
+
 def test_or_terms_single_equals_taat(reader):
     assert reader.search_or_terms(["batch"], k=25) == reader.search_taat("batch", k=25)
 
