@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         evaluation,
         flagship,
         hybrid,
+        export,
         multimodal,
         relational,
         similarity,
@@ -121,6 +122,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 reader.close()
 
         return knn_queries(sf_dir, run, k=10)
+
+    def training_export(sf_dir):
+        """The composed training-data export (quality filter -> exact
+        dedup -> hash split -> partitioned parquet): runs the full
+        pipeline to a scratch dir, returns the per-(split, lang)
+        summary computed from the WRITTEN files, then removes the
+        scratch output."""
+        import shutil
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="iri_export_")
+        try:
+            return export.export_training_data(docs(sf_dir), out)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
 
     def ivf_lifecycle(sf_dir, mode):
         """Persisted-IVF maintenance keys (the vector-side mirror of
@@ -294,6 +310,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # per-language keep rates of the Gopher filter
         "q_quality_filter_rates": lambda sf: analysis.quality_filter_rates(docs(sf)),
+        # the composed export: quality filter -> exact dedup -> hash
+        # split -> hive-partitioned parquet; summary from written files
+        "q_training_export": lambda sf: training_export(sf),
         # domain characterization: top log-odds terms per source
         "q_distinctive_terms": lambda sf: analysis.distinctive_terms(
             ray.data.read_parquet(
@@ -338,6 +357,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_winnow_overlap": lambda sf: dedup.winnow_overlap_pairs(docs(sf)),
         "q_embedding_neardup": lambda sf: similarity.embedding_near_dups(
             embs(sf), threshold=0.4, block_col="label"
+        ),
+        # the hashed-n-gram text embedder itself, exploded to its
+        # nonzero (doc_id, bucket, weight_e6) components — DuckDB
+        # replays the whole method (chr(0)-joined features -> md5
+        # bucket+sign -> integer signed sums -> one sqrt+divide)
+        "q_text_embed": lambda sf: similarity.text_embed_components(
+            ray.data.read_parquet(
+                f"{sf}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            dim=16,
         ),
         # -- similarity search (T1 vector analogue) --------------------------
         "q_knn_cosine": lambda sf: knn_queries(sf, similarity.knn_bruteforce, k=10),
@@ -1382,6 +1411,30 @@ FROM flags
 """
 
 
+def _training_export_sql() -> str:
+    """The composed-export oracle: the full quality-filter SQL as a
+    CTE, exact dedup (min doc_id per md5(text)) among keepers, the
+    md5-bucket split assignment, then the per-(split, lang) rollup —
+    the same composition the Ray pipeline streams."""
+    return f"""
+WITH qf AS ({_quality_filter_sql()}),
+kept AS (SELECT d.doc_id, d.text, d.lang, qf.n_tokens
+         FROM documents d JOIN qf USING (doc_id) WHERE qf.keep = 1),
+surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+final AS (SELECT k.doc_id, k.lang, k.n_tokens,
+                 CAST(concat('0x', substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 16))
+                      AS UBIGINT) % 100 AS b
+          FROM kept k JOIN surv USING (doc_id))
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM final GROUP BY 1, 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     return {
@@ -1484,6 +1537,7 @@ SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM document
         "q_spell_suggest": _spell_sql(),
         "q_repetition_stats": _repetition_sql(),
         "q_quality_filter": _quality_filter_sql(),
+        "q_training_export": _training_export_sql(),
         "q_length_histogram": f"""
 WITH dl AS (SELECT len({TOK_SQL}) AS n FROM documents)
 SELECT CAST((n // 10) * 10 AS BIGINT) AS bucket_lo,
@@ -1638,6 +1692,42 @@ pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
           WHERE a.fp IN (SELECT fp FROM eligible)
           GROUP BY 1, 2)
 SELECT doc_a, doc_b, CAST(c AS BIGINT) AS common FROM pairs WHERE c >= 2
+""",
+        # the embedder replayed in SQL: same normalized text, same
+        # chr(0)-joined feature strings, same md5 bucket/sign, integer
+        # signed sums per bucket, ONE double sqrt + divide at the end
+        # (exact-equality pattern shared with the BM25 oracles)
+        "q_text_embed": """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+words AS (
+  SELECT doc_id, 'w' || chr(0) || u.w AS feat
+  FROM norm, unnest(string_split(t, ' ')) AS u(w)
+  WHERE u.w <> ''
+),
+tris AS (
+  SELECT doc_id, 'c' || chr(0) || substr(t, CAST(g.i AS INTEGER), 3) AS feat
+  FROM norm, unnest(generate_series(1, length(t) - 2)) AS g(i)
+  WHERE length(t) >= 3
+),
+feats AS (SELECT * FROM words UNION ALL SELECT * FROM tris),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('0' || chr(0) || feat), 1, 16)) AS UBIGINT) AS h
+  FROM feats
+),
+comp AS (
+  SELECT doc_id, CAST(h % 16 AS BIGINT) AS bucket,
+         SUM(CASE WHEN (h >> 63) & 1 = 1 THEN -1 ELSE 1 END) AS w
+  FROM hashed GROUP BY 1, 2
+),
+nrm AS (SELECT doc_id, sqrt(SUM(CAST(w * w AS DOUBLE))) AS n FROM comp GROUP BY 1)
+SELECT c.doc_id, c.bucket,
+       CAST(FLOOR(CAST(c.w AS DOUBLE) / nrm.n * 1000000 + 0.5) AS BIGINT) AS weight_e6
+FROM comp c JOIN nrm USING (doc_id)
+WHERE c.w <> 0
 """,
         "q_embedding_neardup": """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

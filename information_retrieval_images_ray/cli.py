@@ -346,6 +346,29 @@ def cmd_vec_compact(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Composed training-data export: quality filter -> exact dedup ->
+    deterministic hash split -> hive-partitioned parquet + manifest
+    (pipelines/export.py). Prints the per-(split, lang) summary."""
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.export import export_training_data
+
+    ds = ray.data.read_parquet(
+        args.corpus, columns=[args.id_col, args.text_col, args.lang_col]
+    )
+    renames = {src: dst for src, dst in [
+        (args.id_col, "doc_id"), (args.text_col, "text"),
+        (args.lang_col, "lang"),
+    ] if src != dst}
+    if renames:
+        ds = ds.rename_columns(renames)
+    summary = export_training_data(ds, args.out, train=args.train, val=args.val)
+    print(summary.to_json(orient="records"))
+    return 0
+
+
 def cmd_vec_embed(args) -> int:
     """Embed a text parquet into (vec_id, embedding) parquet with the
     deterministic hashed-n-gram embedder — the corpus half of the
@@ -525,6 +548,18 @@ def make_parser() -> argparse.ArgumentParser:
                     help="nlist for --refit (default: keep current)")
     vc.add_argument("--num-cpus", type=int, default=None)
     vc.set_defaults(func=cmd_vec_compact)
+
+    ex = sub.add_parser("export",
+                        help="training-data export: filter+dedup+split -> parquet")
+    ex.add_argument("--corpus", required=True, help="parquet with id/text/lang")
+    ex.add_argument("--out", required=True, help="NEW output dir (hive-partitioned)")
+    ex.add_argument("--train", type=int, default=80, help="train bucket cut (of 100)")
+    ex.add_argument("--val", type=int, default=10, help="val bucket width (of 100)")
+    ex.add_argument("--id-col", default="doc_id")
+    ex.add_argument("--text-col", default="text")
+    ex.add_argument("--lang-col", default="lang")
+    ex.add_argument("--num-cpus", type=int, default=None)
+    ex.set_defaults(func=cmd_export)
 
     vm = sub.add_parser("vec-embed",
                         help="embed a text parquet with the hashed-n-gram embedder")

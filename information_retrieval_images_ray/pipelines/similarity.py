@@ -88,6 +88,45 @@ def embed_text_pipeline(
     )
 
 
+def text_embed_components(
+    ds: ray.data.Dataset, dim: int = 16, seed: int = 0,
+    text_col: str = "text", id_col: str = "doc_id", batch_size: int = 256,
+) -> ray.data.Dataset:
+    """Exploded embedding surface: one (doc_id, bucket, weight_e6) row
+    per NONZERO component of each doc's hashed-n-gram embedding — the
+    form that makes the embedder itself oracle-checkable (DuckDB
+    mirrors the full method bit-for-bit: chr(0)-joined feature strings
+    through md5, bucket ``h % dim``, sign ``h >> 63``, integer signed
+    sums, one double sqrt + divide — the established
+    sum-ints-then-divide-once exactness pattern). Streaming: the same
+    actor-pool stage shape as ``embed_text_pipeline``; the explode is
+    a vectorized nonzero scan, so output is bounded by
+    ``n_docs x dim`` thin rows regardless of text size."""
+
+    class ComponentStage:
+        def __init__(self):
+            from ..functions.embedder import HashedNgramEmbedder
+
+            self.embedder = HashedNgramEmbedder(dim=dim, seed=seed)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = self.embedder.embed(batch[text_col].to_pylist())
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            rows_idx, buckets = np.nonzero(mat)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[rows_idx], pa.int64()),
+                    "bucket": pa.array(buckets.astype(np.int64)),
+                    "weight_e6": pa.array(e6(mat[rows_idx, buckets])),
+                }
+            )
+
+    return ds.map_batches(
+        ComponentStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+
+
 def knn_bruteforce(
     ds: ray.data.Dataset,
     queries: np.ndarray,

@@ -238,3 +238,32 @@ def test_vec_embed_and_text_search_verbs(tmp_path, capsys):
 
     # neither vector nor --text -> usage error, not a traceback
     assert main(["vec-search", "--index", idx]) == 2
+
+
+def test_export_verb(tmp_path, capsys):
+    """export: quality-filter + dedup + split -> hive parquet; the
+    printed summary matches the manifest on disk."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from information_retrieval_images_ray.cli import main
+
+    good = ("the quick brown fox jumps over a lazy dog while many other "
+            "animals watch the bright summer sky and wonder about food "
+            "with great interest in every single moment of it")
+    corpus_pq = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(12), pa.int64()),
+        "text": pa.array([f"{good} extra token{i % 10}" for i in range(12)]),
+        "lang": pa.array(["en", "fr"] * 6),
+    }), corpus_pq)
+
+    out = str(tmp_path / "exp")
+    assert main(["export", "--corpus", corpus_pq, "--out", out]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    man = json.load(open(f"{out}/_export.json"))
+    assert man["partitions"] == summary
+    # docs 10, 11 duplicate 0, 1 -> 10 survivors
+    assert sum(p["n_docs"] for p in summary) == 10

@@ -411,3 +411,42 @@ def test_embed_text_pipeline_feeds_knn():
     out = knn_bruteforce(emb, q, k=3)
     assert int(out.iloc[0]["vec_id"]) == 11
     assert int(out.iloc[0]["sim_e6"]) == 1_000_000
+
+
+def test_text_embed_components_match_embedder():
+    """The exploded (doc_id, bucket, weight_e6) surface equals the
+    dense embedder's nonzero entries, independent of partitioning —
+    and empty text contributes no rows (zero vector)."""
+    import pandas as pd
+
+    from information_retrieval_images_ray.functions.embedder import (
+        HashedNgramEmbedder,
+    )
+    from information_retrieval_images_ray.pipelines.analysis import e6
+    from information_retrieval_images_ray.pipelines.similarity import (
+        text_embed_components,
+    )
+
+    rows = [{"doc_id": i, "text": f"topic{i % 3} word{i} shared filler"}
+            for i in range(25)] + [{"doc_id": 25, "text": "   "}]
+
+    def run(n_parts):
+        ds = ray.data.from_items(rows).repartition(n_parts)
+        return (
+            text_embed_components(ds, dim=16)
+            .to_pandas()
+            .sort_values(["doc_id", "bucket"])
+            .reset_index(drop=True)
+        )
+
+    got = run(1)
+    mat = HashedNgramEmbedder(dim=16).embed([r["text"] for r in rows])
+    r_idx, b = np.nonzero(mat)
+    want = pd.DataFrame({
+        "doc_id": pd.array([rows[i]["doc_id"] for i in r_idx], dtype="int64"),
+        "bucket": b.astype("int64"),
+        "weight_e6": e6(mat[r_idx, b]),
+    }).sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    assert got.equals(want)
+    assert 25 not in set(got["doc_id"])  # empty text -> zero vector -> no rows
+    assert run(5).equals(got)  # partitioning-invariant
