@@ -167,7 +167,7 @@ def cmd_serve(args) -> int:
 
     srv = IndexHTTPServer(
         args.index, num_actors=args.actors, port=args.port, host=args.host,
-        vector_index_dir=args.vector_index,
+        vector_index_dir=args.vector_index, corpus_path=args.corpus,
     )
     print(json.dumps({"listening": f"http://{args.host}:{srv.port}"}), flush=True)
     try:
@@ -511,6 +511,9 @@ def make_parser() -> argparse.ArgumentParser:
     v.add_argument("--num-cpus", type=int, default=None)
     v.add_argument("--vector-index", default=None,
                    help="persisted IVF index dir; enables POST /hybrid")
+    v.add_argument("--corpus", default=None,
+                   help="(doc_id, text) parquet; enables snippet "
+                        "highlighting on /search")
     v.set_defaults(func=cmd_serve)
 
     s = sub.add_parser("show", help="index stats + per-shard summary")

@@ -49,6 +49,9 @@ INDEX_HTML = """<!doctype html>
   .card .path { font-weight: 600; word-break: break-all; }
   .card .meta { color: var(--muted); font-size: 13px; }
   .card .score { color: var(--accent); font-variant-numeric: tabular-nums; }
+  .card .snip { margin-top: 4px; font-size: 13px; color: var(--muted); }
+  .card .snip em { font-style: normal; font-weight: 600;
+                   color: var(--fg); background: #fef08a; }
   .facet { display: flex; justify-content: space-between; font-size: 13px;
            padding: 2px 0; }
   .facet b { font-weight: 500; }
@@ -81,6 +84,7 @@ INDEX_HTML = """<!doctype html>
     </select>
     <input id="lang" placeholder="lang filter" size="8">
     <input id="limit" type="number" value="10" min="1" max="100" size="4">
+    <label><input type="checkbox" id="snip"> snippets</label>
     <button class="primary" type="submit">Search</button>
   </form>
   <div id="boolrow">
@@ -128,10 +132,16 @@ function card(hit) {
                 hit.lang ? "lang " + esc(hit.lang) : null,
                 hit.ext ? "ext " + esc(hit.ext) : null]
                .filter(Boolean).join(" &middot; ");
+  // the server <em>-marks query terms; escape everything else
+  const snip = hit.snippet
+    ? '<div class="snip">' + esc(hit.snippet)
+        .replace(/&lt;em&gt;/g, "<em>")
+        .replace(/&lt;\\/em&gt;/g, "</em>") + "&hellip;</div>"
+    : "";
   return '<div class="card"><div class="path">#' + hit.rank + " " +
     esc(name) + '</div><div class="meta">' + meta +
     ' &middot; <span class="score">' +
-    Number(score).toFixed(4) + "</span></div></div>";
+    Number(score).toFixed(4) + "</span></div>" + snip + "</div>";
 }
 
 async function run() {
@@ -149,6 +159,7 @@ async function run() {
     } else {
       const body = {query: q, limit, mode, offset};
       if (lang) body.lang = lang;
+      if ($("snip").checked) body.snippet = true;
       if (mode === "boolean") {
         body.must = $("must").value; body.should = $("should").value;
         body.must_not = $("must_not").value;

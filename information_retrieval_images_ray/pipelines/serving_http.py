@@ -3,10 +3,21 @@
 POST /reset-db over FastAPI) re-expressed as a dependency-free stdlib
 ``http.server`` JSON API over the sharded actor pool:
 
-  POST /search        {"query": str, "limit": int=10, "hydrate": bool=true}
+  POST /search        {"query": str, "limit": int=10, "hydrate": bool=true,
+                       "snippet": bool=false, "snippet_window": int=8}
                       -> ranked [{doc_id, rank, score, repo, path, ...}]
                       (reference's {md5, file_path, description,
-                      distance} hit shape, server.py:150-175)
+                      distance} hit shape, server.py:150-175).
+                      With ``snippet`` (needs the server started with
+                      ``corpus_path=``) each hit also carries
+                      {snippet, snip_start, n_match}: the best
+                      fixed-window highlight — same semantics as the
+                      q_snippets battery (max distinct query terms in
+                      the window, ties leftmost), query terms wrapped
+                      in <em></em>. Literal-term modes only (bm25,
+                      boolean, synonym, phrase, proximity); expansion
+                      modes (prefix/fuzzy/wildcard/more_like_this)
+                      return hits without snippets.
   GET  /doc/<doc_id>  -> the doc's metadata row (GET /get-image
                       analogue: the stored artifact for one hit)
   GET  /stats         -> index stats (the --show-db verb over HTTP)
@@ -80,6 +91,33 @@ from .query import hydrate_hits
 from .serving import ShardedQueryService
 
 
+def _best_window_tokens(
+    tokens: list[str], qterms: set[str], window: int,
+) -> tuple[int, int] | None:
+    """Token-domain mirror of ``positions.best_window_positions``
+    (same contract, asserted equal in tests/test_http.py): the start
+    maximizing DISTINCT query terms in ``[start, start+window-1]``,
+    candidate starts = query-term occurrence positions, ties leftmost.
+    Used by the serving layer where the hit's text is already in hand
+    (one page, k docs) — the positions-sidecar path would re-read what
+    the snippet render fetches anyway."""
+    pos: dict[str, list[int]] = {}
+    for i, t in enumerate(tokens):
+        if t in qterms:
+            pos.setdefault(t, []).append(i)
+    if not pos:
+        return None
+    starts = sorted({i for ps in pos.values() for i in ps})
+    best_s, best_n = starts[0], -1
+    for s in starts:
+        n = sum(
+            1 for ps in pos.values() if any(s <= p < s + window for p in ps)
+        )
+        if n > best_n:
+            best_s, best_n = s, n
+    return best_s, best_n
+
+
 class IndexHTTPServer:
     """Threaded JSON API over one index. ``port=0`` binds an ephemeral
     port (tests); ``start()`` serves in a daemon thread, ``close()``
@@ -87,10 +125,15 @@ class IndexHTTPServer:
 
     def __init__(self, index_dir: str, num_actors: int = 2, port: int = 0,
                  host: str = "127.0.0.1", vector_index_dir: str | None = None,
-                 embedder=None):
+                 embedder=None, corpus_path: str | None = None):
         self.index_dir = index_dir
         self.num_actors = num_actors
         self.vector_index_dir = vector_index_dir
+        # source corpus parquet (file or dir) with (doc_id, text) —
+        # enables "snippet": true on /search; reads are doc_id-pruned
+        # per page, never a scan. Docs ingested later over /extend are
+        # not in this file, so their hits render without snippets.
+        self.corpus_path = corpus_path
         self._ivf = None  # lazy IVFIndexReader over vector_index_dir
         # server-side query embedder (reference embeds query TEXT at
         # search time, server.py:135-140): any object with
@@ -196,6 +239,7 @@ class IndexHTTPServer:
                                     "max_edits", "prefix_len",
                                     "max_expansions", "window",
                                     "max_terms", "exclude_doc", "offset",
+                                    "snippet", "snippet_window",
                                 ) if kk in req},
                             ))
                         except ValueError as e:  # bad mode / bad param
@@ -352,7 +396,67 @@ class IndexHTTPServer:
                 for key, val in meta.get(r["doc_id"], {}).items():
                     if key not in r:
                         r[key] = val
+        if params.get("snippet") and rows:
+            self._attach_snippets(
+                rows, mode, query, params,
+                window=int(params.get("snippet_window", 8)),
+            )
         return rows
+
+    def _snippet_terms(self, mode: str, query: str, params: dict) -> set[str]:
+        """The literal term set a highlighter can mark for this mode —
+        empty for expansion modes, whose matched terms are dictionary
+        expansions the router doesn't retain per hit."""
+        tok = self.service._tok
+        if mode in ("bm25", "phrase", "proximity"):
+            return set(tok(query))
+        if mode == "boolean":
+            return set(tok(str(params.get("must", "")))) | set(
+                tok(str(params.get("should", "")))
+            )
+        if mode == "synonym":
+            from .flagship import SYNONYMS
+
+            toks = set(tok(query))
+            return toks | {s for t in toks for s in SYNONYMS.get(t, ())}
+        return set()
+
+    def _attach_snippets(self, rows: list[dict], mode: str, query: str,
+                         params: dict, window: int = 8) -> None:
+        """Add {snippet, snip_start, n_match} to each hit in place —
+        q_snippets semantics (best distinct-term window, leftmost tie),
+        query terms wrapped in <em></em>. One doc_id-pruned read of the
+        page's texts; hits without corpus text (e.g. /extend'd docs) or
+        in expansion modes are left untouched."""
+        if not self.corpus_path:
+            raise ValueError(
+                "snippet requested but the server has no corpus_path")
+        qterms = self._snippet_terms(mode, query, params)
+        if not qterms:
+            return
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(self.corpus_path, format="parquet").to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin([r["doc_id"] for r in rows]),
+        )
+        texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        tok = self.service._tok
+        for r in rows:
+            text = texts.get(r["doc_id"])
+            if text is None:
+                continue
+            tokens = tok(text)
+            got = _best_window_tokens(tokens, qterms, window)
+            if got is None:
+                continue
+            start, n_match = got
+            r["snip_start"] = start
+            r["n_match"] = n_match
+            r["snippet"] = " ".join(
+                f"<em>{w}</em>" if w in qterms else w
+                for w in tokens[start:start + window]
+            )
 
     def facets(self, query: str, cols: list[str],
                lang: str | None = None) -> dict:

@@ -41,7 +41,17 @@ def server(tmp_path_factory):
     ]
     idx = str(tmp_path_factory.mktemp("httpidx"))
     build_index(ray.data.from_items(rows), idx, tokenizer="simple", num_shards=2)
-    srv = IndexHTTPServer(idx, num_actors=2, port=0).start()
+    # the (doc_id, text) source parquet enables "snippet": true
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus_pq = str(tmp_path_factory.mktemp("httpcorpus") / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "text": pa.array([r["content"] for r in rows], pa.string()),
+    }), corpus_pq)
+    srv = IndexHTTPServer(idx, num_actors=2, port=0,
+                          corpus_path=corpus_pq).start()
     yield srv, idx
     srv.close()
 
@@ -645,3 +655,124 @@ def test_ui_served_at_root(server):
         for needle in ('"/search"', '"/facets"', '"/knn"', '"/hybrid"',
                        "/stats", "<form", "more_like_this"):
             assert needle in body, needle
+
+
+def test_best_window_tokens_matches_positions_semantics():
+    """The serving-layer token-domain window (_best_window_tokens)
+    must implement EXACTLY the positions.best_window_positions
+    contract: candidate starts = query-term occurrence positions,
+    score = distinct query terms in [s, s+window-1], ties leftmost.
+    Cross-checked against the numpy occurrence-anchored computation
+    lifted from positions.per_doc on random streams."""
+    from information_retrieval_images_ray.pipelines.serving_http import (
+        _best_window_tokens,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = WORDS + ["india", "juliet"]
+    for _ in range(300):
+        tokens = [vocab[j] for j in rng.integers(0, len(vocab),
+                                                 int(rng.integers(1, 60)))]
+        qn = int(rng.integers(1, 4))
+        qterms = {vocab[j] for j in rng.integers(0, len(vocab), qn)}
+        window = int(rng.integers(2, 9))
+        got = _best_window_tokens(tokens, qterms, window)
+        pos = {
+            t: np.array([i for i, x in enumerate(tokens) if x == t], np.int64)
+            for t in qterms
+            if t in tokens
+        }
+        if not pos:
+            assert got is None
+            continue
+        starts = np.unique(np.concatenate(list(pos.values())))
+        n = np.zeros(len(starts), np.int64)
+        for p in pos.values():
+            lo = np.searchsorted(p, starts)
+            hi = np.searchsorted(p, starts + window)
+            n += (hi > lo).astype(np.int64)
+        best = int(np.argmax(n))
+        assert got == (int(starts[best]), int(n[best]))
+
+
+def test_search_snippet(server):
+    """"snippet": true attaches {snippet, snip_start, n_match} to each
+    hit — the best distinct-term window with query terms <em>-marked,
+    recomputable from the corpus parquet."""
+    import pyarrow.parquet as pq
+
+    from information_retrieval_images_ray.functions.tokenizer import (
+        tokenize_simple,
+    )
+    from information_retrieval_images_ray.pipelines.serving_http import (
+        _best_window_tokens,
+    )
+
+    srv, _ = server
+    status, hits = _req(srv.port, "/search", {
+        "query": "alpha dup", "limit": 5, "snippet": True,
+    })
+    assert status == 200 and hits
+    t = pq.read_table(srv.corpus_path)
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    qterms = {"alpha", "dup"}
+    for h in hits:
+        tokens = tokenize_simple(texts[h["doc_id"]])
+        start, n_match = _best_window_tokens(tokens, qterms, 8)
+        assert h["snip_start"] == start and h["n_match"] == n_match >= 1
+        want = " ".join(
+            f"<em>{w}</em>" if w in qterms else w
+            for w in tokens[start:start + 8]
+        )
+        assert h["snippet"] == want
+        assert "<em>" in h["snippet"]
+
+    # custom window width flows through
+    status, narrow = _req(srv.port, "/search", {
+        "query": "alpha dup", "limit": 5, "snippet": True,
+        "snippet_window": 3,
+    })
+    assert status == 200
+    assert all(len(h["snippet"].split(" ")) <= 3 for h in narrow)
+
+
+def test_search_snippet_boolean_and_synonym_terms(server):
+    """boolean marks must+should terms; synonym marks the expanded
+    set (one-hop SYNONYMS, same expansion the scorer used)."""
+    srv, _ = server
+    status, hits = _req(srv.port, "/search", {
+        "query": "", "mode": "boolean", "must": "alpha", "should": "dup",
+        "limit": 3, "snippet": True,
+    })
+    assert status == 200 and hits
+    assert all("snippet" in h for h in hits)
+
+    status, hits = _req(srv.port, "/search", {
+        "query": "zebra", "mode": "synonym", "limit": 3, "snippet": True,
+    })
+    assert status == 200
+    # every returned snippet marks at least one term of the expansion
+    assert all("<em>" in h.get("snippet", "") for h in hits) or hits == []
+
+
+def test_search_snippet_expansion_modes_and_no_corpus(server, tmp_path):
+    """Expansion modes (prefix/fuzzy/wildcard) return hits WITHOUT
+    snippet fields; a server started without corpus_path 400s an
+    explicit error instead of guessing."""
+    srv, idx = server
+    status, hits = _req(srv.port, "/search", {
+        "query": "alp", "mode": "prefix", "limit": 3, "snippet": True,
+    })
+    assert status == 200 and hits
+    assert all("snippet" not in h for h in hits)
+
+    bare = IndexHTTPServer(idx, num_actors=1, port=0).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(bare.port, "/search", {
+                "query": "alpha", "limit": 3, "snippet": True,
+            })
+        assert ei.value.code == 400
+        assert "corpus_path" in json.loads(ei.value.read())["error"]
+    finally:
+        bare.close()
