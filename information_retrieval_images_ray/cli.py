@@ -257,6 +257,47 @@ def cmd_query(args) -> int:
         fc = reader.facet_counts(
             args.query, args.facets.split(","), doc_filter=doc_filter)
         print(json.dumps({"facets": fc}))
+    # --snippet-corpus: attach the best-window highlight per hit (same
+    # contract as HTTP "snippet": true; literal-term modes only)
+    snips: dict[int, dict] = {}
+    if getattr(args, "snippet_corpus", None) and hits:
+        import pyarrow.dataset as pads
+
+        from .pipelines.serving_http import _best_window_tokens
+
+        if mode in ("bm25", "phrase", "proximity"):
+            qterms = set(reader.tokenize(args.query))
+        elif mode == "boolean":
+            qterms = set(reader.tokenize(
+                f"{args.must or args.query} {args.should or ''}"))
+        elif mode == "synonym":
+            from .pipelines.flagship import SYNONYMS
+
+            t0 = set(reader.tokenize(args.query))
+            qterms = t0 | {s for t in t0 for s in SYNONYMS.get(t, ())}
+        else:
+            qterms = set()  # expansion modes: no literal terms to mark
+        if qterms:
+            t = pads.dataset(args.snippet_corpus, format="parquet").to_table(
+                columns=["doc_id", "text"],
+                filter=pads.field("doc_id").isin([int(d) for d, _ in hits]),
+            )
+            texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+            w = args.snippet_window
+            for d, _ in hits:
+                text = texts.get(int(d))
+                if text is None:
+                    continue
+                toks = reader.tokenize(text)
+                got = _best_window_tokens(toks, qterms, w)
+                if got is not None:
+                    s0, n = got
+                    snips[int(d)] = {
+                        "snip_start": s0, "n_match": n,
+                        "snippet": " ".join(
+                            f"<em>{x}</em>" if x in qterms else x
+                            for x in toks[s0:s0 + w]),
+                    }
     if args.hydrate:
         import pandas as pd
 
@@ -264,9 +305,16 @@ def cmd_query(args) -> int:
             {"doc_id": [d for d, _ in hits], "score": [s for _, s in hits]}
         )
         out = hydrate_hits(df, args.index)
+        if snips:
+            for col in ("snippet", "snip_start", "n_match"):
+                out[col] = [snips.get(int(d), {}).get(col)
+                            for d in out["doc_id"]]
         print(out.to_json(orient="records"))
     else:
-        print(json.dumps([{"doc_id": int(d), "score": s} for d, s in hits]))
+        print(json.dumps([
+            {"doc_id": int(d), "score": s, **snips.get(int(d), {})}
+            for d, s in hits
+        ]))
     return 0
 
 
@@ -498,6 +546,11 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("--facets", default=None,
                    help="comma-separated docmeta columns: also print "
                         "match-set facet counts")
+    q.add_argument("--snippet-corpus", dest="snippet_corpus", default=None,
+                   help="(doc_id, text) parquet: attach <em>-marked "
+                        "best-window snippets per hit (literal-term modes)")
+    q.add_argument("--snippet-window", dest="snippet_window", type=int,
+                   default=8)
     q.add_argument("--hydrate", action="store_true")
     q.add_argument("--lang", default=None,
                    help="restrict results to docs with this docmeta lang")

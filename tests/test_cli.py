@@ -267,3 +267,50 @@ def test_export_verb(tmp_path, capsys):
     assert man["partitions"] == summary
     # docs 10, 11 duplicate 0, 1 -> 10 survivors
     assert sum(p["n_docs"] for p in summary) == 10
+
+
+def test_query_snippet_corpus(cli_index, capsys, tmp_path):
+    """query --snippet-corpus: hits carry the <em>-marked best-window
+    snippet (HTTP "snippet": true contract), recomputable from the
+    corpus and the index's own tokenizer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from information_retrieval_images_ray.corpus import generate_corpus
+    from information_retrieval_images_ray.pipelines.query import IndexReader
+    from information_retrieval_images_ray.pipelines.serving_http import (
+        _best_window_tokens,
+    )
+
+    # doc_id = row position after the dense-assignment sort order
+    df = (
+        generate_corpus(120, 21).to_pandas()
+        .sort_values(["repo", "path", "commit", "content"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    corpus_pq = str(tmp_path / "snipcorpus.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(df)), pa.int64()),
+        "text": pa.array(df["content"], pa.string()),
+    }), corpus_pq)
+
+    rc = main(["query", "getUserName", "--index", cli_index, "-k", "3",
+               "--snippet-corpus", corpus_pq])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits and all(
+        {"snippet", "snip_start", "n_match"} <= set(h) for h in hits)
+    reader = IndexReader(cli_index)
+    qterms = set(reader.tokenize("getUserName"))
+    for h in hits:
+        toks = reader.tokenize(df["content"][h["doc_id"]])
+        start, n = _best_window_tokens(toks, qterms, 8)
+        assert (h["snip_start"], h["n_match"]) == (start, n)
+        assert "<em>" in h["snippet"]
+
+    # expansion mode: hits come back, snippets silently absent
+    rc = main(["query", "getuser*", "--index", cli_index, "-k", "3",
+               "--mode", "wildcard", "--snippet-corpus", corpus_pq])
+    assert rc == 0
+    whits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert whits and all("snippet" not in h for h in whits)
