@@ -15,7 +15,9 @@ Scale shape (the 100-TB contract):
   to a temp parquet (streamed, compressed — the decontaminate spill
   pattern) that both the dedup keep-set pass and the final write read
   back, so nothing corpus-sized is recomputed or pinned in plasma.
-- Dedup never shuffles text: a thin (md5, doc_id) stream feeds a
+- Dedup never shuffles OR re-hashes text: ``content_md5`` is stamped
+  while the text already streams through the quality spill, so the
+  keep-set pass is a column-pruned (doc_id, content_md5) read into a
   combiner-backed Min aggregate; only the surviving-id set travels,
   broadcast exact up to ``dedup_broadcast_max`` ids and as a Bloom
   filter beyond it (no false negatives — survivors are never lost;
@@ -23,10 +25,13 @@ Scale shape (the 100-TB contract):
 - Split assignment is md5(doc_id)-bucketed — stable under
   re-partitioning, resume and incremental extends, so a doc never
   migrates between splits as the corpus grows.
-- The output is partitioned by (split, lang): a failed run re-lands
-  whole partitions idempotently (write mode overwrites the dir), and
-  the summary is computed from the WRITTEN files (column-pruned read
-  of the thin columns), so what is reported is what is on disk.
+- The output is partitioned by (split, lang) and manifest-gated like
+  build_index: re-running a COMPLETED export is a no-op returning the
+  recorded summary; a crashed run (data present, no ``_export.json``)
+  restarts clean — the pipeline is deterministic, so the fresh pass
+  re-lands identical partitions. The summary is computed from the
+  WRITTEN files (column-pruned read), so what is reported is what is
+  on disk.
 """
 
 from __future__ import annotations
@@ -59,21 +64,50 @@ def export_training_data(
     parquet under ``out_dir``; returns the per-(split, lang) summary
     (n_docs, total_tokens, min/max doc_id) computed from the written
     output. ``ds`` must carry (doc_id, text, lang)."""
-    if os.path.exists(out_dir) and any(
-        not e.startswith("_") for e in os.listdir(out_dir)
-    ):
-        raise ValueError("export_training_data writes to a NEW directory")
+    data_dir = os.path.join(out_dir, "data")
+    manifest_path = os.path.join(out_dir, "_export.json")
+    if os.path.exists(manifest_path) and os.path.isdir(data_dir):
+        # completed export: idempotent no-op, summary from the manifest
+        # (the build_index is_done resume shape)
+        with open(manifest_path) as f:
+            parts = json.load(f)["partitions"]
+        cols = ["split", "lang", "n_docs", "total_tokens",
+                "min_doc_id", "max_doc_id"]
+        if not parts:  # empty export: keep the summary schema stable
+            return pd.DataFrame(columns=cols).astype(
+                {c: "int64" for c in cols[2:]})
+        return pd.DataFrame(parts)[cols]
+    if os.path.exists(out_dir):
+        leftovers = [e for e in os.listdir(out_dir)
+                     if e not in ("data", "_kept_tmp", "_export.json.tmp")]
+        if leftovers:
+            raise ValueError(
+                f"export_training_data writes to a NEW directory; {out_dir} "
+                f"holds foreign entries {leftovers[:5]}")
+        # crashed previous run (no manifest): restart clean — the
+        # pipeline is deterministic, so a fresh pass re-lands the same
+        # partitions
+        shutil.rmtree(data_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     kept_dir = os.path.join(out_dir, "_kept_tmp")
     shutil.rmtree(kept_dir, ignore_errors=True)
 
     # -- pass 1: the per-doc quality decision, spilled once ----------------
+    # content_md5 is stamped HERE, while the text already streams
+    # through this stage, so the dedup pass never re-reads or re-hashes
+    # the corpus text — it column-prunes the thin (doc_id, content_md5)
+    # pair out of the spill
     import pyarrow.compute as pc
 
     def keep_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(batch["keep"], 1)).select(
+        batch = batch.filter(pc.equal(batch["keep"], 1)).select(
             ["doc_id", "text", "lang", "n_tokens"]
         )
+        hx = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return batch.append_column("content_md5", pa.array(hx, pa.string()))
 
     (
         quality_filter(ds, tokenizer, passthrough=("text", "lang"))
@@ -81,19 +115,33 @@ def export_training_data(
         .write_parquet(kept_dir)
     )
 
-    # -- pass 2: dedup keep-set over the spill (thin md5/doc_id stream) ----
-    def md5_rows(batch: pa.Table) -> pa.Table:
-        hx = [
-            hashlib.md5((t or "").encode("utf-8")).hexdigest()
-            for t in batch["text"].to_pylist()
-        ]
-        return pa.table(
-            {"content_md5": pa.array(hx, pa.string()), "doc_id": batch["doc_id"]}
-        )
+    _SUMMARY_COLS = ["split", "lang", "n_docs", "total_tokens",
+                     "min_doc_id", "max_doc_id"]
+    if not (os.path.isdir(kept_dir)
+            and any(e.endswith(".parquet") for e in os.listdir(kept_dir))):
+        # the quality filter kept ZERO docs: a valid (if suspicious)
+        # outcome — land an empty export instead of crashing on the
+        # missing spill dir
+        shutil.rmtree(kept_dir, ignore_errors=True)
+        os.makedirs(data_dir, exist_ok=True)
+        summary = pd.DataFrame(columns=_SUMMARY_COLS).astype(
+            {c: "int64" for c in _SUMMARY_COLS[2:]})
+        manifest = {
+            "tokenizer": tokenizer, "train": train, "val": val,
+            "dedup": "exact-md5-min-id", "dedup_filter": "exact",
+            "n_distinct": 0, "partitions": [],
+        }
+        tmp = os.path.join(out_dir, "_export.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, manifest_path)
+        print(f"[export] quality filter kept 0 of the input docs; "
+              f"wrote an empty export to {out_dir}")
+        return summary
 
+    # -- pass 2: dedup keep-set over the spill (thin md5/doc_id stream) ----
     keep_tbl = (
-        ray.data.read_parquet(kept_dir, columns=["doc_id", "text"])
-        .map_batches(md5_rows, batch_format="pyarrow")
+        ray.data.read_parquet(kept_dir, columns=["doc_id", "content_md5"])
         .groupby("content_md5")
         .aggregate(Min("doc_id", alias_name="doc_id"))
     )
@@ -136,9 +184,9 @@ def export_training_data(
         )
         split = np.where(buckets < train, "train",
                          np.where(buckets < cut_val, "val", "test"))
+        batch = batch.drop_columns(["content_md5"])  # spill-internal
         return batch.append_column("split", pa.array(split.tolist(), pa.string()))
 
-    data_dir = os.path.join(out_dir, "data")
     (
         ray.data.read_parquet(kept_dir)
         .map_batches(finalize, batch_format="pyarrow")
@@ -172,5 +220,5 @@ def export_training_data(
     tmp = os.path.join(out_dir, "_export.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(out_dir, "_export.json"))
+    os.replace(tmp, manifest_path)
     return summary

@@ -73,9 +73,54 @@ def test_export_layout_summary_and_dedup(tmp_path):
     got = ray.data.read_parquet(os.path.join(out, "data")).to_pandas()
     assert sorted(got["doc_id"]) == list(range(20))
 
-    # guard: refuses a dirty output dir
+    # completed export: re-run is a manifest-gated NO-OP (same summary,
+    # no data rewrite)
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    again = export_training_data(ray.data.from_items(rows), out)
+    assert again.equals(summary)
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
+
+    # guard: refuses a dir holding anything that is not export state
+    foreign = str(tmp_path / "foreign")
+    os.makedirs(foreign)
+    open(os.path.join(foreign, "keep.txt"), "w").close()
     with pytest.raises(ValueError):
-        export_training_data(ray.data.from_items(rows), out)
+        export_training_data(ray.data.from_items(rows), foreign)
+
+
+def test_export_crash_resume_rebuilds_clean(tmp_path):
+    """A run that died before the manifest landed (data present, no
+    _export.json) restarts clean and re-lands identical output."""
+    rows = _corpus()
+    out = str(tmp_path / "exp")
+    first = export_training_data(ray.data.from_items(rows), out)
+    os.remove(os.path.join(out, "_export.json"))  # simulate the crash
+    second = export_training_data(ray.data.from_items(rows), out)
+    assert second.equals(first)
+    assert os.path.exists(os.path.join(out, "_export.json"))
+    got = ray.data.read_parquet(os.path.join(out, "data")).to_pandas()
+    assert sorted(got["doc_id"]) == list(range(20))
+    # the final output never carries the spill-internal md5 column
+    assert "content_md5" not in got.columns
+
+
+def test_export_all_filtered_lands_empty(tmp_path):
+    """A corpus the quality filter fully rejects lands an EMPTY export
+    (stable summary schema, manifest, empty data dir) instead of
+    crashing on the missing spill; re-run is the same no-op."""
+    rows = [{"doc_id": i, "text": BAD, "lang": "en"} for i in range(5)]
+    out = str(tmp_path / "exp")
+    summary = export_training_data(ray.data.from_items(rows), out)
+    assert list(summary.columns) == ["split", "lang", "n_docs",
+                                     "total_tokens", "min_doc_id",
+                                     "max_doc_id"]
+    assert len(summary) == 0
+    man = json.load(open(os.path.join(out, "_export.json")))
+    assert man["n_distinct"] == 0 and man["partitions"] == []
+    assert os.path.isdir(os.path.join(out, "data"))
+    assert not os.path.exists(os.path.join(out, "_kept_tmp"))
+    again = export_training_data(ray.data.from_items(rows), out)
+    assert again.equals(summary)
 
 
 def test_export_bloom_path_matches_exact(tmp_path):
