@@ -239,6 +239,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25_page": lambda sf: flagship.run_bm25_queries_page(
             sf, k=10, offset=10
         ),
+        # pseudo-relevance feedback (Rocchio-style): base top-5 as the
+        # feedback set, 8 expansion terms by summed-tf·idf, re-scored
+        # with expansion terms at 0.5·idf — all pure functions of the
+        # tf/df/dl tables, so fully SQL-mirrored
+        "q_bm25_prf": lambda sf: flagship.run_bm25_queries_prf(
+            sf, k=10, fb_docs=5, fb_terms=8, beta=0.5
+        ),
+        # Lucene-style explain: per-(qid, top-3 doc, matching term)
+        # BM25 component breakdown; contributions sum to the ranked
+        # score bitwise
+        "q_bm25_explain": lambda sf: flagship.run_bm25_explain(
+            sf, top_docs=3
+        ),
         "q_bm25_filtered": lambda sf: flagship.run_bm25_queries_filtered(sf, lang="fr", k=10, algo="bmw"),
         # phrase search: conjunctive candidates from the postings, then
         # distributed adjacency verification over a doc-id-pruned read
@@ -489,6 +502,76 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
        CAST(doc_id AS BIGINT) AS doc_id,
        CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS score_e6
 FROM ranked WHERE rnk <= 10
+"""
+
+
+def _explain_sql(top_docs: int = 3) -> str:
+    """Lucene-explain oracle: per (qid, ranked-top doc, matching query
+    term) BM25 contribution, from the SAME tf/df/dl/stats CTEs the
+    top-k oracle ranks with (query.py IndexReader.explain)."""
+    return f"""
+WITH {_bm25_cte_body()},
+contrib AS (
+  SELECT q.qid, tf.doc_id, q.term, tf.tf, df.df,
+         ln(1.0 + (s.n - df.df + 0.5)/(df.df + 0.5))
+           * tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*dl.dl/s.avgdl)) AS c
+  FROM queries q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s)
+SELECT CAST(c.qid AS BIGINT) AS qid, CAST(c.doc_id AS BIGINT) AS doc_id,
+       c.term, CAST(c.tf AS BIGINT) AS tf, CAST(c.df AS BIGINT) AS df,
+       CAST(FLOOR(c.c*1000000 + 0.5) AS BIGINT) AS contribution_e6
+FROM contrib c
+JOIN ranked r ON r.qid = c.qid AND r.doc_id = c.doc_id
+WHERE r.rnk <= {top_docs}
+"""
+
+
+def _prf_sql(k: int = 10, fb_docs: int = 5, fb_terms: int = 8,
+             beta: float = 0.5) -> str:
+    """Pseudo-relevance-feedback oracle (query.py
+    IndexReader.search_prf): base ranking -> top-``fb_docs`` feedback
+    set -> ``fb_terms`` expansion terms by summed-tf·idf (original
+    terms excluded, term-asc tie-break) -> weighted OR re-score
+    (original terms idf, expansion ``beta``·idf)."""
+    return f"""
+WITH {_bm25_cte_body()},
+fb AS (SELECT qid, doc_id FROM ranked WHERE rnk <= {fb_docs}),
+rel AS (SELECT f.qid, t.term, sum(t.tf) AS rtf
+        FROM fb f JOIN tf t ON t.doc_id = f.doc_id
+        GROUP BY 1, 2),
+cand AS (SELECT r.qid, r.term,
+                r.rtf * ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5)) AS sc
+         FROM rel r JOIN df d ON d.term = r.term CROSS JOIN stats s
+         WHERE NOT EXISTS (SELECT 1 FROM queries q
+                           WHERE q.qid = r.qid AND q.term = r.term)),
+expn AS (SELECT qid, term FROM (
+           SELECT qid, term,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sc DESC, term) AS rn
+           FROM cand) WHERE rn <= {fb_terms}),
+wterms AS (SELECT qid, term, 1.0 AS wmul FROM queries
+           UNION ALL SELECT qid, term, {beta} FROM expn),
+rescored AS (
+  SELECT w.qid, tf.doc_id,
+         sum( w.wmul * ln(1.0 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*dl.dl/s.avgdl)) ) AS score
+  FROM wterms w
+  JOIN tf ON tf.term = w.term
+  JOIN df ON df.term = w.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+reranked AS (SELECT qid, doc_id, score,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY score DESC, doc_id) AS rnk
+             FROM rescored)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS score_e6
+FROM reranked WHERE rnk <= {k}
 """
 
 
@@ -1479,6 +1562,8 @@ FROM ranked WHERE rnk BETWEEN 11 AND 20
         "q_bm25_filtered": _bm25_sql(
             ranked_where="WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'fr')"
         ),
+        "q_bm25_prf": _prf_sql(k=10, fb_docs=5, fb_terms=8, beta=0.5),
+        "q_bm25_explain": _explain_sql(top_docs=3),
         "q_map_at_k": _map_at_k_sql(),
         "q_mrr_at_k": _mrr_sql(),
         "q_overlap_topk": _overlap_topk_sql(),

@@ -222,6 +222,11 @@ def cmd_query(args) -> int:
             reader.tokenize(args.query), k=args.k,
             max_terms=args.max_terms, doc_filter=doc_filter,
         )
+    elif mode == "prf":
+        hits = reader.search_prf(
+            args.query, args.k, fb_docs=args.fb_docs,
+            fb_terms=args.fb_terms, beta=args.beta, doc_filter=doc_filter,
+        )
     elif mode in ("phrase", "proximity"):
         import os as _os
 
@@ -298,6 +303,17 @@ def cmd_query(args) -> int:
                             f"<em>{x}</em>" if x in qterms else x
                             for x in toks[s0:s0 + w]),
                     }
+    expl: dict[int, list[dict]] = {}
+    if getattr(args, "explain", False) and hits:
+        if mode != "bm25":
+            print("--explain is only available for --mode bm25",
+                  file=sys.stderr)
+            return 2
+        for e in reader.explain(args.query, [d for d, _ in hits]):
+            expl.setdefault(e["doc_id"], []).append({
+                "term": e["term"], "tf": e["tf"], "df": e["df"],
+                "idf": e["idf"], "contribution": e["contribution"],
+            })
     if args.hydrate:
         import pandas as pd
 
@@ -309,10 +325,14 @@ def cmd_query(args) -> int:
             for col in ("snippet", "snip_start", "n_match"):
                 out[col] = [snips.get(int(d), {}).get(col)
                             for d in out["doc_id"]]
+        if expl:
+            out["explanation"] = [expl.get(int(d), [])
+                                  for d in out["doc_id"]]
         print(out.to_json(orient="records"))
     else:
         print(json.dumps([
-            {"doc_id": int(d), "score": s, **snips.get(int(d), {})}
+            {"doc_id": int(d), "score": s, **snips.get(int(d), {}),
+             **({"explanation": expl[int(d)]} if int(d) in expl else {})}
             for d, s in hits
         ]))
     return 0
@@ -531,7 +551,7 @@ def make_parser() -> argparse.ArgumentParser:
                    help="bm25 mode: skip the first N ranks (deep paging)")
     q.add_argument("--mode", default="bm25",
                    choices=["bm25", "boolean", "prefix", "fuzzy", "wildcard", "synonym",
-                            "more_like_this", "phrase", "proximity"])
+                            "more_like_this", "phrase", "proximity", "prf"])
     q.add_argument("--must", default="", help="boolean mode: AND terms")
     q.add_argument("--should", default="", help="boolean mode: OR terms")
     q.add_argument("--must-not", dest="must_not", default="",
@@ -541,6 +561,15 @@ def make_parser() -> argparse.ArgumentParser:
                    default=64)
     q.add_argument("--max-terms", dest="max_terms", type=int, default=8,
                    help="more_like_this: tf-idf term budget")
+    q.add_argument("--fb-docs", dest="fb_docs", type=int, default=5,
+                   help="prf mode: pseudo-relevant feedback depth")
+    q.add_argument("--fb-terms", dest="fb_terms", type=int, default=8,
+                   help="prf mode: expansion term budget")
+    q.add_argument("--beta", type=float, default=0.5,
+                   help="prf mode: expansion term weight multiplier")
+    q.add_argument("--explain", action="store_true",
+                   help="bm25 mode: print the per-hit per-term BM25 "
+                        "breakdown (tf, df, idf, contribution)")
     q.add_argument("--window", type=int, default=8,
                    help="proximity mode: token span")
     q.add_argument("--facets", default=None,

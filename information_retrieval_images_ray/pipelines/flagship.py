@@ -313,7 +313,7 @@ def run_bm25_queries_dedup_build(
 
 
 def _run_battery(
-    index_dir: str, queries, k: int, algo: str, doc_filter=None
+    index_dir: str, queries, k: int, algo: str, doc_filter=None, **scorer_kw
 ) -> pd.DataFrame:
     import numpy as np
     import ray
@@ -327,7 +327,7 @@ def _run_battery(
         QueryScorer,
         fn_constructor_kwargs={
             "reader_ref": reader_ref, "k": k, "algo": algo,
-            "doc_filter": doc_filter,
+            "doc_filter": doc_filter, **scorer_kw,
         },
         batch_format="pandas",
         concurrency=2,
@@ -339,6 +339,52 @@ def _run_battery(
     out["score_e6"] = np.floor(out["score"].to_numpy(np.float64) * 1e6 + 0.5).astype(np.int64)
     out = out[["qid", "rank", "doc_id", "score_e6"]].astype("int64")
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+def run_bm25_queries_prf(
+    sf_dir: str, queries=BM25_QUERIES, k: int = 10, fb_docs: int = 5,
+    fb_terms: int = 8, beta: float = 0.5,
+) -> pd.DataFrame:
+    """The battery with pseudo-relevance-feedback expansion
+    (IndexReader.search_prf): base top-``fb_docs`` as the feedback
+    set, ``fb_terms`` expansion terms by summed-tf·idf (deterministic
+    term-asc tie-break), re-scored with original terms at idf weight
+    and expansion terms at ``beta``·idf. SQL-oracle-checkable because
+    every step (base ranking, term selection, weighted re-score) is a
+    pure function of the tf/df/dl tables."""
+    return _run_battery(
+        build_documents_index(sf_dir), queries, k, "prf",
+        fb_docs=fb_docs, fb_terms=fb_terms, beta=beta,
+    )
+
+
+def run_bm25_explain(
+    sf_dir: str, queries=BM25_QUERIES, top_docs: int = 3,
+) -> pd.DataFrame:
+    """Lucene-style score explanations for the battery's top
+    ``top_docs`` hits: one row per (qid, doc, matching query term)
+    with tf, exact global df and the e6-rounded BM25 contribution.
+    Per-doc contributions sum to the hit's ranked score bitwise
+    (IndexReader.explain). Driver-side loop is battery-sized (8
+    frozen queries), never data-sized."""
+    import numpy as np
+
+    reader = IndexReader(build_documents_index(sf_dir))
+    rows = []
+    for q in queries:
+        hits = reader.search_taat(q["query"], top_docs)
+        for e in reader.explain(q["query"], [d for d, _ in hits]):
+            rows.append((
+                q["qid"], e["doc_id"], e["term"], e["tf"], e["df"],
+                int(np.floor(e["contribution"] * 1e6 + 0.5)),
+            ))
+    out = pd.DataFrame(
+        rows, columns=["qid", "doc_id", "term", "tf", "df",
+                       "contribution_e6"],
+    )
+    for c in ("qid", "doc_id", "tf", "df", "contribution_e6"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["qid", "doc_id", "term"]).reset_index(drop=True)
 
 
 def segment_summary(sf_dir: str) -> pd.DataFrame:

@@ -79,6 +79,7 @@ INDEX_HTML = """<!doctype html>
       <option value="wildcard">wildcard</option>
       <option value="synonym">synonym</option>
       <option value="more_like_this">more_like_this</option>
+      <option value="prf">prf (feedback)</option>
       <option value="knn">knn (vector)</option>
       <option value="hybrid">hybrid (rrf)</option>
     </select>

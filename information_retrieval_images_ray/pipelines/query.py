@@ -293,6 +293,7 @@ class IndexReader:
         ``cache_bytes`` bounds the reader-wide decoded-partial LRU
         (split evenly across owned shards; 0 disables) — hot terms'
         postings decode once, repeat queries reuse them."""
+        self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.params = BM25Params(self.stats["k1"], self.stats["b"])
@@ -538,6 +539,129 @@ class IndexReader:
                                     weights=weights)
         hits = [(d, s) for d, s in hits if d != exclude_doc]
         return hits[:k]
+
+    def explain(
+        self, query: str, doc_ids, weights: dict[str, float] | None = None,
+        df_override: dict[str, int] | None = None,
+    ) -> list[dict]:
+        """Lucene-style scoring explanation: for each requested doc and
+        each query term the doc contains, the BM25 components —
+        ``tf`` (term frequency in the doc), ``df`` (exact global
+        document frequency), ``idf``, ``dl`` (doc length), the
+        length-normalized tf ``partial``, and ``contribution =
+        idf * partial``. A doc's contributions sum to exactly its
+        ``search_taat`` score (same float64 adds in the same
+        term-ascending order), so explain is an audit of the ranked
+        page, not a second scorer. Tombstoned docs are skipped (they
+        can never appear on a ranked page). Rows come back
+        (doc_id asc, term asc); an explanation is per-query-rare, so
+        the full posting decode per term reuses the shard row access
+        the scorer itself uses.
+
+        Sharded serving passes ``weights`` (global idf from the
+        router's df exchange) and ``df_override`` (the summed global
+        df) — a shard-subset reader's own df is shard-local."""
+        targets = np.asarray(
+            sorted({int(d) for d in doc_ids}), dtype=np.int64)
+        if len(self.tombstones):
+            from .maintenance import is_tombstoned
+
+            targets = targets[~is_tombstoned(self.tombstones, targets)]
+        if not len(targets):
+            return []
+        uniq = sorted(set(self.tokenize(query)))
+        k1, b = self.params.k1, self.params.b
+        rows: list[dict] = []
+        for t, w, locs in self._term_infos(uniq, weights):
+            df_global = (
+                df_override[t] if df_override is not None and t in df_override
+                else sum(self.shards[s].df_local_at(i) for s, i in locs)
+            )
+            for s, i in locs:
+                sh = self.shards[s]
+                in_span = targets[(targets >= sh.lo) & (targets < sh.hi)]
+                if not len(in_span):
+                    continue
+                ids_u, tfs = decode_all_blocks(sh.row(i), self.block_size)
+                ids = ids_u.astype(np.int64)
+                pos = np.searchsorted(ids, in_span)
+                pos_c = np.minimum(pos, max(len(ids) - 1, 0))
+                hit = (pos < len(ids)) & (ids[pos_c] == in_span)
+                for d, p in zip(in_span[hit], pos_c[hit]):
+                    tf = float(tfs[p])
+                    dl = float(self.doc_len[d])
+                    part = tf * (k1 + 1.0) / (
+                        tf + k1 * (1.0 - b + b * dl / self.avgdl))
+                    rows.append({
+                        "doc_id": int(d), "term": t, "tf": int(tfs[p]),
+                        "df": int(df_global), "idf": w, "dl": int(dl),
+                        "partial": part, "contribution": w * part,
+                    })
+        rows.sort(key=lambda r: (r["doc_id"], r["term"]))
+        return rows
+
+    def search_prf(
+        self, query: str, k: int = 10, fb_docs: int = 5, fb_terms: int = 8,
+        beta: float = 0.5, doc_filter=None,
+    ) -> list[tuple[int, float]]:
+        """Pseudo-relevance-feedback retrieval (Rocchio-style query
+        expansion, public IR knowledge — Rocchio 1971, RM3 family):
+
+        1. Score the original query, take the top ``fb_docs`` hits as
+           the (pseudo-)relevant set.
+        2. Pull the feedback docs' term frequencies from the index's
+           own ``docterms`` checkpoint — a doc_id-pruned parquet read
+           (predicate pushdown; only the row groups holding the
+           feedback ids are touched), never the corpus text.
+        3. Select the ``fb_terms`` expansion terms by
+           ``(sum of tf over feedback docs) * idf``, original query
+           terms excluded, ties broken term-ascending (the
+           deterministic MLT cut).
+        4. Re-score with OR-of-terms: original terms at full idf
+           weight, expansion terms at ``beta * idf`` — identical
+           accumulators to ``search_taat``.
+
+        Feedback docs stay eligible for the final page (standard PRF).
+        Returns [] when the base query matches nothing."""
+        base = self.search_taat(query, fb_docs, doc_filter=doc_filter)
+        if not base:
+            return []
+        fb_ids = sorted(int(d) for d, _ in base)
+
+        import pyarrow.dataset as pads
+
+        dt_dir = os.path.join(self.index_dir, "docterms")
+        if not os.path.isdir(dt_dir):
+            raise FileNotFoundError(
+                f"search_prf needs the docterms checkpoint at {dt_dir} "
+                "(present on any build_index output)")
+        tbl = pads.dataset(dt_dir, format="parquet").to_table(
+            columns=["doc_id", "terms", "tfs"],
+            filter=pads.field("doc_id").isin(fb_ids),
+        )
+        rel_tf: dict[str, int] = {}
+        for terms, tfs in zip(tbl["terms"].to_pylist(), tbl["tfs"].to_pylist()):
+            for t, f in zip(terms, tfs):
+                rel_tf[t] = rel_tf.get(t, 0) + int(f)
+
+        orig = sorted(set(self.tokenize(query)))
+        orig_set = set(orig)
+        cand = [t for t in rel_tf if t not in orig_set]
+        dfs = self.df_locals(sorted(cand))
+        scored = [
+            (t, rel_tf[t] * idf_fn(self.n_docs, d))
+            for t, d in dfs.items() if d
+        ]
+        scored.sort(key=lambda e: (-e[1], e[0]))
+        expansion = [t for t, _ in scored[:fb_terms]]
+
+        orig_dfs = self.df_locals(orig)
+        w = {t: idf_fn(self.n_docs, d) for t, d in orig_dfs.items()}
+        exp_dfs = self.df_locals(expansion)
+        w.update({t: beta * idf_fn(self.n_docs, d)
+                  for t, d in exp_dfs.items()})
+        return self.search_or_terms(
+            orig + expansion, k, doc_filter=doc_filter, weights=w)
 
     def _resolve_filter(self, doc_filter) -> np.ndarray | None:
         """None | precomputed bool mask | ("col", "value") tuple."""
@@ -1287,6 +1411,9 @@ class QueryScorer:
         algo: str = "taat",
         reader_ref=None,
         doc_filter=None,
+        fb_docs: int = 5,
+        fb_terms: int = 8,
+        beta: float = 0.5,
     ):
         if reader_ref is not None:
             import ray as _ray
@@ -1296,6 +1423,7 @@ class QueryScorer:
             self.reader = IndexReader(index_dir)
         self.k = k
         self.algo = algo
+        self.fb_docs, self.fb_terms, self.beta = fb_docs, fb_terms, beta
         # resolve ("col", value) -> mask ONCE per actor, not per batch
         # (the plasma-shared reader's mask cache is per-actor local)
         self.doc_filter = (
@@ -1303,9 +1431,16 @@ class QueryScorer:
         )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        search = (
-            self.reader.search_bmw if self.algo == "bmw" else self.reader.search_taat
-        )
+        if self.algo == "prf":
+            def search(query, k, doc_filter=None):
+                return self.reader.search_prf(
+                    query, k, fb_docs=self.fb_docs, fb_terms=self.fb_terms,
+                    beta=self.beta, doc_filter=doc_filter)
+        else:
+            search = (
+                self.reader.search_bmw if self.algo == "bmw"
+                else self.reader.search_taat
+            )
         out = {"qid": [], "rank": [], "doc_id": [], "score": []}
         for qid, query in zip(batch["qid"], batch["query"]):
             for rank, (doc, score) in enumerate(

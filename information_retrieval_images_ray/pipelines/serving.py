@@ -144,6 +144,16 @@ class ShardQueryActor:
                 out.append((q["qid"], d, s))
         return out
 
+    def explain(
+        self, query: str, doc_ids: list[int],
+        weights: dict[str, float], df_override: dict[str, int],
+    ) -> list[dict]:
+        """Per-(owned doc, term) BM25 breakdown; the router supplies
+        global idf weights and global df from its df exchange (this
+        reader's own df would be shard-local)."""
+        return self.reader.explain(query, doc_ids, weights=weights,
+                                   df_override=df_override)
+
     def ready(self) -> bool:
         return True
 
@@ -427,6 +437,111 @@ class ShardedQueryService:
                 out.append({"qid": qid, "rank": rank,
                             "doc_id": r["doc_id"], "score": r["score"]})
         return out
+
+    def topk_prf(
+        self, queries: list[dict], k: int = 10, fb_docs: int = 5,
+        fb_terms: int = 8, beta: float = 0.5, doc_filter=None,
+    ) -> list[dict]:
+        """Pseudo-relevance feedback through the pool (the sharded
+        form of IndexReader.search_prf — rank-identical by
+        construction). Protocol: (1) base scatter-gather top-fb_docs;
+        (2) ONE doc_id-pruned parquet read of the index's docterms
+        checkpoint for all queries' feedback docs (router-side,
+        feedback-sized — never corpus-sized); (3) one df exchange over
+        original + candidate terms -> exact global idf -> router-side
+        expansion cut (summed-tf·idf, term-asc ties); (4) weighted
+        OR-of-terms scatter-gather (originals at idf, expansions at
+        beta·idf) and the usual merge."""
+        import os
+
+        base = self.topk(queries, k=fb_docs, algo="taat",
+                         doc_filter=doc_filter)
+        fb_per_q: dict[int, list[int]] = defaultdict(list)
+        for r in base:
+            fb_per_q[r["qid"]].append(int(r["doc_id"]))
+        all_fb = sorted({d for ids in fb_per_q.values() for d in ids})
+        per_doc: dict[int, tuple[list, list]] = {}
+        if all_fb:
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(
+                os.path.join(self.index_dir, "docterms"), format="parquet",
+            ).to_table(columns=["doc_id", "terms", "tfs"],
+                       filter=pads.field("doc_id").isin(all_fb))
+            for d, ts, fs in zip(tbl["doc_id"].to_pylist(),
+                                 tbl["terms"].to_pylist(),
+                                 tbl["tfs"].to_pylist()):
+                per_doc[int(d)] = (ts, fs)
+
+        orig = {q["qid"]: sorted(set(self._tok(q["query"]))) for q in queries}
+        rel: dict[int, dict[str, int]] = {}
+        for q in queries:
+            acc: dict[str, int] = {}
+            for d in fb_per_q.get(q["qid"], []):
+                ts, fs = per_doc.get(d, ((), ()))
+                for t, f in zip(ts, fs):
+                    acc[t] = acc.get(t, 0) + int(f)
+            rel[q["qid"]] = acc
+
+        all_terms = sorted({
+            t for q in queries
+            for t in (set(orig[q["qid"]]) | set(rel[q["qid"]]))
+        })
+        gdf: dict[str, int] = defaultdict(int)
+        if all_terms:
+            for part in ray.get(
+                [a.df_locals.remote(all_terms) for a in self.actors]
+            ):
+                for t, n in part.items():
+                    gdf[t] += n
+
+        scored_q, live_w = [], []
+        for q in queries:
+            qid = q["qid"]
+            o = orig[qid]
+            o_set = set(o)
+            cand = [
+                (t, rel[qid][t] * idf_fn(self.n_docs, gdf[t]))
+                for t in rel[qid] if t not in o_set and gdf.get(t)
+            ]
+            cand.sort(key=lambda e: (-e[1], e[0]))
+            expansion = [t for t, _ in cand[:fb_terms]]
+            terms = o + expansion
+            if not any(gdf.get(t) for t in terms):
+                continue
+            w = {t: idf_fn(self.n_docs, gdf[t]) for t in o if gdf.get(t)}
+            w.update({t: beta * idf_fn(self.n_docs, gdf[t])
+                      for t in expansion})
+            scored_q.append({"qid": qid, "terms": terms})
+            live_w.append(w)
+        parts = ray.get([
+            a.search_or_terms.remote(scored_q, k, live_w, doc_filter)
+            for a in self.actors
+        ]) if scored_q else []
+        return self._merge(scored_q, parts, k)
+
+    def explain(self, query: str, doc_ids: list[int]) -> list[dict]:
+        """Whole-pool scoring explanation: one df exchange for exact
+        global df/idf, then each actor explains the requested docs it
+        OWNS (shards partition the doc space, so the concatenation is
+        exactly a whole-index reader's explain). Rows come back
+        (doc_id asc, term asc)."""
+        terms = sorted(set(self._tok(query)))
+        gdf: dict[str, int] = defaultdict(int)
+        if terms:
+            for part in ray.get(
+                [a.df_locals.remote(terms) for a in self.actors]
+            ):
+                for t, n in part.items():
+                    gdf[t] += n
+        weights = {t: idf_fn(self.n_docs, d) for t, d in gdf.items()}
+        parts = ray.get([
+            a.explain.remote(query, doc_ids, weights, dict(gdf))
+            for a in self.actors
+        ])
+        rows = [r for p in parts for r in p]
+        rows.sort(key=lambda r: (r["doc_id"], r["term"]))
+        return rows
 
     def topk_phrase(self, queries: list[dict], k: int = 10,
                     doc_filter=None) -> list[dict]:

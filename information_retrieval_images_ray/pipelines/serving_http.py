@@ -240,6 +240,8 @@ class IndexHTTPServer:
                                     "max_expansions", "window",
                                     "max_terms", "exclude_doc", "offset",
                                     "snippet", "snippet_window",
+                                    "fb_docs", "fb_terms", "beta",
+                                    "explain",
                                 ) if kk in req},
                             ))
                         except ValueError as e:  # bad mode / bad param
@@ -326,7 +328,11 @@ class IndexHTTPServer:
         ``more_like_this`` (``query`` is the source doc's text; params
         ``max_terms``, ``exclude_doc``), ``phrase`` and ``proximity``
         (param ``window``; both need the positions sidecar — 409
-        without it). Every mode runs the same
+        without it), and ``prf`` (pseudo-relevance-feedback expansion;
+        params ``fb_docs``, ``fb_terms``, ``beta``). ``explain``: true
+        (bm25 only) attaches a per-hit ``explanation`` list — the
+        Lucene-style per-term BM25 breakdown whose contributions sum
+        to the hit's score. Every mode runs the same
         two-phase df-exchange + scatter-gather protocol and is
         rank-identical to the serial reader."""
         with self._lock:
@@ -381,15 +387,37 @@ class IndexHTTPServer:
                 "qid": 0, "terms": query,
                 "window": int(params.get("window", 8)),
             }], k=k, doc_filter=doc_filter)
+        elif mode == "prf":
+            hits = svc.topk_prf(
+                [{"qid": 0, "query": query}], k=k,
+                fb_docs=int(params.get("fb_docs", 5)),
+                fb_terms=int(params.get("fb_terms", 8)),
+                beta=float(params.get("beta", 0.5)),
+                doc_filter=doc_filter)
         else:
             raise ValueError(
                 f"unknown mode {mode!r}: expected bm25|boolean|prefix|"
-                "fuzzy|wildcard|synonym|more_like_this|phrase|proximity"
+                "fuzzy|wildcard|synonym|more_like_this|phrase|proximity|prf"
             )
         rows = [
             {"rank": h["rank"], "doc_id": int(h["doc_id"]), "score": h["score"]}
             for h in hits
         ]
+        if params.get("explain") and rows:
+            if mode != "bm25":
+                raise ValueError(
+                    "explain is only available for mode=bm25 (the "
+                    "breakdown mirrors the literal ranked query)")
+            # per-hit Lucene-style breakdown: one pool explain call for
+            # the whole page, grouped back onto the hit rows
+            by_doc: dict[int, list[dict]] = {}
+            for e in svc.explain(query, [r["doc_id"] for r in rows]):
+                by_doc.setdefault(e["doc_id"], []).append({
+                    "term": e["term"], "tf": e["tf"], "df": e["df"],
+                    "idf": e["idf"], "contribution": e["contribution"],
+                })
+            for r in rows:
+                r["explanation"] = by_doc.get(r["doc_id"], [])
         if hydrate and rows:
             meta = {m["doc_id"]: m for m in self._hydrate([r["doc_id"] for r in rows])}
             for r in rows:

@@ -314,3 +314,31 @@ def test_query_snippet_corpus(cli_index, capsys, tmp_path):
     assert rc == 0
     whits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert whits and all("snippet" not in h for h in whits)
+
+
+def test_query_prf_and_explain(cli_index, capsys):
+    """--mode prf matches IndexReader.search_prf; --explain attaches
+    the per-term breakdown whose contributions sum to the score."""
+    from information_retrieval_images_ray.pipelines.query import IndexReader
+
+    rc = main(["query", "getUserName", "--index", cli_index, "-k", "5",
+               "--mode", "prf", "--fb-docs", "3", "--fb-terms", "4"])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = IndexReader(cli_index).search_prf(
+        "getUserName", 5, fb_docs=3, fb_terms=4)
+    assert [(h["doc_id"], h["score"]) for h in hits] == want
+
+    rc = main(["query", "getUserName", "--index", cli_index, "-k", "3",
+               "--explain"])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits
+    for h in hits:
+        ex = h["explanation"]
+        assert ex and abs(sum(e["contribution"] for e in ex) - h["score"]) < 1e-9
+
+    # --explain outside bm25 mode is a clean usage error
+    rc = main(["query", "getUserName", "--index", cli_index,
+               "--mode", "prf", "--explain"])
+    assert rc == 2

@@ -776,3 +776,41 @@ def test_search_snippet_expansion_modes_and_no_corpus(server, tmp_path):
         assert "corpus_path" in json.loads(ei.value.read())["error"]
     finally:
         bare.close()
+
+
+def test_search_mode_prf_matches_reader(server):
+    """mode=prf through HTTP equals IndexReader.search_prf bitwise —
+    base top-fb, docterms-backed expansion, weighted re-score."""
+    srv, idx = server
+    reader = IndexReader(idx)
+    status, hits = _req(srv.port, "/search", {
+        "query": "alpha dup", "mode": "prf", "limit": 5,
+        "fb_docs": 3, "fb_terms": 4, "beta": 0.5,
+    })
+    assert status == 200 and hits
+    want = reader.search_prf("alpha dup", 5, fb_docs=3, fb_terms=4, beta=0.5)
+    assert [(h["doc_id"], h["score"]) for h in hits] == want
+
+
+def test_search_explain_breakdown(server):
+    """"explain": true attaches the per-term BM25 breakdown whose
+    contributions sum to the hit's score; non-bm25 modes 400."""
+    import pytest as _pytest
+    import urllib.error
+
+    srv, idx = server
+    status, hits = _req(srv.port, "/search", {
+        "query": "alpha dup", "limit": 5, "explain": True,
+    })
+    assert status == 200 and hits
+    for h in hits:
+        ex = h["explanation"]
+        assert ex and all(e["term"] in ("alpha", "dup") for e in ex)
+        assert sum(e["contribution"] for e in ex) == _pytest.approx(
+            h["score"], rel=1e-12)
+        assert all(e["tf"] >= 1 and e["df"] >= 1 for e in ex)
+    with _pytest.raises(urllib.error.HTTPError) as ei:
+        _req(srv.port, "/search", {
+            "query": "alp", "mode": "prefix", "limit": 3, "explain": True,
+        })
+    assert ei.value.code == 400
