@@ -275,6 +275,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fuzzy_search": lambda sf: flagship.run_fuzzy_queries(sf, k=10),
         "q_synonym_search": lambda sf: flagship.run_synonym_queries(sf, k=10),
         "q_wildcard_search": lambda sf: flagship.run_wildcard_queries(sf, k=10),
+        # regex retrieval (Lucene RegexpQuery shape): anchored
+        # full-match dictionary expansion — literal prefix prunes to
+        # one range probe, class/alternation heads scan — OR-scored
+        "q_regex_search": lambda sf: flagship.run_regex_queries(sf, k=10),
+        # query-time term boosting (Lucene term^boost clauses):
+        # boost·idf through the weighted OR path; an unboosted query
+        # is bitwise plain BM25, repeated clauses sum their boosts
+        "q_boosted_search": lambda sf: flagship.run_boosted_queries(sf, k=10),
+        # field collapsing: per query the top-k docmeta[lang] groups,
+        # each as its (score desc, doc_id asc) leader hit + the
+        # group's FULL match count, through the SHARDED service
+        # (per-actor leader+count partials, router max-merge/sum)
+        "q_collapse_search": lambda sf: flagship.run_collapse_queries(
+            sf, field="lang", k=10
+        ),
         # faceted search: full-match-set distribution over docmeta
         # columns (lang, source) per battery query, computed through
         # the SHARDED service (per-actor bincount partials, router sum)
@@ -1444,6 +1459,103 @@ ranked AS (SELECT qid, doc_id, score,
 """
 
 
+def _regex_sql(k: int = 10) -> str:
+    """Regex oracle: expansions = distinct corpus terms fully matching
+    the pattern (DuckDB ``regexp_full_match`` is RE2; the frozen
+    battery uses only syntax RE2 and Python ``re`` evaluate
+    identically), lexicographically-first max_expansions per qid (the
+    reader's deterministic cap), then the shared OR-of-terms BM25
+    tail."""
+    from information_retrieval_images_ray.pipelines.flagship import (
+        REGEX_MAX_EXPANSIONS,
+        REGEX_QUERIES,
+    )
+
+    vals = ", ".join(
+        f"({q['qid']}, '{q['pattern']}')" for q in REGEX_QUERIES
+    )
+    return f"""
+WITH rq(qid, pat) AS (VALUES {vals}),
+{_FT_BASE_CTE},
+sq AS (SELECT qid, term FROM (
+         SELECT w.qid, d.term,
+                row_number() OVER (PARTITION BY w.qid ORDER BY d.term) AS rn
+         FROM rq w JOIN df d ON regexp_full_match(d.term, w.pat))
+       WHERE rn <= {REGEX_MAX_EXPANSIONS}),
+{_FT_SCORE_TAIL},
+ranked AS (SELECT qid, doc_id, score,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+           FROM scored)
+{_ft_select(k)}
+"""
+
+
+def _boosted_sql(k: int = 10) -> str:
+    """Boosted oracle: the (qid, term, boost) triples come from the
+    SAME clause parser the engine uses (``parse_boosted_query`` —
+    repeated clauses sum their boosts), inlined as VALUES with exact
+    float64 literals; scoring multiplies (boost · idf) FIRST and the
+    length-normalized tf partial second, the engine's exact float
+    operation order (``search_boosted`` computes w = boost·idf once,
+    then w · partial per posting)."""
+    from information_retrieval_images_ray.functions.tokenizer import tokenize_simple
+    from information_retrieval_images_ray.pipelines.flagship import BOOSTED_QUERIES
+    from information_retrieval_images_ray.pipelines.query import parse_boosted_query
+
+    vals = []
+    for q in BOOSTED_QUERIES:
+        boosts = parse_boosted_query(q["query"], tokenize_simple)
+        for t in sorted(boosts):
+            vals.append(f"({q['qid']}, '{t}', {boosts[t]!r})")
+    return f"""
+WITH sq(qid, term, boost) AS (VALUES {", ".join(vals)}),
+{_FT_BASE_CTE},
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( (q.boost * ln(1.0 + (s.n - df.df + 0.5)/(df.df + 0.5)))
+              * tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*dl.dl/s.avgdl)) ) AS score
+  FROM sq q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (SELECT qid, doc_id, score,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+           FROM scored)
+{_ft_select(k)}
+"""
+
+
+def _collapse_sql(field: str = "lang", k: int = 10) -> str:
+    """Field-collapse oracle over the frozen BM25 battery: full BM25
+    scores (the shared CTE body), each matched doc joined to its
+    ``documents.{{field}}`` value, per (qid, value) the
+    (score desc, doc_id asc) leader via a windowed row_number plus the
+    group's full match count, then the leaders rank by the same
+    engine-wide tie-break and the top ``k`` GROUPS survive."""
+    return f"""
+WITH {_bm25_cte_body()},
+langed AS (SELECT s.qid, s.doc_id, s.score, d.{field} AS val
+           FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+           WHERE d.{field} IS NOT NULL),
+grp AS (SELECT qid, val, doc_id, score,
+               row_number() OVER (PARTITION BY qid, val
+                                  ORDER BY score DESC, doc_id) AS lrn,
+               count(*) OVER (PARTITION BY qid, val) AS group_n
+        FROM langed),
+leaders AS (SELECT qid, val, doc_id, score, group_n,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, doc_id) AS rnk
+            FROM grp WHERE lrn = 1)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS score_e6,
+       val AS {field}, CAST(group_n AS BIGINT) AS group_n
+FROM leaders WHERE rnk <= {k}
+"""
+
+
 def _quality_filter_sql() -> str:
     """Gopher keep/drop oracle: every threshold is an integer-scaled
     comparison (no float boundary), flags computed in an inner select,
@@ -1548,6 +1660,9 @@ SELECT min(doc_id) AS doc_id, text FROM (
         "q_fuzzy_search": _fuzzy_sql(),
         "q_synonym_search": _synonym_sql(),
         "q_wildcard_search": _wildcard_sql(),
+        "q_regex_search": _regex_sql(),
+        "q_boosted_search": _boosted_sql(),
+        "q_collapse_search": _collapse_sql(field="lang"),
         "q_faceted_search": _facet_sql(),
         "q_more_like_this": _mlt_sql(k=10),
         "q_snippets": _snippet_sql(k=5, window=8),

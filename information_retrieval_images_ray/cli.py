@@ -215,6 +215,19 @@ def cmd_query(args) -> int:
             args.query, args.k, max_expansions=args.max_expansions,
             doc_filter=doc_filter,
         )
+    elif mode == "regex":
+        hits = reader.search_regex(
+            args.query, args.k, max_expansions=args.max_expansions,
+            doc_filter=doc_filter,
+        )
+    elif mode == "boosted":
+        hits = reader.search_boosted(args.query, args.k, doc_filter=doc_filter)
+    elif mode == "collapse":
+        grouped = reader.search_collapse(
+            args.query, args.collapse_field, args.k, doc_filter=doc_filter)
+        hits = [(r["doc_id"], r["score"]) for r in grouped]
+        grp = {r["doc_id"]: {"group": r["value"], "group_n": r["n"]}
+               for r in grouped}
     elif mode == "synonym":
         hits = reader.search_synonym(args.query, args.k, doc_filter=doc_filter)
     elif mode == "more_like_this":
@@ -270,8 +283,12 @@ def cmd_query(args) -> int:
 
         from .pipelines.serving_http import _best_window_tokens
 
-        if mode in ("bm25", "phrase", "proximity"):
+        if mode in ("bm25", "phrase", "proximity", "collapse"):
             qterms = set(reader.tokenize(args.query))
+        elif mode == "boosted":
+            from .pipelines.query import parse_boosted_query
+
+            qterms = set(parse_boosted_query(args.query, reader.tokenize))
         elif mode == "boolean":
             qterms = set(reader.tokenize(
                 f"{args.must or args.query} {args.should or ''}"))
@@ -314,6 +331,8 @@ def cmd_query(args) -> int:
                 "term": e["term"], "tf": e["tf"], "df": e["df"],
                 "idf": e["idf"], "contribution": e["contribution"],
             })
+    if mode != "collapse":
+        grp = {}
     if args.hydrate:
         import pandas as pd
 
@@ -325,13 +344,18 @@ def cmd_query(args) -> int:
             for col in ("snippet", "snip_start", "n_match"):
                 out[col] = [snips.get(int(d), {}).get(col)
                             for d in out["doc_id"]]
+        if grp:
+            for col in ("group", "group_n"):
+                out[col] = [grp.get(int(d), {}).get(col)
+                            for d in out["doc_id"]]
         if expl:
             out["explanation"] = [expl.get(int(d), [])
                                   for d in out["doc_id"]]
         print(out.to_json(orient="records"))
     else:
         print(json.dumps([
-            {"doc_id": int(d), "score": s, **snips.get(int(d), {}),
+            {"doc_id": int(d), "score": s, **grp.get(int(d), {}),
+             **snips.get(int(d), {}),
              **({"explanation": expl[int(d)]} if int(d) in expl else {})}
             for d, s in hits
         ]))
@@ -550,8 +574,12 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("--offset", type=int, default=0,
                    help="bm25 mode: skip the first N ranks (deep paging)")
     q.add_argument("--mode", default="bm25",
-                   choices=["bm25", "boolean", "prefix", "fuzzy", "wildcard", "synonym",
+                   choices=["bm25", "boolean", "prefix", "fuzzy", "wildcard",
+                            "regex", "boosted", "collapse", "synonym",
                             "more_like_this", "phrase", "proximity", "prf"])
+    q.add_argument("--collapse-field", dest="collapse_field", default="lang",
+                   help="collapse mode: docmeta column whose groups "
+                        "collapse to their best hit")
     q.add_argument("--must", default="", help="boolean mode: AND terms")
     q.add_argument("--should", default="", help="boolean mode: OR terms")
     q.add_argument("--must-not", dest="must_not", default="",

@@ -478,6 +478,38 @@ WILDCARD_QUERIES = [
 ]
 WILDCARD_MAX_EXPANSIONS = 8
 
+# Frozen regex battery (Lucene RegexpQuery shape; anchored full
+# match): literal-prefix-pruned, class head (dictionary scan),
+# optional-char, alternation head (scan), no-hit, pure literal, and a
+# quantifier directly after the first literal char (prefix must drop
+# to 's'). Patterns use only syntax RE2 (DuckDB) and Python `re`
+# evaluate identically — no lookaround, no backreferences.
+REGEX_QUERIES = [
+    {"qid": 1, "pattern": "s.*m"},
+    {"qid": 2, "pattern": "[sb]ort"},
+    {"qid": 3, "pattern": "st.?eam"},
+    {"qid": 4, "pattern": "(row|col).*"},
+    {"qid": 5, "pattern": "zz+q*"},
+    {"qid": 6, "pattern": "sort"},
+    {"qid": 7, "pattern": "so*rt"},
+]
+REGEX_MAX_EXPANSIONS = 8
+
+# Frozen boosted battery (term^boost clause syntax): plain boost,
+# fractional + heavy boost, no boosts (must equal plain BM25), a
+# repeated term (boosts sum: fast^2 fast == fast^3), a boosted
+# out-of-vocabulary term (contributes nothing), three-way mix. All
+# boost values are exact float64 literals so the SQL mirror is
+# bit-identical.
+BOOSTED_QUERIES = [
+    {"qid": 1, "query": "sort^2 merge"},
+    {"qid": 2, "query": "stream^0.5 batch^3"},
+    {"qid": 3, "query": "table row"},
+    {"qid": 4, "query": "fast^2 fast"},
+    {"qid": 5, "query": "zebra^5 sort"},
+    {"qid": 6, "query": "join^1.5 window^0.25 scan"},
+]
+
 SYNONYM_QUERIES = [
     {"qid": 1, "query": "fast merge"},
     {"qid": 2, "query": "slow scan"},       # no synonyms at all
@@ -518,6 +550,12 @@ class _ClauseScorer:
                 hits = r.search_wildcard(
                     row["pattern"], k=self.k,
                     max_expansions=WILDCARD_MAX_EXPANSIONS)
+            elif self.mode == "regex":
+                hits = r.search_regex(
+                    row["pattern"], k=self.k,
+                    max_expansions=REGEX_MAX_EXPANSIONS)
+            elif self.mode == "boosted":
+                hits = r.search_boosted(row["query"], k=self.k)
             else:
                 hits = r.search_fuzzy(
                     row["word"], k=self.k, max_edits=FUZZY_MAX_EDITS,
@@ -578,6 +616,64 @@ def run_wildcard_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
     via prefix-range scan + anchored regex tail (leading-* falls back
     to a dictionary scan — the reversed-dictionary seam), OR-scored."""
     return _run_clause_battery(sf_dir, WILDCARD_QUERIES, k, "wildcard")
+
+
+def run_regex_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Regex battery (see REGEX_QUERIES): dictionary expansion via the
+    literal-prefix range probe + anchored full match (patterns with a
+    class/alternation head fall back to a dictionary scan), OR-scored
+    with per-term idf."""
+    return _run_clause_battery(sf_dir, REGEX_QUERIES, k, "regex")
+
+
+def run_boosted_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Boosted battery (see BOOSTED_QUERIES): Lucene ``term^boost``
+    clause syntax, each term scoring boost·idf through the weighted OR
+    path — an unboosted query is bitwise plain BM25."""
+    return _run_clause_battery(sf_dir, BOOSTED_QUERIES, k, "boosted")
+
+
+def run_collapse_queries(
+    sf_dir: str, field: str = "lang", k: int = 10, queries=BM25_QUERIES,
+) -> pd.DataFrame:
+    """Field-collapsed search over the frozen BM25 battery: per query
+    the best ``k`` groups of ``docmeta[field]``, each represented by
+    its (score desc, doc_id asc) leader hit plus the group's FULL
+    match-set size (one result per source, with how many it hides).
+
+    Runs through the SHARDED service on purpose — collapse is a mode
+    whose distributed form differs structurally from the serial one
+    (per-actor leader+count partials, router max-merge + count sum),
+    so the oracle checks the distributed path. Identity with the
+    serial reader is asserted in tests/test_query_modes.py."""
+    import numpy as np
+    import pandas as pd
+
+    from .serving import ShardedQueryService
+
+    index_dir = build_documents_index(sf_dir)
+    svc = ShardedQueryService(index_dir, num_actors=2)
+    try:
+        rows = svc.topk_collapse(list(queries), field, k=k)
+    finally:
+        svc.shutdown()
+    if not rows:
+        return pd.DataFrame({
+            "qid": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+            "doc_id": pd.Series(dtype="int64"),
+            "score_e6": pd.Series(dtype="int64"),
+            field: pd.Series(dtype="object"),
+            "group_n": pd.Series(dtype="int64"),
+        })
+    out = pd.DataFrame(rows)
+    out["score_e6"] = np.floor(
+        out["score"].to_numpy(np.float64) * 1e6 + 0.5).astype(np.int64)
+    out = out.rename(columns={"group": field})
+    out = out[["qid", "rank", "doc_id", "score_e6", field, "group_n"]]
+    for c in ("qid", "rank", "doc_id", "group_n"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
 
 
 def run_synonym_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:

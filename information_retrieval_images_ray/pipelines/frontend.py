@@ -77,6 +77,9 @@ INDEX_HTML = """<!doctype html>
       <option value="prefix">prefix</option>
       <option value="fuzzy">fuzzy</option>
       <option value="wildcard">wildcard</option>
+      <option value="regex">regex</option>
+      <option value="boosted">boosted (term^2)</option>
+      <option value="collapse">collapse (by lang)</option>
       <option value="synonym">synonym</option>
       <option value="more_like_this">more_like_this</option>
       <option value="prf">prf (feedback)</option>

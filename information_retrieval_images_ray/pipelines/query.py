@@ -71,6 +71,31 @@ def _levenshtein_leq(a: str, b: str, cap: int) -> bool:
     return prev[lb] <= cap
 
 
+def parse_boosted_query(query: str, tokenize) -> dict[str, float]:
+    """Parse Lucene ``term^boost`` clause syntax into per-term boost
+    multipliers: whitespace-split clauses, each with an optional
+    trailing ``^float`` (default 1.0); the clause text then runs
+    through the index tokenizer (a clause may normalize to several
+    terms, each inheriting the clause boost). A term repeated across
+    clauses SUMS its boosts — the OR-of-clauses contract (two clauses
+    for the same term add their contributions, so ``fast^2 fast``
+    scores exactly like ``fast^3``). A ``^`` with a non-numeric tail
+    is literal clause text (the tokenizer strips it)."""
+    boosts: dict[str, float] = {}
+    for clause in query.split():
+        head, sep, tail = clause.rpartition("^")
+        boost, text = 1.0, clause
+        if sep:
+            try:
+                boost = float(tail)
+                text = head
+            except ValueError:
+                pass
+        for t in tokenize(text):
+            boosts[t] = boosts.get(t, 0.0) + boost
+    return boosts
+
+
 def decode_all_blocks(row: dict, block_size: int) -> tuple[np.ndarray, np.ndarray]:
     """Decode a term's full (doc_ids, tfs) in O(1) numpy passes.
 
@@ -499,6 +524,89 @@ class IndexReader:
             cnt = np.bincount(c, minlength=len(values))
             out[col] = {v: int(n) for v, n in zip(values, cnt) if n}
         return out
+
+    def collapse_leaders(
+        self, query: str, field: str, doc_filter=None,
+        weights: dict[str, float] | None = None,
+    ) -> list[dict]:
+        """Per-group best hit (field collapsing, the Elasticsearch
+        ``collapse`` / Lucene grouping shape) over OWNED shards: full
+        OR-of-terms scores (identical accumulators to ``search_taat``
+        — same partials, same sorted-term add order, so leader scores
+        are bitwise equal to ranked search), then per distinct
+        ``docmeta[field]`` value the (score desc, doc_id asc) leader
+        plus the group's FULL match-set size. No k cut here — group
+        cardinality is field cardinality, so the sharded router can
+        max-merge leaders and sum counts exactly (a doc lives wholly
+        in one shard). Docs with a null field value belong to no group
+        (they still rank in plain search). ``weights`` overrides idf
+        (sharded serving's global-df exchange)."""
+        mask = self._resolve_filter(doc_filter)
+        terms = self._query_terms(query)
+        acc: dict[int, np.ndarray] = {}
+        k1, b = self.params.k1, self.params.b
+        for t, w, locs in self._term_infos(terms, weights):
+            for s, i in locs:
+                sh = self.shards[s]
+                ids, part = sh.partial(i, self.block_size, self.doc_len,
+                                       k1, b, self.avgdl)
+                a = acc.get(s)
+                if a is None:
+                    a = np.zeros(sh.hi - sh.lo, dtype=np.float64)
+                    acc[s] = a
+                if ids is None:  # dense stopword-term form
+                    a += w * part
+                else:
+                    a[ids - sh.lo] += w * part
+        all_ids, all_scores = [], []
+        for s, a in acc.items():
+            nz = np.flatnonzero(a)
+            all_ids.append((nz + self.shards[s].lo).astype(np.int64))
+            all_scores.append(a[nz])
+        if not all_ids:
+            return []
+        ids = np.concatenate(all_ids)
+        scores = np.concatenate(all_scores)
+        if mask is not None:
+            keep = mask[ids]
+            ids, scores = ids[keep], scores[keep]
+        if len(self.tombstones):
+            from .maintenance import is_tombstoned
+
+            live = ~is_tombstoned(self.tombstones, ids)
+            ids, scores = ids[live], scores[live]
+        if not len(ids):
+            return []
+        codes, values = self.meta_codes(field)
+        g = codes[ids]
+        grouped = g >= 0
+        ids, scores, g = ids[grouped], scores[grouped], g[grouped]
+        if not len(ids):
+            return []
+        order = np.lexsort((ids, -scores))  # score desc, doc_id asc
+        uniq, first = np.unique(g[order], return_index=True)
+        counts = np.bincount(g, minlength=len(values))
+        return [
+            {"value": values[int(c)], "doc_id": int(ids[order[f]]),
+             "score": float(scores[order[f]]), "n": int(counts[int(c)])}
+            for c, f in zip(uniq.tolist(), first.tolist())
+        ]
+
+    def search_collapse(
+        self, query: str, field: str, k: int = 10, doc_filter=None,
+        weights: dict[str, float] | None = None,
+    ) -> list[dict]:
+        """Field-collapsed top-k: rank each group's leader by the
+        engine-wide (score desc, doc_id asc) tie-break and keep the
+        best ``k`` GROUPS. Each row carries the collapse value and the
+        group's full match-set size (the "show one result per source,
+        with how many more it hides" surface)."""
+        leaders = self.collapse_leaders(query, field, doc_filter, weights)
+        leaders.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return [
+            {"rank": rank, **r}
+            for rank, r in enumerate(leaders[:k], start=1)
+        ]
 
     def mlt_select_terms(
         self, doc_tokens: list[str], max_terms: int = 8,
@@ -1076,6 +1184,93 @@ class IndexReader:
         tokenized (the tokenizer would split on ``*``)."""
         terms = self.expand_wildcard(pattern, max_expansions)
         return self.search_or_terms(terms, k, doc_filter) if terms else []
+
+    def expand_regex(self, pattern: str, max_expansions: int = 64) -> list[str]:
+        """Dictionary terms fully matching a regular expression (the
+        Lucene RegexpQuery shape). The pattern's LITERAL PREFIX — the
+        chars before its first regex metacharacter, dropping the last
+        one when a quantifier follows it (``so*rt`` pins only ``s``:
+        the ``o`` is optional) — prunes the probe to one contiguous
+        dictionary range exactly as in ``expand_prefix``; a pattern
+        with no literal prefix (class or alternation head, e.g.
+        ``[sb]ort``) degrades to a dictionary scan (exact; the
+        production answer at web scale is the same term n-gram index
+        that doubly-open wildcard infix needs). Anchored full-match
+        semantics (``re.fullmatch``), sorted + capped like
+        ``expand_prefix`` (mirrored by the oracle's ORDER BY/LIMIT)."""
+        import re as _re
+
+        pattern = pattern.lower()
+        rx = _re.compile(pattern)
+        meta = set(".^$*+?()[]{}|\\")
+        lit: list[str] = []
+        for ch in pattern:
+            if ch in meta:
+                break
+            lit.append(ch)
+        if len(lit) < len(pattern) and pattern[len(lit)] in "*+?{" and lit:
+            lit.pop()  # quantifier binds the previous atom
+        pfx = "".join(lit)
+        out: set[str] = set()
+        for sh in self.shards:
+            if sh is None or sh._terms is None:
+                continue
+            arr = sh._terms
+            if pfx:
+                lo, hi = 0, len(arr)
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    if arr[mid].as_py() < pfx:
+                        lo = mid + 1
+                    else:
+                        hi = mid
+                j = lo
+                while j < len(arr):
+                    v = arr[j].as_py()
+                    if not v.startswith(pfx):
+                        break
+                    if rx.fullmatch(v):
+                        out.add(v)
+                    j += 1
+            else:
+                for j in range(len(arr)):
+                    v = arr[j].as_py()
+                    if rx.fullmatch(v):
+                        out.add(v)
+        return sorted(out)[:max_expansions]
+
+    def search_regex(
+        self, pattern: str, k: int = 10, max_expansions: int = 64,
+        doc_filter=None,
+    ) -> list[tuple[int, float]]:
+        """Regex retrieval: expand the pattern against the term
+        dictionary (anchored full match), OR-score the expansions with
+        per-term idf — the same scoring tail as prefix/wildcard/fuzzy.
+        The pattern is lowercased, NOT tokenized (the tokenizer would
+        strip regex metacharacters)."""
+        terms = self.expand_regex(pattern, max_expansions)
+        return self.search_or_terms(terms, k, doc_filter) if terms else []
+
+    def search_boosted(
+        self, query: str, k: int = 10, doc_filter=None,
+        weights: dict[str, float] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Query-time term boosting (Lucene ``term^2.5`` clause
+        syntax, see ``parse_boosted_query``): each term scores with
+        boost·idf through the weighted OR path, so an all-1.0 query
+        reproduces ``search_taat`` bitwise (float multiply by 1.0 is
+        exact) and a boosted out-of-vocabulary term contributes
+        nothing. ``weights`` overrides the BASE idf per term (sharded
+        serving's global-df exchange); boosts multiply on top."""
+        boosts = parse_boosted_query(query, self.tokenize)
+        if not boosts:
+            return []
+        terms = sorted(boosts)
+        if weights is None:
+            weights = {t: w for t, w, _ in self._term_infos(terms)}
+        w = {t: boosts[t] * weights[t] for t in terms if t in weights}
+        return self.search_or_terms(sorted(w), k, doc_filter, weights=w) \
+            if w else []
 
     def expand_fuzzy(
         self, word: str, max_edits: int = 1, prefix_len: int = 1,

@@ -78,7 +78,7 @@ class ShardQueryActor:
         """All of a battery's expansion requests in ONE round trip
         (the per-(query, actor) RPC form capped prefix/fuzzy battery
         throughput). specs: [("prefix", prefix, cap) |
-        ("wildcard", pattern, cap) |
+        ("wildcard", pattern, cap) | ("regex", pattern, cap) |
         ("fuzzy", (word, max_edits, prefix_len), cap), ...]."""
         out = []
         for kind, arg, cap in specs:
@@ -86,6 +86,8 @@ class ShardQueryActor:
                 out.append(self.reader.expand_prefix(arg, cap))
             elif kind == "wildcard":
                 out.append(self.reader.expand_wildcard(arg, cap))
+            elif kind == "regex":
+                out.append(self.reader.expand_regex(arg, cap))
             else:
                 w, me, pl = arg
                 out.append(self.reader.expand_fuzzy(w, me, pl, cap))
@@ -142,6 +144,23 @@ class ShardQueryActor:
             )
             for d, s in zip(ids.tolist(), scores.tolist()):
                 out.append((q["qid"], d, s))
+        return out
+
+    def collapse(
+        self, queries: list[dict], field: str,
+        weights_per_query: list[dict[str, float]], doc_filter=None,
+    ) -> list[tuple[int, str, int, float, int]]:
+        """Per-actor field-collapse partials over OWNED shards:
+        (qid, group value, leader doc_id, leader score, local match
+        count) per (query, group). Leaders max-merge and counts sum
+        exactly at the router because shards partition the docs."""
+        out = []
+        for q, w in zip(queries, weights_per_query):
+            for r in self.reader.collapse_leaders(
+                q["query"], field, doc_filter=doc_filter, weights=w,
+            ):
+                out.append((q["qid"], r["value"], r["doc_id"],
+                            r["score"], r["n"]))
         return out
 
     def explain(
@@ -353,6 +372,101 @@ class ShardedQueryService:
             for a in self.actors
         ])
         return self._merge(queries, parts, k)
+
+    def topk_regex(self, queries: list[dict], k: int = 10,
+                   max_expansions: int = 64, doc_filter=None) -> list[dict]:
+        """queries: [{"qid", "pattern"}] — regex analogue of
+        topk_wildcard: per-actor anchored-full-match expansion over
+        its dictionary subset (a term in the global
+        lexicographically-first N is in its own actor's first N, so
+        per-actor caps lose nothing), router union + cap, then the df
+        exchange + scatter-gather OR scoring."""
+        pats = [str(q["pattern"]).lower() for q in queries]
+        expansions = self._expand(
+            [("regex", p, max_expansions) for p in pats],
+            max_expansions,
+        )
+        expansions = [ts if p else [] for p, ts in zip(pats, expansions)]
+        scored = [
+            {"qid": q["qid"], "terms": ts}
+            for q, ts in zip(queries, expansions)
+        ]
+        weights = self._weights_for(expansions)
+        parts = ray.get([
+            a.search_or_terms.remote(scored, k, weights, doc_filter)
+            for a in self.actors
+        ])
+        return self._merge(queries, parts, k)
+
+    def topk_boosted(self, queries: list[dict], k: int = 10,
+                     doc_filter=None) -> list[dict]:
+        """queries: [{"qid", "query"}] with Lucene ``term^boost``
+        clause syntax — the df exchange supplies exact global idf, the
+        router multiplies in the parsed boosts
+        (query.parse_boosted_query: clause boosts SUM per repeated
+        term), the actors run the weighted OR scatter. Rank-identical
+        to the serial ``search_boosted`` by construction."""
+        from .query import parse_boosted_query
+
+        boosts_per_q = [
+            parse_boosted_query(q["query"], self._tok) for q in queries
+        ]
+        term_lists = [sorted(b) for b in boosts_per_q]
+        base = self._weights_for(term_lists)
+        scored, live_w = [], []
+        for q, b, w in zip(queries, boosts_per_q, base):
+            terms = [t for t in sorted(b) if t in w]
+            if not terms:
+                continue
+            scored.append({"qid": q["qid"], "terms": terms})
+            live_w.append({t: b[t] * w[t] for t in terms})
+        parts = ray.get([
+            a.search_or_terms.remote(scored, k, live_w, doc_filter)
+            for a in self.actors
+        ]) if scored else []
+        return self._merge(scored, parts, k)
+
+    def topk_collapse(self, queries: list[dict], field: str,
+                      k: int = 10, doc_filter=None) -> list[dict]:
+        """Distributed field collapsing. queries: [{"qid", "query"}] →
+        per query the best ``k`` GROUPS of ``docmeta[field]``, each
+        represented by its leader hit plus the group's full match-set
+        size. Protocol: the usual df exchange, then per-actor
+        (leader, local count) partials over owned docs
+        (IndexReader.collapse_leaders), router max-merge of leaders
+        with the engine (score desc, doc_id asc) tie-break + count
+        sum — both exact, since shards partition the doc space.
+        Output rows: {"qid", "rank", "doc_id", "score", "group",
+        "group_n"}."""
+        per_query_terms = [sorted(set(self._tok(q["query"]))) for q in queries]
+        weights = self._weights_for(per_query_terms)
+        parts = ray.get([
+            a.collapse.remote(queries, field, weights, doc_filter)
+            for a in self.actors
+        ])
+        best: dict[tuple[int, str], tuple[float, int]] = {}
+        cnt: dict[tuple[int, str], int] = defaultdict(int)
+        for rows in parts:
+            for qid, val, doc, score, n in rows:
+                key = (qid, val)
+                cnt[key] += n
+                cur = best.get(key)
+                if cur is None or (-score, doc) < (-cur[0], cur[1]):
+                    best[key] = (score, doc)
+        out = []
+        for q in queries:
+            groups = sorted(
+                ((s, d, v) for (qid, v), (s, d) in best.items()
+                 if qid == q["qid"]),
+                key=lambda e: (-e[0], e[1]),
+            )[:k]
+            for rank, (score, doc, val) in enumerate(groups, start=1):
+                out.append({
+                    "qid": q["qid"], "rank": rank, "doc_id": doc,
+                    "score": score, "group": val,
+                    "group_n": cnt[(q["qid"], val)],
+                })
+        return out
 
     def topk_synonym(self, queries: list[dict], k: int = 10,
                      doc_filter=None) -> list[dict]:

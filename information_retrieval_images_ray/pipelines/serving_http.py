@@ -394,13 +394,31 @@ class IndexHTTPServer:
                 fb_terms=int(params.get("fb_terms", 8)),
                 beta=float(params.get("beta", 0.5)),
                 doc_filter=doc_filter)
+        elif mode == "regex":
+            hits = svc.topk_regex(
+                [{"qid": 0, "pattern": query}], k=k,
+                max_expansions=int(params.get("max_expansions", 64)),
+                doc_filter=doc_filter,
+            )
+        elif mode == "boosted":
+            hits = svc.topk_boosted([{"qid": 0, "query": query}], k=k,
+                                    doc_filter=doc_filter)
+        elif mode == "collapse":
+            hits = svc.topk_collapse(
+                [{"qid": 0, "query": query}],
+                field=str(params.get("collapse_field", "lang")),
+                k=k, doc_filter=doc_filter,
+            )
         else:
             raise ValueError(
                 f"unknown mode {mode!r}: expected bm25|boolean|prefix|"
-                "fuzzy|wildcard|synonym|more_like_this|phrase|proximity|prf"
+                "fuzzy|wildcard|regex|boosted|collapse|synonym|"
+                "more_like_this|phrase|proximity|prf"
             )
         rows = [
-            {"rank": h["rank"], "doc_id": int(h["doc_id"]), "score": h["score"]}
+            {"rank": h["rank"], "doc_id": int(h["doc_id"]), "score": h["score"],
+             **({"group": h["group"], "group_n": h["group_n"]}
+                if "group" in h else {})}
             for h in hits
         ]
         if params.get("explain") and rows:
@@ -436,8 +454,12 @@ class IndexHTTPServer:
         empty for expansion modes, whose matched terms are dictionary
         expansions the router doesn't retain per hit."""
         tok = self.service._tok
-        if mode in ("bm25", "phrase", "proximity"):
+        if mode in ("bm25", "phrase", "proximity", "collapse"):
             return set(tok(query))
+        if mode == "boosted":
+            from .query import parse_boosted_query
+
+            return set(parse_boosted_query(query, tok))
         if mode == "boolean":
             return set(tok(str(params.get("must", "")))) | set(
                 tok(str(params.get("should", "")))

@@ -191,6 +191,30 @@ def test_query_modes(cli_index, capsys):
     want = reader.more_like_this(reader.tokenize("get name"), k=5, max_terms=2)
     assert [(h["doc_id"], h["score"]) for h in hits] == want
 
+    rc = main(["query", "g.t", "--index", cli_index, "-k", "5",
+               "--mode", "regex", "--max-expansions", "8"])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [(h["doc_id"], h["score"]) for h in hits] == \
+        reader.search_regex("g.t", 5, max_expansions=8) and hits
+
+    rc = main(["query", "get^2 merge", "--index", cli_index, "-k", "5",
+               "--mode", "boosted"])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [(h["doc_id"], h["score"]) for h in hits] == \
+        reader.search_boosted("get^2 merge", 5) and hits
+
+    rc = main(["query", "get merge", "--index", cli_index, "-k", "5",
+               "--mode", "collapse", "--collapse-field", "lang"])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = reader.search_collapse("get merge", "lang", 5)
+    assert [
+        (h["doc_id"], h["score"], h["group"], h["group_n"]) for h in hits
+    ] == [(r["doc_id"], r["score"], r["value"], r["n"]) for r in want]
+    assert hits
+
     # phrase without a sidecar: clean exit code 2, not a traceback
     rc = main(["query", "get name", "--index", cli_index, "--mode", "phrase"])
     assert rc == 2

@@ -487,6 +487,28 @@ def test_search_mode_multiplexing(server):
     want = reader.search_synonym("fast alpha", 5)
     assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
 
+    _, hits = _req(srv.port, "/search", {
+        "mode": "regex", "query": "alp.a", "limit": 5,
+    })
+    want = reader.search_regex("alp.a", 5)
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+
+    _, hits = _req(srv.port, "/search", {
+        "mode": "boosted", "query": "alpha^2 dup", "limit": 5,
+    })
+    want = reader.search_boosted("alpha^2 dup", 5)
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+
+    _, hits = _req(srv.port, "/search", {
+        "mode": "collapse", "query": "alpha dup", "limit": 5,
+        "collapse_field": "lang",
+    })
+    want = reader.search_collapse("alpha dup", "lang", 5)
+    assert [
+        (h["doc_id"], h["score"], h["group"], h["group_n"]) for h in hits
+    ] == [(r["doc_id"], r["score"], r["value"], r["n"]) for r in want]
+    assert hits  # en + fr groups both present in the 60-doc fixture
+
     reader_texts = reader  # keep name for clarity below
 
     # more-like-this: source text in, anchor excluded, identical to the

@@ -1,0 +1,200 @@
+"""Round-5 query modes: regex expansion, query-time term boosting and
+field collapsing — serial-reader semantics checked against brute-force
+python, and the sharded router checked bitwise against the serial
+reader (the engine-wide identity contract every other mode carries)."""
+
+import glob as glob_mod
+import re
+
+import pytest
+
+from information_retrieval_images_ray.corpus import write_corpus
+from information_retrieval_images_ray.pipelines.build import build_index
+from information_retrieval_images_ray.pipelines.query import (
+    IndexReader,
+    parse_boosted_query,
+)
+from information_retrieval_images_ray.pipelines.serving import ShardedQueryService
+from information_retrieval_images_ray.sources.corpus_source import (
+    assign_dense_doc_ids,
+    corpus_files,
+    read_code_corpus,
+)
+
+_CORPUS_OF: dict[str, str] = {}
+
+
+@pytest.fixture(scope="module")
+def modes_index(tmp_path_factory):
+    corpus = str(tmp_path_factory.mktemp("modes_corpus"))
+    index = str(tmp_path_factory.mktemp("modes_index"))
+    write_corpus(corpus, 160, seed=29, rows_per_file=80)
+    ds = assign_dense_doc_ids(read_code_corpus(corpus), num_partitions=2)
+    build_index(ds, index, source_files=corpus_files(corpus),
+                num_shards=4, hot_df_threshold=60, salt_factor=4)
+    _CORPUS_OF[index] = corpus
+    return index
+
+
+def _vocab(reader: IndexReader) -> set[str]:
+    out: set[str] = set()
+    for sh in reader.shards:
+        if sh is None or sh._terms is None:
+            continue
+        out.update(sh._terms.to_pylist())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# regex
+
+
+REGEX_PATTERNS = [
+    "get.*",          # literal prefix + open tail
+    "[gs]et.*",       # class head -> dictionary scan
+    "ge?t",           # optional char after prefix 'g'
+    "(read|write).*", # alternation head -> scan
+    "zzz+q*",         # no hits
+    "get",            # pure literal
+    "ge*t",           # quantifier binds the 'e': prefix drops to 'g'
+]
+
+
+def test_expand_regex_matches_brute(modes_index):
+    """The pruned range probe + full-match tail must equal a brute
+    fullmatch over the whole dictionary, cap and order included."""
+    reader = IndexReader(modes_index)
+    vocab = _vocab(reader)
+    for pat in REGEX_PATTERNS:
+        rx = re.compile(pat)
+        want = sorted(t for t in vocab if rx.fullmatch(t))[:8]
+        got = reader.expand_regex(pat, max_expansions=8)
+        assert got == want, pat
+
+
+def test_search_regex_equals_or_of_expansions(modes_index):
+    reader = IndexReader(modes_index)
+    for pat in REGEX_PATTERNS:
+        terms = reader.expand_regex(pat, max_expansions=8)
+        want = reader.search_or_terms(terms, 10) if terms else []
+        assert reader.search_regex(pat, 10, max_expansions=8) == want, pat
+
+
+# ---------------------------------------------------------------------------
+# boosted
+
+
+def test_parse_boosted_query_shapes():
+    tok = lambda s: re.findall(r"[a-z0-9]+", s.lower())
+    assert parse_boosted_query("sort^2 merge", tok) == {"sort": 2.0, "merge": 1.0}
+    # repeated clauses SUM their boosts
+    assert parse_boosted_query("fast^2 fast", tok) == {"fast": 3.0}
+    # non-numeric tail after ^ is literal clause text for the tokenizer
+    assert parse_boosted_query("a^b", tok) == {"a": 1.0, "b": 1.0}
+    assert parse_boosted_query("x^0.5", tok) == {"x": 0.5}
+
+
+def test_boosted_unboosted_is_plain_bm25(modes_index):
+    """All-1.0 boosts must reproduce search_taat BITWISE (multiply by
+    1.0 is exact)."""
+    reader = IndexReader(modes_index)
+    for q in ("merge sort", "get parse token", "read"):
+        assert reader.search_boosted(q, 10) == reader.search_taat(q, 10), q
+
+
+def test_boosted_sums_and_oov(modes_index):
+    reader = IndexReader(modes_index)
+    # fast^2 fast == fast^3 (boosts sum before any float multiply)
+    assert reader.search_boosted("get^2 get", 10) == \
+        reader.search_boosted("get^3", 10)
+    # a boosted out-of-vocabulary term contributes nothing
+    assert reader.search_boosted("zzznothere^5 merge", 10) == \
+        reader.search_boosted("merge", 10)
+    # boosting reorders: a heavy boost on a rare term must move docs
+    # holding it ahead of the unboosted ranking when both rank
+    plain = reader.search_boosted("merge sort", 10)
+    heavy = reader.search_boosted("merge^9 sort", 10)
+    assert plain and heavy
+
+
+# ---------------------------------------------------------------------------
+# collapse
+
+
+def _lang_of(index_dir: str) -> dict[int, str]:
+    import pyarrow.parquet as pq
+
+    out: dict[int, str] = {}
+    for f in glob_mod.glob(f"{index_dir}/docmeta/**/*.parquet", recursive=True):
+        t = pq.read_table(f, columns=["doc_id", "lang"])
+        for d, v in zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()):
+            if v is not None:
+                out[int(d)] = str(v)
+    return out
+
+
+def test_collapse_matches_brute(modes_index):
+    """Leaders and counts vs brute force: full OR match set (huge k)
+    grouped by the docmeta lang value in python."""
+    reader = IndexReader(modes_index)
+    lang = _lang_of(modes_index)
+    for q in ("merge sort hash", "get", "parse token buffer read"):
+        full = reader.search_or_terms(
+            sorted(set(reader.tokenize(q))), k=10**9)
+        groups: dict[str, list] = {}
+        for d, s in full:
+            v = lang.get(d)
+            if v is not None:
+                groups.setdefault(v, []).append((d, s))
+        want = []
+        for v, hits in groups.items():
+            hits.sort(key=lambda e: (-e[1], e[0]))
+            want.append({"value": v, "doc_id": hits[0][0],
+                         "score": hits[0][1], "n": len(hits)})
+        want.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        got = reader.search_collapse(q, "lang", k=10)
+        assert [
+            (r["value"], r["doc_id"], r["score"], r["n"]) for r in got
+        ] == [
+            (r["value"], r["doc_id"], r["score"], r["n"]) for r in want[:10]
+        ], q
+        assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+# ---------------------------------------------------------------------------
+# sharded router == serial reader (bitwise), across actor counts
+
+
+@pytest.mark.parametrize("num_actors", [1, 3])
+def test_sharded_modes_match_serial(modes_index, num_actors):
+    reader = IndexReader(modes_index)
+    svc = ShardedQueryService(modes_index, num_actors=num_actors)
+    try:
+        rq = [{"qid": i, "pattern": p} for i, p in enumerate(REGEX_PATTERNS)]
+        got = svc.topk_regex(rq, k=10, max_expansions=8)
+        for q in rq:
+            mine = [(r["doc_id"], r["score"]) for r in got
+                    if r["qid"] == q["qid"]]
+            assert mine == reader.search_regex(
+                q["pattern"], 10, max_expansions=8), q
+
+        bq = [{"qid": i, "query": s} for i, s in enumerate(
+            ["get^2 merge", "sort^0.5 hash^3", "merge sort",
+             "get^2 get", "zzznope^4 read"])]
+        got = svc.topk_boosted(bq, k=10)
+        for q in bq:
+            mine = [(r["doc_id"], r["score"]) for r in got
+                    if r["qid"] == q["qid"]]
+            assert mine == reader.search_boosted(q["query"], 10), q
+
+        cq = [{"qid": i, "query": s} for i, s in enumerate(
+            ["merge sort hash", "get", "zzz_nohit"])]
+        got = svc.topk_collapse(cq, "lang", k=10)
+        for q in cq:
+            mine = [(r["doc_id"], r["score"], r["group"], r["group_n"])
+                    for r in got if r["qid"] == q["qid"]]
+            want = [(r["doc_id"], r["score"], r["value"], r["n"])
+                    for r in reader.search_collapse(q["query"], "lang", 10)]
+            assert mine == want, q
+    finally:
+        svc.shutdown()
