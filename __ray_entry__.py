@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         relational,
         similarity,
+        sketches,
         streaming,
     )
     from information_retrieval_images_ray.sources.corpus_source import (
@@ -326,6 +327,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # registers (integer-exact oracle) + estimate vs exact
         "q_hll_registers": lambda sf: analysis.hll_registers(docs(sf)),
         "q_hll_distinct": lambda sf: analysis.hll_distinct(docs(sf)),
+        # count-min sketch: the ADD-mergeable heavy-hitter counterpart
+        # of the HLL's MAX-mergeable distinct count — per-batch
+        # register partials, one groupby sum, integer-exact oracle
+        "q_cms_registers": lambda sf: sketches.cms_registers(docs(sf)),
+        # point estimates (min over rows) vs exact counts for the
+        # frozen candidate battery — est >= exact by construction
+        "q_cms_heavy_hitters": lambda sf: sketches.cms_heavy_hitters(docs(sf)),
         # corpus length histogram (10-token buckets)
         "q_length_histogram": lambda sf: analysis.length_histogram(docs(sf)),
         # token counting both ways (whitespace + BPE-ish pre-tokenizer)
@@ -1375,6 +1383,61 @@ SELECT bucket, CAST(reg AS BIGINT) AS reg FROM reg
 """
 
 
+def _cms_ctes() -> str:
+    """Shared count-min CTE chain: per-term corpus occurrence counts,
+    the depth row ids, the row-salted md5-prefix bucket hash (the
+    exact ``md5_u64(f"{{r}}:{{term}}") % width`` the engine computes),
+    and the summed registers."""
+    from information_retrieval_images_ray.pipelines.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+
+    rows = ", ".join(f"({r})" for r in range(CMS_DEPTH))
+    return f"""tok AS (SELECT unnest({TOK_SQL}) AS term FROM documents),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+rws(r) AS (VALUES {rows}),
+h AS (SELECT r, CAST(CAST(concat('0x', substr(md5(concat(r, ':', term)), 1, 16))
+                     AS UBIGINT) % {CMS_WIDTH} AS BIGINT) AS bucket, term, n
+      FROM tc CROSS JOIN rws),
+reg AS (SELECT r, bucket, sum(n) AS reg FROM h GROUP BY 1, 2)"""
+
+
+def _cms_reg_sql() -> str:
+    return f"""
+WITH {_cms_ctes()}
+SELECT CAST(r AS BIGINT) AS "row", bucket, CAST(reg AS BIGINT) AS reg FROM reg
+"""
+
+
+def _cms_hh_sql() -> str:
+    """Heavy-hitter oracle: per frozen candidate, est = min over the
+    depth rows of its register cell (missing cell = 0 — can only
+    happen for an absent term whose cells took no collision), exact =
+    its corpus occurrence count."""
+    from information_retrieval_images_ray.pipelines.sketches import (
+        CMS_CANDIDATES,
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+
+    cand = ", ".join(f"('{t}')" for t in sorted(CMS_CANDIDATES))
+    return f"""
+WITH {_cms_ctes()},
+cand(term) AS (VALUES {cand}),
+ch AS (SELECT c.term, w.r,
+              CAST(CAST(concat('0x', substr(md5(concat(w.r, ':', c.term)), 1, 16))
+                   AS UBIGINT) % {CMS_WIDTH} AS BIGINT) AS bucket
+       FROM cand c CROSS JOIN rws w),
+est AS (SELECT ch.term, min(coalesce(reg.reg, 0)) AS est
+        FROM ch LEFT JOIN reg ON reg.r = ch.r AND reg.bucket = ch.bucket
+        GROUP BY 1)
+SELECT e.term, CAST(e.est AS BIGINT) AS est_count,
+       CAST(coalesce(tc.n, 0) AS BIGINT) AS exact_count
+FROM est e LEFT JOIN tc ON tc.term = e.term
+"""
+
+
 def _token_counts_sql() -> str:
     """Token-count oracle: the shared ASCII-explicit patterns run
     identically under RE2; the BPE pattern's leading apostrophe is
@@ -1746,6 +1809,8 @@ SELECT CAST((n // 10) * 10 AS BIGINT) AS bucket_lo,
 FROM dl GROUP BY 1
 """,
         "q_hll_registers": _HLL_REG_SQL,
+        "q_cms_registers": _cms_reg_sql(),
+        "q_cms_heavy_hitters": _cms_hh_sql(),
         "q_hll_distinct": f"""
 WITH {_HLL_REG_CTE},
 s AS (SELECT count(*) AS nb,
