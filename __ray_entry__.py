@@ -295,6 +295,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # columns (lang, source) per battery query, computed through
         # the SHARDED service (per-actor bincount partials, router sum)
         "q_faceted_search": lambda sf: flagship.run_facet_queries(sf),
+        # numeric range faceting (Elasticsearch range-aggregation
+        # shape): token-length histogram of each query's full match
+        # set, per-actor bucket partials summed at the router
+        "q_range_facets": lambda sf: flagship.run_length_facet_queries(sf),
         # more-like-this: per-anchor tf·idf term selection at the
         # router (pooled df exchange) + OR scoring, anchor excluded
         "q_more_like_this": lambda sf: flagship.run_mlt_queries(sf, k=10),
@@ -1522,6 +1526,38 @@ ranked AS (SELECT qid, doc_id, score,
 """
 
 
+def _range_facet_sql() -> str:
+    """Range-facet oracle: the OR match set per battery query
+    (distinct presence join), each matched doc's token length, bucket
+    lower edge = max(edge <= dl) — exactly the engine's
+    ``searchsorted(edges, dl, "right") - 1`` with ascending edges
+    starting at 0 — grouped to per-(qid, bucket) counts."""
+    from information_retrieval_images_ray.functions.tokenizer import tokenize_simple
+    from information_retrieval_images_ray.pipelines.flagship import (
+        BM25_QUERIES,
+        LENGTH_FACET_EDGES,
+    )
+
+    vals = []
+    for q in BM25_QUERIES:
+        for t in sorted(set(tokenize_simple(q["query"]))):
+            vals.append(f"({q['qid']}, '{t}')")
+    edges = ", ".join(f"({e})" for e in LENGTH_FACET_EDGES)
+    return f"""
+WITH q(qid, term) AS (VALUES {", ".join(vals)}),
+tokd AS (SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+m AS (SELECT DISTINCT q.qid, t.doc_id FROM q JOIN tokd t ON t.term = q.term),
+dl AS (SELECT doc_id, len({TOK_SQL}) AS dl FROM documents),
+e(lo) AS (VALUES {edges}),
+sel AS (SELECT m.qid, m.doc_id, max(e.lo) AS lo
+        FROM m JOIN dl ON dl.doc_id = m.doc_id JOIN e ON e.lo <= dl.dl
+        GROUP BY 1, 2)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(lo AS BIGINT) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM sel GROUP BY 1, 2
+"""
+
+
 def _regex_sql(k: int = 10) -> str:
     """Regex oracle: expansions = distinct corpus terms fully matching
     the pattern (DuckDB ``regexp_full_match`` is RE2; the frozen
@@ -1727,6 +1763,7 @@ SELECT min(doc_id) AS doc_id, text FROM (
         "q_boosted_search": _boosted_sql(),
         "q_collapse_search": _collapse_sql(field="lang"),
         "q_faceted_search": _facet_sql(),
+        "q_range_facets": _range_facet_sql(),
         "q_more_like_this": _mlt_sql(k=10),
         "q_snippets": _snippet_sql(k=5, window=8),
         "q_bm25_merged": _bm25_sql(),

@@ -676,6 +676,43 @@ def run_collapse_queries(
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)
 
 
+# Frozen range-facet bucket edges (token-length histogram; the last
+# bucket is open-ended). Shared verbatim with the SQL VALUES list.
+LENGTH_FACET_EDGES = [0, 8, 16, 24, 32, 48, 64]
+
+
+def run_length_facet_queries(
+    sf_dir: str, edges=LENGTH_FACET_EDGES, queries=BM25_QUERIES,
+) -> pd.DataFrame:
+    """Numeric range faceting over the frozen BM25 battery: the
+    token-length histogram of each query's FULL match set (the
+    Elasticsearch range-aggregation shape — the ranked page answers
+    "best hits", this answers "how long are ALL the hits"). Runs
+    through the SHARDED service (per-actor bucket partials over owned
+    docs, router bucket-edge sum — presence-only, no df exchange);
+    identity with the serial reader is asserted in
+    tests/test_query_modes.py."""
+    import pandas as pd
+
+    from .serving import ShardedQueryService
+
+    index_dir = build_documents_index(sf_dir)
+    svc = ShardedQueryService(index_dir, num_actors=2)
+    try:
+        per_q = svc.length_facets(list(queries), list(edges))
+    finally:
+        svc.shutdown()
+    rows = [
+        (q["qid"], r["lo"], r["n"])
+        for q, buckets in zip(queries, per_q)
+        for r in buckets
+    ]
+    out = pd.DataFrame(rows, columns=["qid", "bucket_lo", "n_docs"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["qid", "bucket_lo"]).reset_index(drop=True)
+
+
 def run_synonym_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Query-time synonym expansion battery: every query term pulls in
     its SYNONYMS expansions (one hop, no chaining), the widened set is

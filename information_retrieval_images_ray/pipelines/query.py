@@ -525,6 +525,29 @@ class IndexReader:
             out[col] = {v: int(n) for v, n in zip(values, cnt) if n}
         return out
 
+    def length_facets(
+        self, query: str, edges: list[int], doc_filter=None,
+    ) -> list[dict]:
+        """Numeric range-facet counts (the Elasticsearch range /
+        histogram aggregation shape) of the FULL OR match set over the
+        per-doc token length: bucket i covers ``[edges[i],
+        edges[i+1])`` with the last bucket open-ended; ``edges`` must
+        be ascending and start low enough to cover every matched doc
+        (0 always works — a matched doc has >= 1 token). Presence
+        only, no idf — so the sharded service needs no df exchange and
+        per-actor partials over owned docs SUM exactly at the router.
+        Returns only non-empty buckets, ascending by ``lo``."""
+        ids = self.match_ids(query, doc_filter)
+        if not len(ids):
+            return []
+        e = np.asarray(edges, dtype=np.float64)
+        idx = np.searchsorted(e, self.doc_len[ids], side="right") - 1
+        cnt = np.bincount(idx[idx >= 0], minlength=len(edges))
+        return [
+            {"lo": int(edges[i]), "n": int(n)}
+            for i, n in enumerate(cnt) if n
+        ]
+
     def collapse_leaders(
         self, query: str, field: str, doc_filter=None,
         weights: dict[str, float] | None = None,

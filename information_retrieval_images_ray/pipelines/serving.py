@@ -130,6 +130,18 @@ class ShardQueryActor:
             for q in queries
         ]
 
+    def length_facets(
+        self, queries: list[dict], edges: list[int], doc_filter=None,
+    ) -> list[list[dict]]:
+        """Per-query numeric range-facet partials over OWNED shards
+        (presence-only like ``facet_counts`` — no weight exchange; the
+        router sums bucket counts, exact since shards partition
+        docs)."""
+        return [
+            self.reader.length_facets(q["query"], edges, doc_filter)
+            for q in queries
+        ]
+
     def conjunctive(
         self, queries: list[dict], weights_per_query: list[dict[str, float]],
         doc_filter=None,
@@ -754,6 +766,26 @@ class ShardedQueryService:
                     for v, n in d.items():
                         m[v] = m.get(v, 0) + n
             out.append(merged)
+        return out
+
+    def length_facets(self, queries: list[dict], edges: list[int],
+                      doc_filter=None) -> list[list[dict]]:
+        """Distributed numeric range faceting: one scatter (no df
+        exchange — presence needs no idf), per-actor bucket counts
+        over owned docs, router sums by bucket lower edge. Returns one
+        ascending [{lo, n}, ...] (non-empty buckets only) per query,
+        aligned with ``queries``."""
+        parts = ray.get([
+            a.length_facets.remote(queries, edges, doc_filter)
+            for a in self.actors
+        ])
+        out: list[list[dict]] = []
+        for qi in range(len(queries)):
+            merged: dict[int, int] = {}
+            for p in parts:
+                for row in p[qi]:
+                    merged[row["lo"]] = merged.get(row["lo"], 0) + row["n"]
+            out.append([{"lo": lo, "n": merged[lo]} for lo in sorted(merged)])
         return out
 
     def _conjunctive(

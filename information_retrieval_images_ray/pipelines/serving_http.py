@@ -249,11 +249,20 @@ class IndexHTTPServer:
                         except FileNotFoundError as e:  # no sidecar
                             self._json(409, {"error": str(e)})
                     elif self.path == "/facets":
-                        self._json(200, outer.facets(
+                        out = outer.facets(
                             req.get("query", ""),
                             req.get("cols", ["lang"]),
                             lang=req.get("lang"),
-                        ))
+                        )
+                        # optional numeric range facet over token
+                        # length: "length_edges": [0, 8, 16, ...]
+                        if req.get("length_edges"):
+                            out["length"] = outer.length_facets(
+                                req.get("query", ""),
+                                [int(e) for e in req["length_edges"]],
+                                lang=req.get("lang"),
+                            )
+                        self._json(200, out)
                     elif self.path == "/delete":
                         from .maintenance import delete_docs
 
@@ -520,6 +529,18 @@ class IndexHTTPServer:
         doc_filter = ("lang", lang) if lang else None
         return svc.facets(
             [{"qid": 0, "query": query}], list(cols), doc_filter)[0]
+
+    def length_facets(self, query: str, edges: list[int],
+                      lang: str | None = None) -> list[dict]:
+        """Numeric range-facet counts of the match set's token lengths
+        (POST /facets with "length_edges") via the sharded service's
+        per-actor bucket partials."""
+        with self._lock:
+            self._sync_tombstones()
+            svc = self.service
+        doc_filter = ("lang", lang) if lang else None
+        return svc.length_facets(
+            [{"qid": 0, "query": query}], edges, doc_filter)[0]
 
     def _ivf_reader(self):
         """Lazily attach the persisted IVF index's cluster-actor pool

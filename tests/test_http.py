@@ -531,6 +531,14 @@ def test_search_mode_multiplexing(server):
     assert fc == reader.facet_counts("alpha dup", ["lang"])
     assert sum(fc["lang"].values()) == len(reader.match_ids("alpha dup"))
 
+    # numeric range facet: token-length histogram of the match set
+    _, fc = _req(srv.port, "/facets", {
+        "query": "alpha dup", "cols": ["lang"], "length_edges": [0, 20, 40],
+    })
+    assert fc["length"] == reader.length_facets("alpha dup", [0, 20, 40])
+    assert sum(r["n"] for r in fc["length"]) == \
+        len(reader.match_ids("alpha dup"))
+
     with pytest.raises(urllib.error.HTTPError) as e:
         _req(srv.port, "/search", {"mode": "nope", "query": "alpha"})
     assert e.value.code == 400

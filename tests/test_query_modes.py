@@ -162,6 +162,46 @@ def test_collapse_matches_brute(modes_index):
 
 
 # ---------------------------------------------------------------------------
+# range facets
+
+
+def test_length_facets_match_brute(modes_index):
+    """Bucket counts vs brute force over the match set's doc
+    lengths; totals must equal the match-set size (edges start at 0,
+    so every matched doc lands in exactly one bucket)."""
+    import numpy as np
+
+    reader = IndexReader(modes_index)
+    edges = [0, 5, 10, 20, 40]
+    for q in ("merge sort hash", "get", "zzz_nohit"):
+        ids = reader.match_ids(q)
+        want: dict[int, int] = {}
+        for dl in reader.doc_len[ids]:
+            lo = max(e for e in edges if e <= dl)
+            want[lo] = want.get(lo, 0) + 1
+        got = reader.length_facets(q, edges)
+        assert {r["lo"]: r["n"] for r in got} == want, q
+        assert [r["lo"] for r in got] == sorted(want)
+        assert sum(r["n"] for r in got) == len(ids)
+    assert reader.length_facets("zzz_nohit", edges) == []
+
+
+@pytest.mark.parametrize("num_actors", [1, 3])
+def test_sharded_length_facets_match_serial(modes_index, num_actors):
+    reader = IndexReader(modes_index)
+    svc = ShardedQueryService(modes_index, num_actors=num_actors)
+    try:
+        edges = [0, 5, 10, 20, 40]
+        qs = [{"qid": i, "query": s} for i, s in enumerate(
+            ["merge sort hash", "get", "zzz_nohit"])]
+        got = svc.length_facets(qs, edges)
+        for q, buckets in zip(qs, got):
+            assert buckets == reader.length_facets(q["query"], edges), q
+    finally:
+        svc.shutdown()
+
+
+# ---------------------------------------------------------------------------
 # sharded router == serial reader (bitwise), across actor counts
 
 
