@@ -59,6 +59,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from information_retrieval_images_ray.pipelines import (
         analysis,
+        bpe,
         dedup,
         evaluation,
         flagship,
@@ -338,6 +339,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # point estimates (min over rows) vs exact counts for the
         # frozen candidate battery — est >= exact by construction
         "q_cms_heavy_hitters": lambda sf: sketches.cms_heavy_hitters(docs(sf)),
+        # BPE tokenizer training, stage-one surface: adjacent
+        # char-pair counts (the merge loop's first iteration),
+        # per-batch combiner + one groupby sum. The full merge loop
+        # (learn_bpe) + encode stage are pytest-gated (iterative —
+        # not SQL-expressible)
+        "q_bpe_pair_counts": lambda sf: bpe.bpe_pair_counts(docs(sf)),
         # corpus length histogram (10-token buckets)
         "q_length_histogram": lambda sf: analysis.length_histogram(docs(sf)),
         # token counting both ways (whitespace + BPE-ish pre-tokenizer)
@@ -1442,6 +1449,19 @@ FROM est e LEFT JOIN tc ON tc.term = e.term
 """
 
 
+def _bpe_pairs_sql() -> str:
+    """BPE pair-count oracle: every token's adjacent 2-char substrings
+    via an unnest over in-word positions, summed per pair — the exact
+    integer table the first BPE merge iteration maximizes over."""
+    return f"""
+WITH w AS (SELECT unnest({TOK_SQL}) AS w FROM documents),
+pos AS (SELECT w, unnest(range(1, length(w))) AS i FROM w)
+SELECT substr(w, CAST(i AS INTEGER), 2) AS pair,
+       CAST(count(*) AS BIGINT) AS n
+FROM pos GROUP BY 1
+"""
+
+
 def _token_counts_sql() -> str:
     """Token-count oracle: the shared ASCII-explicit patterns run
     identically under RE2; the BPE pattern's leading apostrophe is
@@ -1848,6 +1868,7 @@ FROM dl GROUP BY 1
         "q_hll_registers": _HLL_REG_SQL,
         "q_cms_registers": _cms_reg_sql(),
         "q_cms_heavy_hitters": _cms_hh_sql(),
+        "q_bpe_pair_counts": _bpe_pairs_sql(),
         "q_hll_distinct": f"""
 WITH {_HLL_REG_CTE},
 s AS (SELECT count(*) AS nb,
