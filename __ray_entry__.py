@@ -241,6 +241,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25_page": lambda sf: flagship.run_bm25_queries_page(
             sf, k=10, offset=10
         ),
+        # the same ranks 11..20 via CURSOR paging (search_after shape):
+        # page-1's last (score, doc_id) seeds page 2 — no recompute of
+        # skipped ranks, per-actor cursor filter + router k-way merge
+        "q_bm25_cursor": lambda sf: flagship.run_bm25_cursor_queries(
+            sf, k=10
+        ),
         # pseudo-relevance feedback (Rocchio-style): base top-5 as the
         # feedback set, 8 expansion terms by summed-tf·idf, re-scored
         # with expansion terms at 0.5·idf — all pure functions of the
@@ -1788,6 +1794,14 @@ SELECT min(doc_id) AS doc_id, text FROM (
         "q_snippets": _snippet_sql(k=5, window=8),
         "q_bm25_merged": _bm25_sql(),
         "q_bm25_page": f"""
+WITH {_bm25_cte_body()}
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM ranked WHERE rnk BETWEEN 11 AND 20
+""",
+        # cursor paging reaches the identical slice of the total order
+        "q_bm25_cursor": f"""
 WITH {_bm25_cte_body()}
 SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank",
        CAST(doc_id AS BIGINT) AS doc_id,

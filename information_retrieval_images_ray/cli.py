@@ -186,7 +186,14 @@ def cmd_query(args) -> int:
     doc_filter = ("lang", args.lang) if args.lang else None
     mode = getattr(args, "mode", "bm25")
     if mode == "bm25":
-        if getattr(args, "offset", 0):
+        if getattr(args, "after", None):
+            # cursor paging: --after "score,doc_id" of the last hit
+            s0, d0 = args.after.split(",", 1)
+            hits = reader.search_after(
+                args.query, args.k, after=(float(s0), int(d0)),
+                doc_filter=doc_filter,
+            )
+        elif getattr(args, "offset", 0):
             hits = reader.search_page(
                 args.query, args.k, offset=args.offset, algo=args.algo,
                 doc_filter=doc_filter,
@@ -573,6 +580,10 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("--algo", default="bmw", choices=["bmw", "taat"])
     q.add_argument("--offset", type=int, default=0,
                    help="bm25 mode: skip the first N ranks (deep paging)")
+    q.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
+                   help="bm25 mode: cursor paging — return the top-k "
+                        "strictly after this (score, doc_id) in rank "
+                        "order (search_after; overrides --offset)")
     q.add_argument("--mode", default="bm25",
                    choices=["bm25", "boolean", "prefix", "fuzzy", "wildcard",
                             "regex", "boosted", "collapse", "synonym",

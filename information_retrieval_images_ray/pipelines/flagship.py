@@ -93,6 +93,46 @@ def run_bm25_queries_page(
     return out.sort_values(["qid", "rank"]).reset_index(drop=True)
 
 
+def run_bm25_cursor_queries(
+    sf_dir: str, queries=BM25_QUERIES, k: int = 10,
+) -> pd.DataFrame:
+    """Page 2 of the battery through CURSOR paging (the Elasticsearch
+    ``search_after`` shape): page 1's last (score, doc_id) is the
+    cursor, page 2 fetches the k hits strictly after it — absolute
+    ranks k+1..2k of the same total order as offset paging, reached
+    without recomputing the skipped ranks. Runs through the SHARDED
+    service (per-actor cursor-filtered top-k over owned docs, router
+    k-way merge); a query with <= k total hits pages to empty."""
+    import numpy as np
+    import pandas as pd
+
+    from .serving import ShardedQueryService
+
+    index_dir = build_documents_index(sf_dir)
+    svc = ShardedQueryService(index_dir, num_actors=2)
+    try:
+        page1 = svc.topk(list(queries), k=k)
+        last: dict[int, tuple[float, int]] = {}
+        for r in page1:
+            last[r["qid"]] = (r["score"], r["doc_id"])  # rank ascends
+        q2 = [
+            {"qid": q["qid"], "query": q["query"], "after": last[q["qid"]]}
+            for q in queries if q["qid"] in last
+        ]
+        page2 = svc.topk_after(q2, k=k) if q2 else []
+    finally:
+        svc.shutdown()
+    if not page2:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ["qid", "rank", "doc_id", "score_e6"]})
+    out = pd.DataFrame(page2)
+    out["rank"] = out["rank"] + k  # absolute ranks k+1..2k
+    out["score_e6"] = np.floor(
+        out["score"].to_numpy(np.float64) * 1e6 + 0.5).astype(np.int64)
+    out = out[["qid", "rank", "doc_id", "score_e6"]].astype("int64")
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
 def run_bm25_queries_merged(
     sf_dir: str, queries=BM25_QUERIES, k: int = 10, algo: str = "bmw"
 ) -> pd.DataFrame:

@@ -548,22 +548,18 @@ class IndexReader:
             for i, n in enumerate(cnt) if n
         ]
 
-    def collapse_leaders(
-        self, query: str, field: str, doc_filter=None,
+    def _full_or_scores(
+        self, query: str, doc_filter=None,
         weights: dict[str, float] | None = None,
-    ) -> list[dict]:
-        """Per-group best hit (field collapsing, the Elasticsearch
-        ``collapse`` / Lucene grouping shape) over OWNED shards: full
-        OR-of-terms scores (identical accumulators to ``search_taat``
-        — same partials, same sorted-term add order, so leader scores
-        are bitwise equal to ranked search), then per distinct
-        ``docmeta[field]`` value the (score desc, doc_id asc) leader
-        plus the group's FULL match-set size. No k cut here — group
-        cardinality is field cardinality, so the sharded router can
-        max-merge leaders and sum counts exactly (a doc lives wholly
-        in one shard). Docs with a null field value belong to no group
-        (they still rank in plain search). ``weights`` overrides idf
-        (sharded serving's global-df exchange)."""
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Full OR-of-terms (ids, scores) over OWNED shards — the
+        entire match set, no top-k cut, with accumulators identical to
+        ``search_taat`` (same partials, same sorted-term float64 add
+        order, so every score is bitwise equal to the ranked path).
+        Tombstones and the optional metadata filter excluded exactly
+        as in ranked search; ``weights`` overrides idf (sharded
+        serving's global-df exchange). Shared by field collapsing and
+        cursor paging."""
         mask = self._resolve_filter(doc_filter)
         terms = self._query_terms(query)
         acc: dict[int, np.ndarray] = {}
@@ -587,7 +583,7 @@ class IndexReader:
             all_ids.append((nz + self.shards[s].lo).astype(np.int64))
             all_scores.append(a[nz])
         if not all_ids:
-            return []
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         ids = np.concatenate(all_ids)
         scores = np.concatenate(all_scores)
         if mask is not None:
@@ -598,6 +594,59 @@ class IndexReader:
 
             live = ~is_tombstoned(self.tombstones, ids)
             ids, scores = ids[live], scores[live]
+        return ids, scores
+
+    def search_after(
+        self, query: str, k: int = 10,
+        after: tuple[float, int] | None = None, doc_filter=None,
+        weights: dict[str, float] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Cursor paging (the Elasticsearch ``search_after`` shape):
+        the top-``k`` hits STRICTLY AFTER the ``(score, doc_id)``
+        cursor in the engine-wide (score desc, doc_id asc) total
+        order — the deep-paging form that never recomputes skipped
+        ranks (offset paging fetches offset+k and slices; a cursor
+        walk fetches k per page no matter how deep). Scores are
+        bitwise equal to ranked search (same accumulators), so the
+        cursor taken from any page's last hit continues exactly where
+        that page ended. ``after=None`` is page one (== top-k)."""
+        ids, scores = self._full_or_scores(query, doc_filter, weights)
+        if not len(ids):
+            return []
+        if after is not None:
+            s0, d0 = float(after[0]), int(after[1])
+            keep = (scores < s0) | ((scores == s0) & (ids > d0))
+            ids, scores = ids[keep], scores[keep]
+        if not len(ids):
+            return []
+        if k < len(ids):
+            # partial-select: keep everything at or above the k-th
+            # largest score (ties at the boundary INCLUDED, so the
+            # doc_id tie-break below stays exact), then sort that
+            # small survivor set instead of the whole match set
+            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+            keep = scores >= kth
+            ids, scores = ids[keep], scores[keep]
+        order = np.lexsort((ids, -scores))[:k]
+        return [(int(ids[i]), float(scores[i])) for i in order]
+
+    def collapse_leaders(
+        self, query: str, field: str, doc_filter=None,
+        weights: dict[str, float] | None = None,
+    ) -> list[dict]:
+        """Per-group best hit (field collapsing, the Elasticsearch
+        ``collapse`` / Lucene grouping shape) over OWNED shards: full
+        OR-of-terms scores (identical accumulators to ``search_taat``
+        — same partials, same sorted-term add order, so leader scores
+        are bitwise equal to ranked search), then per distinct
+        ``docmeta[field]`` value the (score desc, doc_id asc) leader
+        plus the group's FULL match-set size. No k cut here — group
+        cardinality is field cardinality, so the sharded router can
+        max-merge leaders and sum counts exactly (a doc lives wholly
+        in one shard). Docs with a null field value belong to no group
+        (they still rank in plain search). ``weights`` overrides idf
+        (sharded serving's global-df exchange)."""
+        ids, scores = self._full_or_scores(query, doc_filter, weights)
         if not len(ids):
             return []
         codes, values = self.meta_codes(field)

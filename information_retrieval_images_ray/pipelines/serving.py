@@ -175,6 +175,24 @@ class ShardQueryActor:
                             r["score"], r["n"]))
         return out
 
+    def search_after(
+        self, queries: list[dict],
+        weights_per_query: list[dict[str, float]], k: int, doc_filter=None,
+    ) -> list[tuple[int, int, float]]:
+        """Per-actor cursor-paged top-k over OWNED docs (each query
+        dict may carry ``after``: (score, doc_id)); the router's
+        k-way merge stays exact because the cursor filter commutes
+        with the shard partition of the doc space."""
+        out = []
+        for q, w in zip(queries, weights_per_query):
+            a = q.get("after")
+            for doc, score in self.reader.search_after(
+                q["query"], k, after=tuple(a) if a else None,
+                doc_filter=doc_filter, weights=w,
+            ):
+                out.append((q["qid"], doc, score))
+        return out
+
     def explain(
         self, query: str, doc_ids: list[int],
         weights: dict[str, float], df_override: dict[str, int],
@@ -479,6 +497,22 @@ class ShardedQueryService:
                     "group_n": cnt[(q["qid"], val)],
                 })
         return out
+
+    def topk_after(self, queries: list[dict], k: int = 10,
+                   doc_filter=None) -> list[dict]:
+        """Cursor paging through the router. queries: [{"qid",
+        "query", "after"?: (score, doc_id)}] — the usual df exchange,
+        per-actor cursor-filtered top-k over owned docs, k-way merge
+        with the engine tie-break. Bitwise-consistent with ``topk``:
+        a cursor taken from any page's last hit yields exactly the
+        next k ranks of the same total order."""
+        per_query_terms = [sorted(set(self._tok(q["query"]))) for q in queries]
+        weights = self._weights_for(per_query_terms)
+        parts = ray.get([
+            a.search_after.remote(queries, weights, k, doc_filter)
+            for a in self.actors
+        ])
+        return self._merge(queries, parts, k)
 
     def topk_synonym(self, queries: list[dict], k: int = 10,
                      doc_filter=None) -> list[dict]:

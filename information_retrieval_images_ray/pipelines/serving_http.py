@@ -241,7 +241,8 @@ class IndexHTTPServer:
                                     "max_terms", "exclude_doc", "offset",
                                     "snippet", "snippet_window",
                                     "fb_docs", "fb_terms", "beta",
-                                    "explain",
+                                    "explain", "search_after",
+                                    "collapse_field",
                                 ) if kk in req},
                             ))
                         except ValueError as e:  # bad mode / bad param
@@ -349,9 +350,17 @@ class IndexHTTPServer:
             svc = self.service
         doc_filter = ("lang", lang) if lang else None
         if mode == "bm25":
-            hits = svc.topk([{"qid": 0, "query": query}], k=k,
-                            doc_filter=doc_filter,
-                            offset=int(params.get("offset", 0)))
+            after = params.get("search_after")
+            if after:
+                # cursor paging: [score, doc_id] of the last hit seen
+                hits = svc.topk_after(
+                    [{"qid": 0, "query": query,
+                      "after": (float(after[0]), int(after[1]))}],
+                    k=k, doc_filter=doc_filter)
+            else:
+                hits = svc.topk([{"qid": 0, "query": query}], k=k,
+                                doc_filter=doc_filter,
+                                offset=int(params.get("offset", 0)))
         elif mode == "boolean":
             hits = svc.topk_boolean([{
                 "qid": 0,

@@ -191,6 +191,15 @@ def test_query_modes(cli_index, capsys):
     want = reader.more_like_this(reader.tokenize("get name"), k=5, max_terms=2)
     assert [(h["doc_id"], h["score"]) for h in hits] == want
 
+    # cursor paging: --after "score,doc_id" == ranks 6..10
+    p1 = reader.search_taat("get", 5)
+    rc = main(["query", "get", "--index", cli_index, "-k", "5",
+               "--after", f"{p1[-1][1]!r},{p1[-1][0]}"])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [(h["doc_id"], h["score"]) for h in hits] == \
+        reader.search_page("get", 5, offset=5, algo="taat") and hits
+
     rc = main(["query", "g.t", "--index", cli_index, "-k", "5",
                "--mode", "regex", "--max-expansions", "8"])
     assert rc == 0

@@ -475,6 +475,14 @@ def test_search_mode_multiplexing(server):
     assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
     assert [h["rank"] for h in hits] == [4, 5, 6]
 
+    # cursor paging reaches the same slice without the offset recompute
+    _, p1 = _req(srv.port, "/search", {"query": "alpha dup", "limit": 3})
+    _, hits = _req(srv.port, "/search", {
+        "query": "alpha dup", "limit": 3,
+        "search_after": [p1[-1]["score"], p1[-1]["doc_id"]],
+    })
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+
     _, hits = _req(srv.port, "/search", {
         "mode": "wildcard", "query": "alp*a", "limit": 5,
     })

@@ -162,6 +162,55 @@ def test_collapse_matches_brute(modes_index):
 
 
 # ---------------------------------------------------------------------------
+# cursor paging (search_after)
+
+
+def test_search_after_walks_the_total_order(modes_index):
+    """A cursor walk in k-sized pages must reproduce the offset-paged
+    total order exactly, page by page, until exhaustion."""
+    reader = IndexReader(modes_index)
+    for q in ("get", "merge sort hash"):
+        k = 7
+        cursor, walked = None, []
+        for page in range(5):
+            hits = reader.search_after(q, k, after=cursor)
+            assert hits == reader.search_page(
+                q, k, offset=page * k, algo="taat"), (q, page)
+            walked.extend(hits)
+            if len(hits) < k:
+                break
+            cursor = (hits[-1][1], hits[-1][0])  # (score, doc_id)
+        # no duplicates across pages; strictly descending rank order
+        ids = [d for d, _ in walked]
+        assert len(ids) == len(set(ids))
+        keys = [(-s, d) for d, s in walked]
+        assert keys == sorted(keys)
+    assert reader.search_after("zzz_nohit", 5) == []
+    # a cursor past the last hit pages to empty
+    d, s = reader.search_after("get", 10**9)[-1]
+    assert reader.search_after("get", 5, after=(s, d)) == []
+
+
+@pytest.mark.parametrize("num_actors", [1, 3])
+def test_sharded_search_after_matches_serial(modes_index, num_actors):
+    reader = IndexReader(modes_index)
+    svc = ShardedQueryService(modes_index, num_actors=num_actors)
+    try:
+        page1 = svc.topk([{"qid": 0, "query": "get"}], k=5)
+        cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+        got = svc.topk_after(
+            [{"qid": 0, "query": "get", "after": cursor}], k=5)
+        assert [(r["doc_id"], r["score"]) for r in got] == \
+            reader.search_after("get", 5, after=cursor)
+        # no cursor == page one == plain topk
+        got0 = svc.topk_after([{"qid": 0, "query": "get"}], k=5)
+        assert [(r["doc_id"], r["score"]) for r in got0] == \
+            [(r["doc_id"], r["score"]) for r in page1]
+    finally:
+        svc.shutdown()
+
+
+# ---------------------------------------------------------------------------
 # range facets
 
 
