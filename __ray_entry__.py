@@ -313,6 +313,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hit from the positional sidecar + the rendered snippet text
         "q_snippets": lambda sf: flagship.run_snippet_queries(sf, k=5, window=8),
         "q_index_segments": lambda sf: flagship.segment_summary(sf),
+        # term vectors (_termvectors shape): anchor docs' (term, tf)
+        # from one doc_id-pruned docterms read + exact global df
+        "q_term_vectors": lambda sf: flagship.run_term_vector_queries(sf),
         "q_term_stats": lambda sf: analysis.term_stats(docs(sf)),
         "q_doc_lengths": lambda sf: analysis.doc_lengths(docs(sf)),
         "q_corpus_stats": lambda sf: analysis.corpus_stats(docs(sf)),
@@ -1552,6 +1555,23 @@ ranked AS (SELECT qid, doc_id, score,
 """
 
 
+def _term_vectors_sql() -> str:
+    """Term-vector oracle: tokenize the anchor docs, per (doc, term)
+    tf, joined with the corpus-wide df."""
+    from information_retrieval_images_ray.pipelines.flagship import PHRASE_ANCHORS
+
+    anchors = ", ".join(f"({a})" for a in PHRASE_ANCHORS)
+    return f"""
+WITH a(doc_id) AS (VALUES {anchors}),
+tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.term,
+       CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df
+FROM tf t JOIN df d USING (term) JOIN a USING (doc_id)
+"""
+
+
 def _range_facet_sql() -> str:
     """Range-facet oracle: the OR match set per battery query
     (distinct presence join), each matched doc's token length, bucket
@@ -1790,6 +1810,7 @@ SELECT min(doc_id) AS doc_id, text FROM (
         "q_collapse_search": _collapse_sql(field="lang"),
         "q_faceted_search": _facet_sql(),
         "q_range_facets": _range_facet_sql(),
+        "q_term_vectors": _term_vectors_sql(),
         "q_more_like_this": _mlt_sql(k=10),
         "q_snippets": _snippet_sql(k=5, window=8),
         "q_bm25_merged": _bm25_sql(),

@@ -753,6 +753,23 @@ def run_length_facet_queries(
     return out.sort_values(["qid", "bucket_lo"]).reset_index(drop=True)
 
 
+def run_term_vector_queries(sf_dir: str, anchors=None) -> pd.DataFrame:
+    """Term vectors (the Elasticsearch ``_termvectors`` shape) for the
+    frozen anchor docs (PHRASE_ANCHORS): per (doc, term) the in-doc tf
+    from ONE doc_id-pruned read of the index's own docterms checkpoint
+    plus the exact global df — the stored-field inspection surface
+    next to the ranked one. Columns: doc_id, term, tf, df."""
+    import pandas as pd
+
+    reader = IndexReader(build_documents_index(sf_dir))
+    rows = reader.term_vectors(
+        list(PHRASE_ANCHORS if anchors is None else anchors))
+    out = pd.DataFrame(rows, columns=["doc_id", "term", "tf", "df"])
+    for c in ("doc_id", "tf", "df"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
 def run_synonym_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Query-time synonym expansion battery: every query term pulls in
     its SYNONYMS expansions (one hop, no chaining), the widened set is

@@ -780,6 +780,52 @@ class IndexReader:
         rows.sort(key=lambda r: (r["doc_id"], r["term"]))
         return rows
 
+    def term_vectors(self, doc_ids: list[int]) -> list[dict]:
+        """Per-doc term vectors (the Elasticsearch ``_termvectors``
+        shape): each requested doc's (term, tf) pairs from the index's
+        own ``docterms`` checkpoint — ONE doc_id-pruned parquet read
+        (predicate pushdown, only the row groups holding the ids are
+        touched), never the corpus text — joined with each term's
+        exact global df. Tombstoned docs return no rows. Output rows
+        {"doc_id", "term", "tf", "df"} sorted (doc_id, term)."""
+        import pyarrow.dataset as pads
+
+        ids = sorted({int(d) for d in doc_ids})
+        if len(self.tombstones):
+            from .maintenance import is_tombstoned
+
+            alive = ~is_tombstoned(
+                self.tombstones, np.asarray(ids, dtype=np.int64))
+            ids = [d for d, a in zip(ids, alive.tolist()) if a]
+        if not ids:
+            return []
+        dt_dir = os.path.join(self.index_dir, "docterms")
+        if not os.path.isdir(dt_dir):
+            raise FileNotFoundError(
+                f"term_vectors needs the docterms checkpoint at {dt_dir} "
+                "(present on any build_index output)")
+        tbl = pads.dataset(dt_dir, format="parquet").to_table(
+            columns=["doc_id", "terms", "tfs"],
+            filter=pads.field("doc_id").isin(ids),
+        )
+        per_doc: dict[int, dict[str, int]] = {}
+        all_terms: set[str] = set()
+        for d, terms, tfs in zip(tbl["doc_id"].to_pylist(),
+                                 tbl["terms"].to_pylist(),
+                                 tbl["tfs"].to_pylist()):
+            m = per_doc.setdefault(int(d), {})
+            for t, f in zip(terms, tfs):
+                m[t] = m.get(t, 0) + int(f)
+                all_terms.add(t)
+        dfs = self.df_locals(sorted(all_terms))
+        out = []
+        for d in sorted(per_doc):
+            m = per_doc[d]
+            for t in sorted(m):
+                out.append({"doc_id": d, "term": t, "tf": m[t],
+                            "df": int(dfs.get(t, 0))})
+        return out
+
     def search_prf(
         self, query: str, k: int = 10, fb_docs: int = 5, fb_terms: int = 8,
         beta: float = 0.5, doc_filter=None,

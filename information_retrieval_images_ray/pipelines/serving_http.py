@@ -264,6 +264,9 @@ class IndexHTTPServer:
                                 lang=req.get("lang"),
                             )
                         self._json(200, out)
+                    elif self.path == "/termvectors":
+                        self._json(200, outer.termvectors(
+                            [int(d) for d in req.get("doc_ids", [])]))
                     elif self.path == "/delete":
                         from .maintenance import delete_docs
 
@@ -538,6 +541,63 @@ class IndexHTTPServer:
         doc_filter = ("lang", lang) if lang else None
         return svc.facets(
             [{"qid": 0, "query": query}], list(cols), doc_filter)[0]
+
+    def termvectors(self, doc_ids: list[int]) -> list[dict]:
+        """Per-doc term vectors (POST /termvectors {"doc_ids": [...]},
+        the Elasticsearch ``_termvectors`` analogue): the (term, tf)
+        pairs come from one doc_id-pruned read of the docterms
+        checkpoint on the router, the exact global df from the actor
+        pool's df exchange — the same protocol every ranked mode
+        uses."""
+        import os
+
+        import numpy as np
+        import pyarrow.dataset as pads
+        import ray
+
+        with self._lock:
+            self._sync_tombstones()
+            svc = self.service
+        if svc is None:
+            raise FileNotFoundError("no index attached")
+        ids = sorted({int(d) for d in doc_ids})
+        dt_dir = os.path.join(self.index_dir, "docterms")
+        tbl = pads.dataset(dt_dir, format="parquet").to_table(
+            columns=["doc_id", "terms", "tfs"],
+            filter=pads.field("doc_id").isin(ids),
+        ) if ids else None
+        per_doc: dict[int, dict[str, int]] = {}
+        all_terms: set[str] = set()
+        if tbl is not None:
+            from .maintenance import is_tombstoned, load_tombstones
+
+            tomb = load_tombstones(self.index_dir)
+            for d, terms, tfs in zip(tbl["doc_id"].to_pylist(),
+                                     tbl["terms"].to_pylist(),
+                                     tbl["tfs"].to_pylist()):
+                if len(tomb) and bool(is_tombstoned(
+                        tomb, np.asarray([int(d)], dtype=np.int64))[0]):
+                    continue
+                m = per_doc.setdefault(int(d), {})
+                for t, f in zip(terms, tfs):
+                    m[t] = m.get(t, 0) + int(f)
+                    all_terms.add(t)
+        terms_sorted = sorted(all_terms)
+        gdf: dict[str, int] = {}
+        if terms_sorted:
+            parts = ray.get([
+                a.df_locals.remote(terms_sorted) for a in svc.actors
+            ])
+            for p in parts:
+                for t, n in p.items():
+                    gdf[t] = gdf.get(t, 0) + n
+        out = []
+        for d in sorted(per_doc):
+            m = per_doc[d]
+            for t in sorted(m):
+                out.append({"doc_id": d, "term": t, "tf": m[t],
+                            "df": int(gdf.get(t, 0))})
+        return out
 
     def length_facets(self, query: str, edges: list[int],
                       lang: str | None = None) -> list[dict]:

@@ -539,6 +539,12 @@ def test_search_mode_multiplexing(server):
     assert fc == reader.facet_counts("alpha dup", ["lang"])
     assert sum(fc["lang"].values()) == len(reader.match_ids("alpha dup"))
 
+    # term vectors: pruned docterms read + df exchange == the reader
+    _, tv = _req(srv.port, "/termvectors", {"doc_ids": [3, 8]})
+    assert tv == reader.term_vectors([3, 8]) and tv
+    _, tv0 = _req(srv.port, "/termvectors", {"doc_ids": []})
+    assert tv0 == []
+
     # numeric range facet: token-length histogram of the match set
     _, fc = _req(srv.port, "/facets", {
         "query": "alpha dup", "cols": ["lang"], "length_edges": [0, 20, 40],

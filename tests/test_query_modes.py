@@ -162,6 +162,49 @@ def test_collapse_matches_brute(modes_index):
 
 
 # ---------------------------------------------------------------------------
+# term vectors
+
+
+def test_term_vectors_match_brute(modes_index):
+    """(doc, term, tf, df) from the pruned docterms read must equal a
+    brute tokenize of the corpus texts."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq_mod
+
+    from information_retrieval_images_ray.functions.tokenizer import tokenize_code
+
+    reader = IndexReader(modes_index)
+    files = sorted(glob_mod.glob(_CORPUS_OF[modes_index] + "/*.parquet"))
+    texts: dict[int, str] = {}
+    # re-derive doc ids exactly as assign_dense_doc_ids does
+    import pandas as pd
+
+    frames = [pq_mod.read_table(f).to_pandas() for f in files]
+    df = pd.concat(frames, ignore_index=True)
+    df = df.sort_values(["repo", "path", "commit", "content"],
+                        kind="mergesort").reset_index(drop=True)
+    texts = dict(enumerate(df["content"]))
+
+    # corpus-wide df from brute tokenization
+    brute_df: Counter = Counter()
+    for t in texts.values():
+        brute_df.update(set(tokenize_code(t)))
+
+    anchors = [0, 3, 17]
+    got = reader.term_vectors(anchors)
+    want = []
+    for d in anchors:
+        c = Counter(tokenize_code(texts[d]))
+        for t in sorted(c):
+            want.append({"doc_id": d, "term": t, "tf": c[t],
+                         "df": brute_df[t]})
+    assert got == want
+    assert reader.term_vectors([]) == []
+    assert reader.term_vectors([10**9]) == []  # unknown id: no rows
+
+
+# ---------------------------------------------------------------------------
 # cursor paging (search_after)
 
 
