@@ -316,6 +316,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # term vectors (_termvectors shape): anchor docs' (term, tf)
         # from one doc_id-pruned docterms read + exact global df
         "q_term_vectors": lambda sf: flagship.run_term_vector_queries(sf),
+        # significant terms (ES aggregation): add-one log-odds of each
+        # term's doc rate in the query's match-set sample vs the
+        # corpus, through the sharded router (match-prefix scatter +
+        # pruned docterms read + df exchange)
+        "q_significant_terms": lambda sf: flagship.run_significant_queries(sf),
         "q_term_stats": lambda sf: analysis.term_stats(docs(sf)),
         "q_doc_lengths": lambda sf: analysis.doc_lengths(docs(sf)),
         "q_corpus_stats": lambda sf: analysis.corpus_stats(docs(sf)),
@@ -1555,6 +1560,49 @@ ranked AS (SELECT qid, doc_id, score,
 """
 
 
+def _significant_sql(k: int = 10, sample_n: int = 50) -> str:
+    """Significant-terms oracle: match set per battery query, the
+    first sample_n matched ids ascending, foreground doc freq from the
+    sample, background df from the corpus, add-one log-odds of doc
+    rates (the engine's exact float ops), query terms excluded, top-k
+    by (lor desc, term asc)."""
+    from information_retrieval_images_ray.functions.tokenizer import tokenize_simple
+    from information_retrieval_images_ray.pipelines.flagship import BM25_QUERIES
+
+    vals = []
+    for q in BM25_QUERIES:
+        for t in sorted(set(tokenize_simple(q["query"]))):
+            vals.append(f"({q['qid']}, '{t}')")
+    return f"""
+WITH q(qid, term) AS (VALUES {", ".join(vals)}),
+tokd AS (SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+m AS (SELECT DISTINCT q.qid, t.doc_id FROM q JOIN tokd t USING (term)),
+samp AS (SELECT qid, doc_id FROM (
+           SELECT qid, doc_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY doc_id) AS rn
+           FROM m) WHERE rn <= {sample_n}),
+ns AS (SELECT qid, CAST(count(*) AS DOUBLE) AS ns FROM samp GROUP BY 1),
+fg AS (SELECT s.qid, t.term, CAST(count(*) AS DOUBLE) AS fg
+       FROM samp s JOIN tokd t ON t.doc_id = s.doc_id GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tokd GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+sc AS (SELECT f.qid, f.term, f.fg, d.df,
+              ln((f.fg + 1.0)/(ns.ns - f.fg + 1.0))
+              - ln((d.df + 1.0)/(nn.n - d.df + 1.0)) AS lor
+       FROM fg f JOIN df d USING (term) JOIN ns ON ns.qid = f.qid
+       CROSS JOIN nn
+       WHERE NOT EXISTS (SELECT 1 FROM q
+                         WHERE q.qid = f.qid AND q.term = f.term)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                    ORDER BY lor DESC, term) AS rnk
+       FROM sc)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS "rank", term,
+       CAST(fg AS BIGINT) AS fg_df, CAST(df AS BIGINT) AS df,
+       CAST(FLOOR(lor*1000000 + 0.5) AS BIGINT) AS lor_e6
+FROM rk WHERE rnk <= {k}
+"""
+
+
 def _term_vectors_sql() -> str:
     """Term-vector oracle: tokenize the anchor docs, per (doc, term)
     tf, joined with the corpus-wide df."""
@@ -1811,6 +1859,7 @@ SELECT min(doc_id) AS doc_id, text FROM (
         "q_faceted_search": _facet_sql(),
         "q_range_facets": _range_facet_sql(),
         "q_term_vectors": _term_vectors_sql(),
+        "q_significant_terms": _significant_sql(),
         "q_more_like_this": _mlt_sql(k=10),
         "q_snippets": _snippet_sql(k=5, window=8),
         "q_bm25_merged": _bm25_sql(),

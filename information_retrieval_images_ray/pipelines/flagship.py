@@ -753,6 +753,43 @@ def run_length_facet_queries(
     return out.sort_values(["qid", "bucket_lo"]).reset_index(drop=True)
 
 
+def run_significant_queries(
+    sf_dir: str, k: int = 10, sample_n: int = 50, queries=BM25_QUERIES,
+) -> pd.DataFrame:
+    """Significant-terms aggregation over the frozen BM25 battery:
+    per query the top-``k`` terms over-represented in its match set vs
+    the whole corpus (add-one log-odds of doc rates; foreground = the
+    first ``sample_n`` matched ids ascending). Runs through the
+    SHARDED service — per-actor ascending match-prefix scatter, one
+    pruned docterms read + df exchange at the router; identity with
+    the serial reader is asserted in tests/test_query_modes.py.
+    Columns: qid, rank, term, fg_df, df, lor_e6."""
+    import numpy as np
+    import pandas as pd
+
+    from .serving import ShardedQueryService
+
+    index_dir = build_documents_index(sf_dir)
+    svc = ShardedQueryService(index_dir, num_actors=2)
+    try:
+        rows = svc.topk_significant(list(queries), k=k, sample_n=sample_n)
+    finally:
+        svc.shutdown()
+    cols = ["qid", "rank", "term", "fg_df", "df", "lor_e6"]
+    if not rows:
+        return pd.DataFrame({
+            c: pd.Series(dtype="object" if c == "term" else "int64")
+            for c in cols
+        })
+    out = pd.DataFrame(rows)
+    out["lor_e6"] = np.floor(
+        out["lor"].to_numpy(np.float64) * 1e6 + 0.5).astype(np.int64)
+    out = out[cols]
+    for c in ("qid", "rank", "fg_df", "df"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
 def run_term_vector_queries(sf_dir: str, anchors=None) -> pd.DataFrame:
     """Term vectors (the Elasticsearch ``_termvectors`` shape) for the
     frozen anchor docs (PHRASE_ANCHORS): per (doc, term) the in-doc tf

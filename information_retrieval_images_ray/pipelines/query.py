@@ -96,6 +96,48 @@ def parse_boosted_query(query: str, tokenize) -> dict[str, float]:
     return boosts
 
 
+def _sample_doc_freqs(index_dir: str, ids: list[int]) -> dict[str, int]:
+    """Foreground doc frequencies for significant-terms: how many of
+    the sample docs contain each term, from ONE doc_id-pruned read of
+    the docterms checkpoint. Shared by the serial reader and the
+    sharded router (which samples via per-actor ascending prefixes)."""
+    import pyarrow.dataset as pads
+
+    if not ids:
+        return {}
+    dt_dir = os.path.join(index_dir, "docterms")
+    tbl = pads.dataset(dt_dir, format="parquet").to_table(
+        columns=["doc_id", "terms"],
+        filter=pads.field("doc_id").isin(sorted(set(int(d) for d in ids))),
+    )
+    fg: dict[str, int] = {}
+    for terms in tbl["terms"].to_pylist():
+        for t in set(terms):
+            fg[t] = fg.get(t, 0) + 1
+    return fg
+
+
+def _score_significant(
+    fg: dict[str, int], dfs: dict[str, int], n_sample: int, n_docs: int,
+    cand: list[str], k: int,
+) -> list[dict]:
+    """Add-one log-odds of foreground vs corpus doc rate — identical
+    float ops serial and sharded (and mirrored in the SQL oracle):
+    ln((fg+1)/(ns-fg+1)) - ln((df+1)/(N-df+1)), integer-valued doubles
+    divided once, the bit-exactness the distinctive-terms oracle
+    already relies on. Top-k by (lor desc, term asc)."""
+    rows = []
+    for t in cand:
+        f, d = fg[t], int(dfs.get(t, 0))
+        lor = float(
+            np.log((f + 1.0) / (n_sample - f + 1.0))
+            - np.log((d + 1.0) / (n_docs - d + 1.0))
+        )
+        rows.append({"term": t, "fg_df": f, "df": d, "lor": lor})
+    rows.sort(key=lambda r: (-r["lor"], r["term"]))
+    return rows[:k]
+
+
 def decode_all_blocks(row: dict, block_size: int) -> tuple[np.ndarray, np.ndarray]:
     """Decode a term's full (doc_ids, tfs) in O(1) numpy passes.
 
@@ -825,6 +867,26 @@ class IndexReader:
                 out.append({"doc_id": d, "term": t, "tf": m[t],
                             "df": int(dfs.get(t, 0))})
         return out
+
+    def significant_terms(
+        self, query: str, k: int = 10, sample_n: int = 50, doc_filter=None,
+    ) -> list[dict]:
+        """Significant-terms aggregation (the Elasticsearch shape):
+        terms unusually frequent in the query's match set relative to
+        the whole corpus — "what is this result set ABOUT". Foreground
+        = the first ``sample_n`` matched doc ids ascending (the
+        deterministic sample a SQL oracle can mirror), read with one
+        doc_id-pruned docterms fetch; per candidate term the add-one
+        log-odds of its foreground doc rate vs its corpus doc rate,
+        query terms themselves excluded (they are significant by
+        construction, like MLT's anchor exclusion). Top-``k`` by
+        (lor desc, term asc). Rows: {"term", "fg_df", "df", "lor"}."""
+        ids = self.match_ids(query, doc_filter)[:sample_n].tolist()
+        exclude = set(self.tokenize(query))
+        fg = _sample_doc_freqs(self.index_dir, ids)
+        cand = sorted(t for t in fg if t not in exclude)
+        dfs = self.df_locals(cand)
+        return _score_significant(fg, dfs, len(ids), self.n_docs, cand, k)
 
     def search_prf(
         self, query: str, k: int = 10, fb_docs: int = 5, fb_terms: int = 8,

@@ -193,6 +193,18 @@ class ShardQueryActor:
                 out.append((q["qid"], doc, score))
         return out
 
+    def match_prefix(
+        self, queries: list[dict], n: int, doc_filter=None,
+    ) -> list[list[int]]:
+        """Per query the first ``n`` OWNED matched doc ids ascending —
+        the router's global ascending sample is the merged cut of
+        these prefixes (exact: a global first-n id is in its own
+        actor's first n)."""
+        return [
+            self.reader.match_ids(q["query"], doc_filter)[:n].tolist()
+            for q in queries
+        ]
+
     def explain(
         self, query: str, doc_ids: list[int],
         weights: dict[str, float], df_override: dict[str, int],
@@ -496,6 +508,51 @@ class ShardedQueryService:
                     "score": score, "group": val,
                     "group_n": cnt[(q["qid"], val)],
                 })
+        return out
+
+    def topk_significant(self, queries: list[dict], k: int = 10,
+                         sample_n: int = 50, doc_filter=None) -> list[dict]:
+        """Distributed significant-terms. queries: [{"qid", "query"}]
+        → per query the top-k terms over-represented in its match set
+        vs the corpus. Protocol: per-actor ascending match-id prefixes
+        (one scatter, no df needed for presence) merge to the global
+        first-``sample_n`` sample; ONE doc_id-pruned docterms read at
+        the router; candidate df via the usual exchange; the SAME
+        scoring floats as the serial reader (query.py
+        _score_significant). Rows: {"qid", "rank", "term", "fg_df",
+        "df", "lor"}."""
+        from .query import _sample_doc_freqs, _score_significant
+
+        prefixes = ray.get([
+            a.match_prefix.remote(queries, sample_n, doc_filter)
+            for a in self.actors
+        ])
+        out = []
+        per_q_cands: list[list[str]] = []
+        per_q_fg: list[dict[str, int]] = []
+        per_q_ids: list[list[int]] = []
+        for qi, q in enumerate(queries):
+            ids = sorted({d for p in prefixes for d in p[qi]})[:sample_n]
+            fg = _sample_doc_freqs(self.index_dir, ids)
+            exclude = set(self._tok(q["query"]))
+            per_q_ids.append(ids)
+            per_q_fg.append(fg)
+            per_q_cands.append(sorted(t for t in fg if t not in exclude))
+        all_terms = sorted({t for ts in per_q_cands for t in ts})
+        gdf: dict[str, int] = defaultdict(int)
+        if all_terms:
+            for part in ray.get([
+                a.df_locals.remote(all_terms) for a in self.actors
+            ]):
+                for t, n in part.items():
+                    gdf[t] += n
+        for q, ids, fg, cand in zip(
+            queries, per_q_ids, per_q_fg, per_q_cands,
+        ):
+            rows = _score_significant(
+                fg, gdf, len(ids), self.n_docs, cand, k)
+            for rank, r in enumerate(rows, start=1):
+                out.append({"qid": q["qid"], "rank": rank, **r})
         return out
 
     def topk_after(self, queries: list[dict], k: int = 10,

@@ -162,6 +162,57 @@ def test_collapse_matches_brute(modes_index):
 
 
 # ---------------------------------------------------------------------------
+# significant terms
+
+
+def test_significant_terms_brute_and_sharded(modes_index):
+    """Serial scores vs a brute recount (match sample -> fg doc freq
+    -> add-one log-odds); the sharded router (match-prefix scatter +
+    pruned docterms read + df exchange) must reproduce it exactly."""
+    from collections import Counter
+
+    import numpy as np
+
+    reader = IndexReader(modes_index)
+    for q in ("merge sort", "get"):
+        sample = reader.match_ids(q)[:20].tolist()
+        got = reader.significant_terms(q, k=8, sample_n=20)
+        # brute foreground from term_vectors (independent pruned read)
+        fg: Counter = Counter()
+        for row in reader.term_vectors(sample):
+            fg[row["term"]] += 1
+        exclude = set(reader.tokenize(q))
+        want = []
+        for t in sorted(fg):
+            if t in exclude:
+                continue
+            d = reader.df_locals([t]).get(t, 0)
+            # np.log, not math.log: the engine (and the DuckDB oracle,
+            # per the distinctive-terms precedent) uses numpy's libm,
+            # which can differ from python's by 1 ulp
+            lor = float(np.log((fg[t] + 1.0) / (len(sample) - fg[t] + 1.0))
+                        - np.log((d + 1.0) / (reader.n_docs - d + 1.0)))
+            want.append({"term": t, "fg_df": fg[t], "df": d, "lor": lor})
+        want.sort(key=lambda r: (-r["lor"], r["term"]))
+        assert got == want[:8], q
+
+    svc = ShardedQueryService(modes_index, num_actors=3)
+    try:
+        qs = [{"qid": i, "query": s} for i, s in enumerate(
+            ["merge sort", "get", "zzz_nohit"])]
+        rows = svc.topk_significant(qs, k=8, sample_n=20)
+        for q in qs:
+            mine = [(r["term"], r["fg_df"], r["df"], r["lor"])
+                    for r in rows if r["qid"] == q["qid"]]
+            want = [(r["term"], r["fg_df"], r["df"], r["lor"])
+                    for r in reader.significant_terms(
+                        q["query"], k=8, sample_n=20)]
+            assert mine == want, q
+    finally:
+        svc.shutdown()
+
+
+# ---------------------------------------------------------------------------
 # term vectors
 
 
