@@ -267,6 +267,13 @@ class IndexHTTPServer:
                     elif self.path == "/termvectors":
                         self._json(200, outer.termvectors(
                             [int(d) for d in req.get("doc_ids", [])]))
+                    elif self.path == "/significant":
+                        self._json(200, outer.significant(
+                            req.get("query", ""),
+                            int(req.get("limit", 10)),
+                            int(req.get("sample_n", 50)),
+                            lang=req.get("lang"),
+                        ))
                     elif self.path == "/delete":
                         from .maintenance import delete_docs
 
@@ -541,6 +548,19 @@ class IndexHTTPServer:
         doc_filter = ("lang", lang) if lang else None
         return svc.facets(
             [{"qid": 0, "query": query}], list(cols), doc_filter)[0]
+
+    def significant(self, query: str, k: int = 10, sample_n: int = 50,
+                    lang: str | None = None) -> list[dict]:
+        """Significant-terms aggregation (POST /significant): what the
+        query's whole match set is ABOUT, via the sharded router's
+        match-prefix scatter + pruned docterms read + df exchange."""
+        with self._lock:
+            self._sync_tombstones()
+            svc = self.service
+        doc_filter = ("lang", lang) if lang else None
+        return svc.topk_significant(
+            [{"qid": 0, "query": query}], k=k, sample_n=sample_n,
+            doc_filter=doc_filter)
 
     def termvectors(self, doc_ids: list[int]) -> list[dict]:
         """Per-doc term vectors (POST /termvectors {"doc_ids": [...]},

@@ -539,6 +539,15 @@ def test_search_mode_multiplexing(server):
     assert fc == reader.facet_counts("alpha dup", ["lang"])
     assert sum(fc["lang"].values()) == len(reader.match_ids("alpha dup"))
 
+    # significant terms: router aggregation == the serial reader
+    _, sig = _req(srv.port, "/significant", {
+        "query": "alpha dup", "limit": 5, "sample_n": 20,
+    })
+    want_sig = reader.significant_terms("alpha dup", k=5, sample_n=20)
+    assert [(r["term"], r["fg_df"], r["df"], r["lor"]) for r in sig] == \
+        [(r["term"], r["fg_df"], r["df"], r["lor"]) for r in want_sig]
+    assert sig and all(r["rank"] == i + 1 for i, r in enumerate(sig))
+
     # term vectors: pruned docterms read + df exchange == the reader
     _, tv = _req(srv.port, "/termvectors", {"doc_ids": [3, 8]})
     assert tv == reader.term_vectors([3, 8]) and tv
