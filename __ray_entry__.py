@@ -359,6 +359,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (learn_bpe) + encode stage are pytest-gated (iterative —
         # not SQL-expressible)
         "q_bpe_pair_counts": lambda sf: bpe.bpe_pair_counts(docs(sf)),
+        # deterministic stratified sampling: per lang the 20 docs with
+        # the smallest 60-bit md5(text) — reorder/partition/extend-
+        # stable, per-batch heap combiner bounds the driver merge
+        "q_stratified_sample": lambda sf: analysis.stratified_sample(
+            docs(sf), n_per_group=20
+        ),
         # corpus length histogram (10-token buckets)
         "q_length_histogram": lambda sf: analysis.length_histogram(docs(sf)),
         # token counting both ways (whitespace + BPE-ish pre-tokenizer)
@@ -1953,6 +1959,16 @@ FROM dl GROUP BY 1
         "q_cms_registers": _cms_reg_sql(),
         "q_cms_heavy_hitters": _cms_hh_sql(),
         "q_bpe_pair_counts": _bpe_pairs_sql(),
+        "q_stratified_sample": """
+WITH h AS (SELECT lang, doc_id,
+                  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+           FROM documents WHERE lang IS NOT NULL),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY h, doc_id) AS rnk FROM h)
+SELECT lang, CAST(rnk AS BIGINT) AS "rank",
+       CAST(doc_id AS BIGINT) AS doc_id, h
+FROM r WHERE rnk <= 20
+""",
         "q_hll_distinct": f"""
 WITH {_HLL_REG_CTE},
 s AS (SELECT count(*) AS nb,

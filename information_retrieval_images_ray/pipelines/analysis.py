@@ -1090,6 +1090,67 @@ def autocomplete(
     return out[["prefix", "rank", "term", "df"]].reset_index(drop=True)
 
 
+def stratified_sample(
+    ds: ray.data.Dataset, n_per_group: int = 20, group_col: str = "lang",
+) -> pd.DataFrame:
+    """Deterministic stratified sampling: per group the ``n`` docs
+    with the SMALLEST 60-bit md5(text) hash — a uniform, seedless,
+    reproducible subsample (the training-mix "give me n docs per
+    language" cut) that is REORDER- and PARTITION-invariant by
+    construction and stable under corpus growth (a new doc displaces a
+    sampled one only by hashing below it — no reshuffling of the
+    survivors, the same property the md5-bucket splits rely on).
+    Per-batch combiner: each batch emits only its local n smallest
+    (hash, doc_id) per group — the global n smallest live in the union
+    of per-batch n smallest (max-merge), so the driver merge is
+    bounded by groups x n x num_batches, never corpus-sized. The
+    60-bit hex-prefix hash is the `dedup._md5_60` form DuckDB mirrors
+    exactly. Columns: {group_col}, rank, doc_id, h."""
+    import heapq
+
+    from .dedup import _md5_60
+
+    def partials(batch: pa.Table) -> pa.Table:
+        best: dict[str, list] = {}
+        for g, d, text in zip(
+            batch[group_col].to_pylist(), batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            if g is None:
+                continue
+            key = (-_md5_60(text or ""), -int(d))
+            heap = best.setdefault(str(g), [])
+            if len(heap) < n_per_group:
+                heapq.heappush(heap, key)
+            elif key > heap[0]:  # smaller (h, doc_id) than current max
+                heapq.heapreplace(heap, key)
+        gs, dids, hs = [], [], []
+        for g, heap in best.items():
+            for nh, nd in heap:
+                gs.append(g)
+                dids.append(-nd)
+                hs.append(-nh)
+        return pa.table({
+            group_col: pa.array(gs, pa.string()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+        })
+
+    agg = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    cols = [group_col, "rank", "doc_id", "h"]
+    if agg.empty:
+        return pd.DataFrame({
+            c: pd.Series(dtype="object" if c == group_col else "int64")
+            for c in cols
+        })
+    agg = agg.sort_values([group_col, "h", "doc_id"], kind="mergesort")
+    agg["rank"] = agg.groupby(group_col).cumcount() + 1
+    out = agg[agg["rank"] <= n_per_group][cols].reset_index(drop=True)
+    for c in ("rank", "doc_id", "h"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def distinctive_terms(
     ds: ray.data.Dataset, k: int = 3, tokenizer: str = "simple"
 ) -> pd.DataFrame:

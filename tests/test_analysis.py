@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 import ray.data
 
 from information_retrieval_images_ray.pipelines.analysis import tfidf_top_terms
@@ -419,6 +421,67 @@ def test_autocomplete_per_batch_topk_merges_exactly():
     assert out["term"].tolist() == [f"pre{i:02d}" for i in (59, 58, 57, 56, 55)]
     assert out["df"].tolist() == [60, 59, 58, 57, 56]
     assert out["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def _strat_ds(rows, parallelism):
+    import ray.data
+
+    return ray.data.from_items(rows, override_num_blocks=parallelism)
+
+
+def _strat_brute(rows, n):
+    from information_retrieval_images_ray.pipelines.dedup import _md5_60
+
+    by_g: dict[str, list] = {}
+    for r in rows:
+        if r["lang"] is None:
+            continue
+        by_g.setdefault(r["lang"], []).append(
+            (_md5_60(r["text"] or ""), r["doc_id"]))
+    out = []
+    for g in sorted(by_g):
+        for rank, (h, d) in enumerate(sorted(by_g[g])[:n], start=1):
+            out.append((g, rank, d, h))
+    return out
+
+
+@pytest.mark.parametrize("parallelism", [1, 4])
+def test_stratified_sample_matches_brute(parallelism):
+    from information_retrieval_images_ray.pipelines.analysis import (
+        stratified_sample,
+    )
+
+    rows = [
+        {"doc_id": i, "lang": ["en", "fr", "de"][i % 3],
+         "text": f"doc number {i} body {i * 7 % 13}"}
+        for i in range(60)
+    ] + [{"doc_id": 100, "lang": None, "text": "groupless"}]
+    out = stratified_sample(_strat_ds(rows, parallelism), n_per_group=5)
+    got = list(out.itertuples(index=False, name=None))
+    assert got == _strat_brute(rows, 5)
+    # per-group count = min(n, group size); null-lang row excluded
+    assert len(out) == 15 and set(out["lang"]) == {"en", "fr", "de"}
+
+
+def test_stratified_sample_growth_stable():
+    """Adding docs displaces a sampled doc only by hashing below it —
+    the sample of the grown corpus is the n smallest of the union."""
+    from information_retrieval_images_ray.pipelines.analysis import (
+        stratified_sample,
+    )
+
+    base = [{"doc_id": i, "lang": "en", "text": f"alpha {i}"}
+            for i in range(30)]
+    extra = [{"doc_id": 100 + i, "lang": "en", "text": f"beta {i}"}
+             for i in range(10)]
+    s1 = stratified_sample(_strat_ds(base, 2), n_per_group=8)
+    s2 = stratified_sample(_strat_ds(base + extra, 3), n_per_group=8)
+    assert list(s2.itertuples(index=False, name=None)) == \
+        _strat_brute(base + extra, 8)
+    # survivors keep their relative order
+    kept = [d for d in s1["doc_id"] if d in set(s2["doc_id"])]
+    order2 = [d for d in s2["doc_id"] if d in set(kept)]
+    assert kept == order2
 
 
 def test_distinctive_terms_log_odds():
