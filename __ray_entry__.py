@@ -487,9 +487,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customers_without_orders": lambda sf: relational.customers_without_big_orders(sf),
         "q_building_order_counts": lambda sf: relational.building_segment_order_counts(sf),
         "q_revenue_by_flag": lambda sf: relational.revenue_by_flag_status(sf),
+        # GROUP BY ROLLUP: Q1 subtotals at (flag, status) / (flag) /
+        # grand total — supersums over the leaf's INTEGER subtotals
+        "q_rollup_revenue": lambda sf: relational.rollup_revenue(sf),
         "q_tumbling_window": lambda sf: relational.tumbling_window_events(sf),
         # -- stream-style custom operators (windows + ordered join) ----------
         "q_hopping_window": lambda sf: streaming.hopping_window_events(sf),
+        # cumulative window (SUM OVER partition/order) + LAG deltas —
+        # keyed map_groups, integer-cents running math
+        "q_running_totals": lambda sf: streaming.running_user_totals(sf),
+        "q_lag_deltas": lambda sf: streaming.user_lag_deltas(sf),
         "q_session_windows": lambda sf: streaming.session_windows_events(sf),
         "q_event_asof": lambda sf: streaming.event_asof_join(sf),
         # exact distributed percentiles via a (type, cents) histogram
@@ -2280,6 +2287,37 @@ SELECT l_returnflag, l_linestatus,
        CAST(FLOOR(SUM(l_extendedprice*(1.0 - l_discount))*100 + 0.5) AS BIGINT) AS sum_revenue_e2,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem GROUP BY 1, 2
+""",
+        "q_rollup_revenue": """
+WITH g AS (SELECT l_returnflag, l_linestatus,
+                  CAST(FLOOR(SUM(l_quantity)*100 + 0.5) AS BIGINT) AS q,
+                  CAST(FLOOR(SUM(l_extendedprice*(1.0 - l_discount))*100 + 0.5) AS BIGINT) AS r,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2)
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(q) AS BIGINT) AS sum_qty_e2,
+       CAST(SUM(r) AS BIGINT) AS sum_revenue_e2,
+       CAST(SUM(n) AS BIGINT) AS n_rows
+FROM g GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "q_running_totals": """
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+       epoch_us(ts) AS ts_us,
+       CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS running_cents
+FROM events
+""",
+        "q_lag_deltas": """
+WITH l AS (SELECT user_id, event_id, ts,
+                  LAG(event_id) OVER w AS prev_event_id,
+                  LAG(ts) OVER w AS prev_ts
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+       CAST(prev_event_id AS BIGINT) AS prev_event_id,
+       epoch_us(ts) - epoch_us(prev_ts) AS delta_us
+FROM l WHERE prev_event_id IS NOT NULL
 """,
         "q_tumbling_window": """
 SELECT user_id, epoch_us(ts) // 3600000000 AS win,

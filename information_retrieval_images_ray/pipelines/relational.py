@@ -168,6 +168,31 @@ def revenue_by_flag_status(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
+def rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP shape (the warehouse subtotal report): the Q1
+    aggregate at three levels — (flag, status), per-flag subtotals,
+    and the grand total, NULL levels surfaced as 'ALL'. The rollup
+    SUPERSUMS are computed over the leaf level's fixed-point INTEGER
+    subtotals (not re-summed floats), so every level is order-exact
+    and the SQL mirror (ROLLUP over a pre-aggregated CTE) matches
+    bit-for-bit. One combiner exchange total — the leaf aggregate is
+    ``revenue_by_flag_status``; the two upper levels are driver math
+    over its handful of rows."""
+    leaf = revenue_by_flag_status(sf_dir)
+    cols = ["sum_qty_e2", "sum_revenue_e2", "n_rows"]
+    by_flag = leaf.groupby("l_returnflag", as_index=False)[cols].sum()
+    by_flag["l_linestatus"] = "ALL"
+    total = leaf[cols].sum().to_frame().T
+    total["l_returnflag"] = "ALL"
+    total["l_linestatus"] = "ALL"
+    out = pd.concat([leaf, by_flag, total], ignore_index=True)
+    out = out[["l_returnflag", "l_linestatus"] + cols]
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
 def tumbling_window_events(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
     """Tumbling-window aggregate over the events table: per (user_id,
     window) event count + value sum. Window = floor(epoch/window_s)."""

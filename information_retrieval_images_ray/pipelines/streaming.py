@@ -130,6 +130,83 @@ def session_windows_events(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
     )
 
 
+def running_user_totals(sf_dir: str) -> pd.DataFrame:
+    """Cumulative window aggregate (``SUM(...) OVER (PARTITION BY user
+    ORDER BY ts)``): per user, the running total of event value over
+    the (ts, event_id) order — the per-entity accumulator every
+    sessionized metrics pipeline needs. Distributed as
+    ``groupby(user_id).map_groups`` (each user's history sorts and
+    cumsums inside one task — keyed parallelism, no global sort).
+    Values convert to integer cents FIRST (floor(v*100+0.5), the
+    percentile op's trick), so the running sum is order-exact integer
+    math the SQL window mirrors bit-for-bit. Columns: user_id,
+    event_id, ts_us, value_cents, running_cents."""
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].astype("int64").to_numpy()
+        order = np.lexsort((eid, ts))
+        cents = np.floor(
+            g["value"].to_numpy(np.float64)[order] * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": int(g["user_id"].iloc[0]),
+            "event_id": eid[order],
+            "ts_us": ts[order],
+            "value_cents": cents,
+            "running_cents": np.cumsum(cents),
+        })
+
+    out = ev.groupby("user_id").map_groups(
+        running, batch_format="pandas").to_pandas()
+    return (
+        out.sort_values(["user_id", "ts_us", "event_id"])
+        .reset_index(drop=True).astype("int64")
+    )
+
+
+def user_lag_deltas(sf_dir: str) -> pd.DataFrame:
+    """LAG window shape: per user the gap (microseconds) since their
+    previous event in (ts, event_id) order — inter-arrival times, the
+    input to retention / session-gap analyses. Same keyed
+    ``map_groups`` distribution as the running total; each user's
+    first event has no predecessor and emits nothing (SQL's
+    ``LAG IS NOT NULL``). Columns: user_id, event_id, prev_event_id,
+    delta_us."""
+    ev = _events(sf_dir, ["user_id", "event_id", "ts"])
+
+    def lags(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].astype("int64").to_numpy()
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        if len(ts) < 2:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "event_id": pd.Series(dtype="int64"),
+                "prev_event_id": pd.Series(dtype="int64"),
+                "delta_us": pd.Series(dtype="int64"),
+            })
+        return pd.DataFrame({
+            "user_id": int(g["user_id"].iloc[0]),
+            "event_id": eid[1:],
+            "prev_event_id": eid[:-1],
+            "delta_us": np.diff(ts),
+        })
+
+    out = ev.groupby("user_id").map_groups(
+        lags, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ["user_id", "event_id", "prev_event_id",
+                              "delta_us"]})
+    return (
+        out.sort_values(["user_id", "event_id"])
+        .reset_index(drop=True).astype("int64")
+    )
+
+
 def event_asof_join(
     sf_dir: str, left_type: str = "purchase", right_type: str = "click"
 ) -> pd.DataFrame:

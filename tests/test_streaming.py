@@ -96,3 +96,72 @@ def test_event_percentiles_exact_with_ties(tmp_path):
         assert got.loc[et, "n_events"] == n
         for q, col in ((0.5, "p50_cents"), (0.9, "p90_cents"), (0.99, "p99_cents")):
             assert got.loc[et, col] == cents[math.ceil(q * n) - 1], (et, q)
+
+
+def test_running_totals_and_lag_deltas(tmp_path):
+    """Hand-built per-user histories with a ts TIE (event_id breaks
+    it): running cents accumulate in (ts, event_id) order; lag deltas
+    skip each user's first event; a single-event user emits no lag."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from information_retrieval_images_ray.pipelines import streaming
+
+    rows = [
+        # user 1: three events, two at the SAME ts (ids 11 < 12)
+        (10, 1000, 1, "a", 1.01),
+        (12, 2000, 1, "a", 2.02),
+        (11, 2000, 1, "a", 0.40),
+        # user 2: single event -> no lag row
+        (20, 500, 2, "b", 9.99),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    run = streaming.running_user_totals(str(tmp_path))
+    assert run[run["user_id"] == 1]["event_id"].tolist() == [10, 11, 12]
+    assert run[run["user_id"] == 1]["running_cents"].tolist() == \
+        [101, 101 + 40, 101 + 40 + 202]
+    assert run[run["user_id"] == 2]["running_cents"].tolist() == [999]
+
+    lag = streaming.user_lag_deltas(str(tmp_path))
+    assert lag[lag["user_id"] == 1][
+        ["event_id", "prev_event_id", "delta_us"]
+    ].values.tolist() == [[11, 10, 1000], [12, 11, 0]]
+    assert (lag["user_id"] != 2).all()
+
+
+def test_rollup_revenue_levels(tmp_path):
+    """ALL-level rows are exact integer sums of the leaf rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from information_retrieval_images_ray.pipelines.relational import (
+        rollup_revenue,
+    )
+
+    t = pa.table({
+        "l_returnflag": pa.array(["A", "A", "R", "R"], pa.string()),
+        "l_linestatus": pa.array(["F", "O", "F", "F"], pa.string()),
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.5, 0.1, 0.0], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = rollup_revenue(str(tmp_path)).set_index(
+        ["l_returnflag", "l_linestatus"])
+    leaf_af = out.loc[("A", "F")]
+    assert leaf_af["sum_revenue_e2"] == 1000 and leaf_af["n_rows"] == 1
+    # per-flag subtotal = sum of its leaves; grand total = sum of all
+    assert out.loc[("A", "ALL"), "sum_revenue_e2"] == 1000 + 1000
+    assert out.loc[("R", "ALL"), "sum_revenue_e2"] == 2700 + 4000
+    assert out.loc[("ALL", "ALL"), "n_rows"] == 4
+    assert out.loc[("ALL", "ALL"), "sum_qty_e2"] == 1000
