@@ -365,6 +365,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stratified_sample": lambda sf: analysis.stratified_sample(
             docs(sf), n_per_group=20
         ),
+        # percolator (reverse search): route each doc to the stored
+        # conjunctive queries it satisfies — broadcast subscriptions,
+        # one shuffle-free map_batches pass
+        "q_percolate": lambda sf: analysis.percolate(docs(sf)),
         # corpus length histogram (10-token buckets)
         "q_length_histogram": lambda sf: analysis.length_histogram(docs(sf)),
         # token counting both ways (whitespace + BPE-ish pre-tokenizer)
@@ -1616,6 +1620,31 @@ FROM rk WHERE rnk <= {k}
 """
 
 
+def _percolate_sql() -> str:
+    """Percolator oracle: a doc matches a subscription when it holds
+    every one of its (tokenized) terms — count distinct matched terms
+    per (qid, doc) and keep full-coverage pairs."""
+    from information_retrieval_images_ray.functions.tokenizer import tokenize_simple
+    from information_retrieval_images_ray.pipelines.analysis import (
+        PERCOLATE_SUBSCRIPTIONS,
+    )
+
+    vals, need = [], []
+    for s0 in PERCOLATE_SUBSCRIPTIONS:
+        terms = sorted(set(tokenize_simple(s0["query"])))
+        need.append(f"({s0['qid']}, {len(terms)})")
+        vals.extend(f"({s0['qid']}, '{t}')" for t in terms)
+    return f"""
+WITH subs(qid, term) AS (VALUES {", ".join(vals)}),
+need(qid, n) AS (VALUES {", ".join(need)}),
+tokd AS (SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+hit AS (SELECT s.qid, t.doc_id, count(*) AS n_hit
+        FROM subs s JOIN tokd t USING (term) GROUP BY 1, 2)
+SELECT CAST(h.qid AS BIGINT) AS qid, CAST(h.doc_id AS BIGINT) AS doc_id
+FROM hit h JOIN need n ON n.qid = h.qid AND n.n = h.n_hit
+"""
+
+
 def _term_vectors_sql() -> str:
     """Term-vector oracle: tokenize the anchor docs, per (doc, term)
     tf, joined with the corpus-wide df."""
@@ -1966,6 +1995,7 @@ FROM dl GROUP BY 1
         "q_cms_registers": _cms_reg_sql(),
         "q_cms_heavy_hitters": _cms_hh_sql(),
         "q_bpe_pair_counts": _bpe_pairs_sql(),
+        "q_percolate": _percolate_sql(),
         "q_stratified_sample": """
 WITH h AS (SELECT lang, doc_id,
                   CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h

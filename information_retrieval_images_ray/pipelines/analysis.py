@@ -1090,6 +1090,58 @@ def autocomplete(
     return out[["prefix", "rank", "term", "df"]].reset_index(drop=True)
 
 
+# Frozen percolation subscriptions (shared with the SQL VALUES list):
+# conjunctive term sets a stored query subscribes with — single term,
+# common pair, rare triple, and a never-matching set.
+PERCOLATE_SUBSCRIPTIONS = [
+    {"qid": 1, "query": "merge sort"},
+    {"qid": 2, "query": "window"},
+    {"qid": 3, "query": "fast key order"},
+    {"qid": 4, "query": "zebra quantum"},
+]
+
+
+def percolate(
+    ds: ray.data.Dataset,
+    subscriptions=PERCOLATE_SUBSCRIPTIONS,
+    tokenizer: str = "simple",
+) -> ray.data.Dataset:
+    """Reverse search (the Elasticsearch percolator): route each
+    incoming DOCUMENT to the stored queries it satisfies — the
+    streaming-ingest alerting shape ("tell me when a doc matching my
+    query arrives"). Stored queries are conjunctive term sets; a doc
+    matches when it contains EVERY term. The subscription table is the
+    broadcast small side (compiled to frozensets once per actor in
+    ``__init__``); the corpus streams through ``map_batches`` with one
+    vectorized set-membership pass per doc — no shuffle at all, the
+    output is the only exchange. Emits (qid, doc_id) match pairs."""
+
+    class Percolator:
+        def __init__(self):
+            tok = _tok_fn(tokenizer)
+            self._subs = [
+                (int(s["qid"]), frozenset(tok(s["query"])))
+                for s in subscriptions
+            ]
+            self._tok = tok
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            qids, dids = [], []
+            for d, text in zip(batch["doc_id"].to_pylist(),
+                               batch["text"].to_pylist()):
+                toks = frozenset(self._tok(text or ""))
+                for qid, terms in self._subs:
+                    if terms <= toks:
+                        qids.append(qid)
+                        dids.append(int(d))
+            return pa.table({
+                "qid": pa.array(qids, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+            })
+
+    return ds.map_batches(Percolator, batch_format="pyarrow", concurrency=2)
+
+
 def stratified_sample(
     ds: ray.data.Dataset, n_per_group: int = 20, group_col: str = "lang",
 ) -> pd.DataFrame:

@@ -536,3 +536,28 @@ def test_quality_filter_rates_by_lang():
     assert out.loc["en", "n_docs"] == 2 and out.loc["en", "n_keep"] == 1
     assert out.loc["en", "keep_rate_e6"] == 500000
     assert out.loc["fr", "keep_rate_e6"] == 1000000
+
+
+def test_percolate_conjunctive_routing():
+    """A doc routes to a subscription iff it holds EVERY term; the
+    empty-terms subscription case and a never-matching set covered."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.analysis import percolate
+
+    rows = [
+        {"doc_id": 0, "text": "merge sort now"},
+        {"doc_id": 1, "text": "merge only"},
+        {"doc_id": 2, "text": "sort merge window"},
+        {"doc_id": 3, "text": ""},
+    ]
+    subs = [
+        {"qid": 1, "query": "merge sort"},
+        {"qid": 2, "query": "window"},
+        {"qid": 3, "query": "zebra"},
+    ]
+    out = percolate(
+        ray.data.from_items(rows, override_num_blocks=2), subs
+    ).to_pandas()
+    got = sorted(zip(out["qid"], out["doc_id"]))
+    assert got == [(1, 0), (1, 2), (2, 2)]
