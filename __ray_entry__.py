@@ -340,6 +340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher repetition filters: top n-gram token fraction +
         # duplicated-5-gram coverage per doc
         "q_repetition_stats": lambda sf: analysis.repetition_stats(docs(sf)),
+        # corpus-trained bigram-LM fluency scores (the CCNet-style
+        # perplexity-filter shape, integer-exact p_e6 arithmetic)
+        "q_bigram_lm": lambda sf: analysis.bigram_lm_scores(docs(sf)),
         # the actionable keep/drop: fused single-pass Gopher decision
         "q_quality_filter": lambda sf: analysis.quality_filter(docs(sf)),
         # HyperLogLog distinct-term sketch: mergeable per-batch
@@ -418,6 +421,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components over the near-dup pair graph (keep one
         # doc per CLUSTER, not per pair)
         "q_dup_clusters": lambda sf: dedup.dup_clusters(docs(sf), n=5),
+        # the same components computed DISTRIBUTED: alternating
+        # large-star/small-star groupby rounds over the edge set
+        # (Kiveris et al. 2014) — no driver union-find
+        "q_dup_components": lambda sf: dedup.dup_components(docs(sf), n=5),
         "q_minhash_neardup": lambda sf: dedup.minhash_near_dups(docs(sf), threshold=0.5),
         "q_simhash_neardup": lambda sf: dedup.simhash_near_dups(docs(sf), max_hamming=3),
         # eval-set decontamination: train docs sharing a 5-gram with
@@ -503,6 +510,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lag_deltas": lambda sf: streaming.user_lag_deltas(sf),
         "q_session_windows": lambda sf: streaming.session_windows_events(sf),
         "q_event_asof": lambda sf: streaming.event_asof_join(sf),
+        # ordered conversion funnel (view -> click -> purchase) per
+        # user: one keyed exchange, searchsorted per stage in-group
+        "q_event_funnel": lambda sf: streaming.event_funnel(sf),
+        # cohort retention: first-event-day cohorts x day offsets;
+        # distinct-by-construction in the user group, so the second
+        # exchange never runs a count-distinct shuffle
+        "q_retention_cohorts": lambda sf: streaming.retention_cohorts(sf),
         # exact distributed percentiles via a (type, cents) histogram
         # combiner — one bounded exchange, no sort, no sketch
         "q_event_percentiles": lambda sf: streaming.event_value_percentiles(sf),
@@ -1982,6 +1996,25 @@ SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM document
         "q_autocomplete": _autocomplete_sql(),
         "q_spell_suggest": _spell_sql(),
         "q_repetition_stats": _repetition_sql(),
+        # bigram-LM mirror: adjacent pairs via positional array index,
+        # p_e6 in pure integer arithmetic ((2e6*c12 + c1) // (2*c1))
+        "q_bigram_lm": f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS ts FROM documents),
+bg AS (SELECT doc_id, ts[u.i] AS w1, ts[u.i + 1] AS w2
+       FROM toks CROSS JOIN LATERAL unnest(range(1, len(ts))) AS u(i)),
+c12 AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(n) AS n1 FROM c12 GROUP BY 1),
+p AS (SELECT c12.w1, c12.w2,
+             (2000000 * c12.n + c1.n1) // (2 * c1.n1) AS p_e6
+      FROM c12 JOIN c1 USING (w1)),
+scored AS (SELECT bg.doc_id, sum(p.p_e6) AS s, count(*) AS nb
+           FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2 GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s, 0) AS BIGINT) AS sum_p_e6,
+       CAST(CASE WHEN coalesce(nb, 0) > 0 THEN s // nb ELSE 0 END AS BIGINT)
+           AS avg_p_e6
+FROM documents d LEFT JOIN scored USING (doc_id)
+""",
         "q_quality_filter": _quality_filter_sql(),
         "q_training_export": _training_export_sql(),
         "q_length_histogram": f"""
@@ -2111,6 +2144,18 @@ JOIN sizes sb ON sb.doc_id = c.doc_b
         # doc_id per node via a recursive CTE (UNION dedups rows, so
         # the fixpoint terminates)
         "q_dup_clusters": f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTE},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM common
+          UNION SELECT doc_b, doc_a FROM common),
+reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
+SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u
+""",
+        # the distributed large-star/small-star form computes the SAME
+        # components — one oracle, two execution strategies
+        "q_dup_components": f"""
 WITH RECURSIVE {_NGRAM_PAIR_CTE},
 edges AS (SELECT doc_a AS u, doc_b AS v FROM common
           UNION SELECT doc_b, doc_a FROM common),
@@ -2378,6 +2423,37 @@ SELECT user_id, CAST(min(t) AS BIGINT) AS session_start_us,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(FLOOR(sum(value)*10000 + 0.5) AS BIGINT) AS value_sum_e4
 FROM s GROUP BY user_id, sess
+""",
+        # strictly ordered funnel: each stage's min is constrained to
+        # at-or-after the previous stage's chosen event; stage_reached
+        # counts the NOT NULLs (c only exists given v, p only given c)
+        "q_event_funnel": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+v AS (SELECT user_id, min(t) AS tv FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT v.user_id, min(e.t) AS tc FROM v JOIN e ON e.user_id = v.user_id
+      AND e.event_type = 'click' AND e.t >= v.tv GROUP BY 1),
+p AS (SELECT c.user_id, min(e.t) AS tp FROM c JOIN e ON e.user_id = c.user_id
+      AND e.event_type = 'purchase' AND e.t >= c.tc GROUP BY 1)
+SELECT u.user_id,
+       CAST(coalesce(v.tv, -1) AS BIGINT) AS t_view_us,
+       CAST(coalesce(c.tc, -1) AS BIGINT) AS t_click_us,
+       CAST(coalesce(p.tp, -1) AS BIGINT) AS t_purchase_us,
+       CAST((v.tv IS NOT NULL)::INT + (c.tc IS NOT NULL)::INT
+            + (p.tp IS NOT NULL)::INT AS BIGINT) AS stage_reached
+FROM (SELECT DISTINCT user_id FROM e) u
+LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+""",
+        "q_retention_cohorts": """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+ud AS (SELECT DISTINCT e.user_id, f.cohort AS cohort_day,
+              e.day - f.cohort AS day_offset
+       FROM e JOIN f USING (user_id))
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud GROUP BY 1, 2
 """,
         "q_event_asof": """
 WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events

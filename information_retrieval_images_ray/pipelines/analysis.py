@@ -1308,3 +1308,116 @@ def length_histogram(
         out.sort_values("bucket_lo").reset_index(drop=True)
         .astype({"bucket_lo": "int64", "n_docs": "int64", "total_tokens": "int64"})
     )
+
+
+def bigram_lm_scores(ds: ray.data.Dataset, tokenizer: str = "simple") -> pd.DataFrame:
+    """Corpus-trained bigram language-model fluency scoring — the
+    CCNet-style "perplexity filter" shape (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets", LREC 2020) with the
+    LM trained on the corpus itself and INTEGER-exact arithmetic so the
+    oracle matches bitwise.
+
+    Pass 1 trains the model: bigram counts c(w1,w2) over adjacent
+    token pairs via a per-batch Arrow combiner + one small groupby
+    exchange; context totals c(w1) = sum_w2 c(w1,w2) derive from the
+    same table on the driver (vocab-bounded). Pass 2 broadcasts the
+    conditional-probability table (``ray.put`` once, plasma-shared per
+    node) and scores every doc with a vectorized pandas merge:
+    p_e6(w1,w2) = floor(1e6 * c12/c1 + 0.5) computed as the pure
+    integer form (2_000_000*c12 + c1) // (2*c1) — no float division on
+    either side.
+
+    Returns one row per doc: (doc_id, n_bigrams, sum_p_e6, avg_p_e6);
+    docs with < 2 tokens score 0. avg_p_e6 is the fluency signal (high
+    = the doc's transitions are the corpus's common transitions; low =
+    rare/garbled transitions — what a perplexity filter retires).
+
+    Scale shape: the broadcast table is vocab^2-bounded by what the
+    corpus actually contains; at open-vocabulary scale the documented
+    variant prunes to the top-K bigrams and scores misses as 0 (OOV),
+    which only strengthens the filter's discrimination while keeping
+    the broadcast small.
+    """
+    tok = get_tokenizer(tokenizer)
+
+    def bigram_counts(batch: pa.Table) -> pa.Table:
+        w1s: list[str] = []
+        w2s: list[str] = []
+        for txt in batch["text"].to_pylist():
+            ts = tok(txt or "")
+            if len(ts) >= 2:
+                w1s.extend(ts[:-1])
+                w2s.extend(ts[1:])
+        t = pa.table({"w1": pa.array(w1s, pa.string()),
+                      "w2": pa.array(w2s, pa.string())})
+        g = pa.TableGroupBy(t, ["w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "n"])
+
+    counts = (
+        ds.map_batches(bigram_counts, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="c12"))
+        .to_pandas()
+    )
+    if counts.empty:
+        model = pd.DataFrame({"w1": pd.Series(dtype="object"),
+                              "w2": pd.Series(dtype="object"),
+                              "p_e6": pd.Series(dtype="int64")})
+    else:
+        c1 = (counts.groupby("w1", as_index=False)["c12"].sum()
+              .rename(columns={"c12": "c1"}))
+        model = counts.merge(c1, on="w1")
+        c12v = model["c12"].astype("int64")
+        c1v = model["c1"].astype("int64")
+        model["p_e6"] = (2_000_000 * c12v + c1v) // (2 * c1v)
+        model = model[["w1", "w2", "p_e6"]]
+    model_ref = ray.put(model)
+
+    class BigramScorer:
+        def __init__(self, model_ref):
+            # fn_constructor_args does NOT auto-deref ObjectRefs —
+            # fetch once per actor (plasma-shared per node)
+            self.model = ray.get(model_ref)
+            self.tok = get_tokenizer(tokenizer)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            rows_i: list[np.ndarray] = []
+            rows_w1: list[list[str]] = []
+            rows_w2: list[list[str]] = []
+            nb = np.zeros(len(ids), np.int64)
+            for i, txt in enumerate(batch["text"].to_pylist()):
+                ts = self.tok(txt or "")
+                if len(ts) < 2:
+                    continue
+                nb[i] = len(ts) - 1
+                rows_i.append(np.full(len(ts) - 1, i, np.int64))
+                rows_w1.append(ts[:-1])
+                rows_w2.append(ts[1:])
+            s = np.zeros(len(ids), np.int64)
+            if rows_i:
+                bg = pd.DataFrame({
+                    "i": np.concatenate(rows_i),
+                    "w1": [w for ws in rows_w1 for w in ws],
+                    "w2": [w for ws in rows_w2 for w in ws],
+                })
+                hit = bg.merge(self.model, on=["w1", "w2"], how="left")
+                # full-corpus model => every bigram matches; fillna is
+                # the pruned-top-K variant's OOV=0 path
+                agg = hit["p_e6"].fillna(0).astype("int64").groupby(hit["i"]).sum()
+                s[agg.index.to_numpy()] = agg.to_numpy(np.int64)
+            avg = np.where(nb > 0, s // np.maximum(nb, 1), 0)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "sum_p_e6": pa.array(s, pa.int64()),
+                "avg_p_e6": pa.array(avg, pa.int64()),
+            })
+
+    out = ds.map_batches(
+        BigramScorer,
+        fn_constructor_args=(model_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")

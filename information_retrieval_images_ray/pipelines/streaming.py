@@ -34,7 +34,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 
 def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
@@ -312,4 +312,94 @@ def event_value_percentiles(
         out.sort_values("event_type")
         .reset_index(drop=True)
         .astype({c: "int64" for c in out.columns if c != "event_type"})
+    )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+_DAY_US = 86_400_000_000
+
+
+def event_funnel(
+    sf_dir: str, stages: tuple[str, ...] = FUNNEL_STAGES
+) -> pd.DataFrame:
+    """Ordered conversion funnel: per user, the earliest stage-1 event,
+    then the earliest stage-2 event AT OR AFTER it, then the earliest
+    stage-3 event at or after that — the product-analytics staple
+    (strictly ordered funnel, unbounded window). One row per user with
+    ``t_<stage>_us`` per stage (-1 from the first broken stage on) and
+    ``stage_reached`` (0..len(stages)).
+
+    Scale shape: one hash exchange on user_id co-locates each user's
+    events; inside the group a sorted-``searchsorted`` pass per stage.
+    The partitioning assumption is the sessionizer's ("one user's
+    events fit one task"); the output is one row per user, so nothing
+    corpus-sized reaches the driver beyond the user dimension.
+    """
+    ev = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].astype("int64").to_numpy()
+        et = g["event_type"].to_numpy()
+        times: list[int] = []
+        reached = 0
+        cur = np.int64(np.iinfo(np.int64).min)
+        broken = False
+        for s in stages:
+            if broken:
+                times.append(-1)
+                continue
+            st = np.sort(t[et == s])
+            pos = int(np.searchsorted(st, cur))  # first event >= cur
+            if pos < len(st):
+                cur = st[pos]
+                times.append(int(cur))
+                reached += 1
+            else:
+                times.append(-1)
+                broken = True
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                **{f"t_{s}_us": [v] for s, v in zip(stages, times)},
+                "stage_reached": [reached],
+            }
+        )
+
+    out = ev.groupby("user_id").map_groups(funnel, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
+def retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention: users cohorted by the UTC day of their first
+    event; one row per (cohort_day, day_offset) with the count of
+    cohort users active that many days after their first event.
+
+    Scale shape: one ``groupby(user_id)`` pass emits each user's
+    distinct (cohort_day, day_offset) pairs — distinct BY CONSTRUCTION
+    inside the group, so the second exchange counts rows and never
+    runs a count-distinct shuffle; the second groupby is bounded by
+    days^2 cells regardless of event volume.
+    """
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def user_days(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(g["ts"].astype("int64").to_numpy() // _DAY_US)
+        return pd.DataFrame(
+            {
+                "cohort_day": np.full(len(days), days[0], np.int64),
+                "day_offset": days - days[0],
+            }
+        )
+
+    out = (
+        ev.groupby("user_id")
+        .map_groups(user_days, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+        .astype("int64")
     )

@@ -561,3 +561,42 @@ def test_percolate_conjunctive_routing():
     ).to_pandas()
     got = sorted(zip(out["qid"], out["doc_id"]))
     assert got == [(1, 0), (1, 2), (2, 2)]
+
+
+def test_bigram_lm_hand_computed():
+    """Integer-exact conditional probabilities on a 3-doc corpus:
+    c(a,b)=2, c(a,c)=1, c1(a)=3 -> p_e6(a,b) = (4e6+3)//6 = 666667,
+    p_e6(a,c) = (2e6+3)//6 = 333333; a 1-token doc scores zeros."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.analysis import bigram_lm_scores
+
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": "a b"},
+        {"doc_id": 1, "text": "a c"},
+        {"doc_id": 2, "text": "a b"},
+        {"doc_id": 3, "text": "x"},
+    ])
+    out = bigram_lm_scores(docs)
+    got = {int(r.doc_id): (int(r.n_bigrams), int(r.sum_p_e6), int(r.avg_p_e6))
+           for r in out.itertuples()}
+    assert got == {
+        0: (1, 666667, 666667),
+        1: (1, 333333, 333333),
+        2: (1, 666667, 666667),
+        3: (0, 0, 0),
+    }
+
+
+def test_bigram_lm_multi_bigram_doc():
+    """Sum and integer-floor average across a doc's bigrams: doc
+    'a b a' has bigrams (a,b) and (b,a); with c1(a)=c1(b)=... derived
+    from the whole corpus the avg is sum // n."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.analysis import bigram_lm_scores
+
+    docs = ray.data.from_items([{"doc_id": 0, "text": "a b a"}])
+    out = bigram_lm_scores(docs)
+    # c(a,b)=1, c(b,a)=1, c1(a)=1, c1(b)=1 -> each p_e6 = 1_000_000
+    assert out.iloc[0].tolist() == [0, 2, 2_000_000, 1_000_000]

@@ -258,3 +258,45 @@ def test_decontaminate_planted():
     out = dedup.decontaminate(ray.data.from_items(rows), n=3)
     assert out["doc_id"].tolist() == [train_id]
     assert out["n_shared"].tolist() == [6]  # all 6 distinct 3-grams collide
+
+
+def test_dup_components_matches_union_find():
+    """The distributed large-star/small-star components must equal the
+    driver union-find on the same pair graph — chain A~B~C merges
+    transitively, D~E is its own component, singleton omitted."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.dedup import (
+        dup_clusters,
+        dup_components,
+    )
+
+    mk = lambda *ws: " ".join(ws)
+    A = mk(*"a1 a2 a3 a4 a5 m1 m2 m3 m4 m5".split())
+    B = mk(*"m1 m2 m3 m4 m5 n1 n2 n3 n4 n5".split())
+    C = mk(*"n1 n2 n3 n4 n5 c1 c2 c3 c4 c5".split())
+    D = mk(*"d1 d2 d3 d4 d5 d6 x9 y9 z9 w9".split())
+    E = mk(*"d1 d2 d3 d4 d5 d6 p1 p2 p3 p4".split())
+    S = mk(*"s1 s2 s3 s4 s5 s6 s7 s8 s9 s0".split())
+    docs = ray.data.from_items([
+        {"doc_id": i, "text": t} for i, t in enumerate([A, B, C, D, E, S])
+    ])
+    got = dup_components(docs, n=5)
+    want = dup_clusters(docs, n=5)
+    assert got.values.tolist() == want.values.tolist()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == {
+        0: 0, 1: 0, 2: 0, 3: 3, 4: 3
+    }
+
+
+def test_dup_components_empty_pairs():
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.dedup import dup_components
+
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": "alpha beta gamma delta eps"},
+        {"doc_id": 1, "text": "one two three four five"},
+    ])
+    out = dup_components(docs, n=5)
+    assert out.empty and list(out.columns) == ["doc_id", "cluster_id"]

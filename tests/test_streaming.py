@@ -165,3 +165,61 @@ def test_rollup_revenue_levels(tmp_path):
     assert out.loc[("R", "ALL"), "sum_revenue_e2"] == 2700 + 4000
     assert out.loc[("ALL", "ALL"), "n_rows"] == 4
     assert out.loc[("ALL", "ALL"), "sum_qty_e2"] == 1000
+
+
+def test_event_funnel_order_enforced(tmp_path):
+    """The funnel is strictly ordered: a purchase BEFORE the first
+    click does not count; a later purchase does. A user with no view
+    reaches stage 0 with all sentinels."""
+    H = 3_600_000_000
+    rows = [
+        # user 1: view -> click -> purchase in order
+        (0, 1 * H, 1, "view", 1.0),
+        (1, 2 * H, 1, "click", 1.0),
+        (2, 3 * H, 1, "purchase", 1.0),
+        # user 2: purchase BEFORE the click -> funnel stops at click
+        (3, 1 * H, 2, "view", 1.0),
+        (4, 3 * H, 2, "click", 1.0),
+        (5, 2 * H, 2, "purchase", 1.0),
+        # user 3: clicks but never views -> stage 0
+        (6, 1 * H, 3, "click", 1.0),
+        (7, 2 * H, 3, "purchase", 1.0),
+    ]
+    out = streaming.event_funnel(_events_dir(tmp_path, rows))
+    got = {int(r.user_id): (int(r.t_view_us), int(r.t_click_us),
+                            int(r.t_purchase_us), int(r.stage_reached))
+           for r in out.itertuples()}
+    assert got[1] == (1 * H, 2 * H, 3 * H, 3)
+    assert got[2] == (1 * H, 3 * H, -1, 2)
+    assert got[3] == (-1, -1, -1, 0)
+
+
+def test_event_funnel_same_timestamp_counts(tmp_path):
+    """AT-OR-AFTER semantics: a click at exactly the view's timestamp
+    advances the funnel (>=, not >) — matching the SQL oracle."""
+    H = 3_600_000_000
+    rows = [
+        (0, 1 * H, 1, "view", 1.0),
+        (1, 1 * H, 1, "click", 1.0),
+    ]
+    out = streaming.event_funnel(_events_dir(tmp_path, rows))
+    assert int(out["stage_reached"].iloc[0]) == 2
+    assert int(out["t_click_us"].iloc[0]) == 1 * H
+
+
+def test_retention_cohorts_counts(tmp_path):
+    """Two users share a cohort day; repeat activity within one day
+    dedups; a later cohort stays its own row."""
+    D = 86_400_000_000
+    rows = [
+        (0, 0 * D + 5, 1, "view", 1.0),      # u1 cohort day 0
+        (1, 0 * D + 9, 1, "click", 1.0),     # same day, dedup
+        (2, 2 * D + 1, 1, "view", 1.0),      # offset 2
+        (3, 0 * D + 7, 2, "view", 1.0),      # u2 cohort day 0
+        (4, 1 * D + 1, 2, "view", 1.0),      # offset 1
+        (5, 5 * D + 1, 3, "view", 1.0),      # u3 cohort day 5
+    ]
+    out = streaming.retention_cohorts(_events_dir(tmp_path, rows))
+    got = {(int(r.cohort_day), int(r.day_offset)): int(r.n_users)
+           for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (5, 0): 1}
