@@ -524,6 +524,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped top-k (QUALIFY shape): k longest docs per lang,
         # per-batch combiner so the exchange moves k rows per batch
         "q_grouped_topk": lambda sf: relational.grouped_topk_docs(sf, k=3),
+        # TPC-H Q3 shape: broadcast small side + tagged-union hash join
+        # (orders x pre-aggregated lineitem revenue) + top-k combiner
+        "q_ship_priority": lambda sf: relational.ship_priority_topk(sf, k=10),
     }
 
 
@@ -2362,6 +2365,23 @@ SELECT l_returnflag, l_linestatus,
        CAST(FLOOR(SUM(l_extendedprice*(1.0 - l_discount))*100 + 0.5) AS BIGINT) AS sum_revenue_e2,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem GROUP BY 1, 2
+""",
+        # Q3 mirror: revenue rounds to e2 BEFORE the order-by on both
+        # sides, so tie-breaks compare the same integers
+        "q_ship_priority": """
+WITH r AS (SELECT l_orderkey, o_orderdate, o_orderpriority,
+                  CAST(FLOOR(SUM(l_extendedprice*(1.0 - l_discount))*100 + 0.5)
+                       AS BIGINT) AS revenue_e2
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1998-06-01'
+             AND l_shipdate > TIMESTAMP '1998-06-01'
+           GROUP BY 1, 2, 3)
+SELECT l_orderkey, CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+       o_orderpriority, revenue_e2
+FROM r ORDER BY revenue_e2 DESC, o_orderdate_us, l_orderkey LIMIT 10
 """,
         "q_rollup_revenue": """
 WITH g AS (SELECT l_returnflag, l_linestatus,

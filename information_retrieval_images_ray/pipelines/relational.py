@@ -290,3 +290,122 @@ def grouped_topk_docs(sf_dir: str, k: int = 3) -> pd.DataFrame:
         out.sort_values(["lang", "rank"]).reset_index(drop=True)
         .astype({"rank": "int64", "doc_id": "int64", "n_tokens": "int64"})
     )
+
+
+Q3_CUTOFF_US = 896_659_200_000_000  # 1998-06-01 UTC in microseconds
+
+
+def ship_priority_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3 shape (shipping-priority top-k): revenue per
+    not-yet-shipped order of BUILDING-segment customers — the classic
+    3-table join + high-cardinality aggregate + top-k, composed from
+    the scale-correct pieces:
+
+    1. the SMALL side (BUILDING customer keys) broadcasts as a sorted
+       key array (``ray.put`` once, searchsorted filter in-task);
+    2. the BIG-x-BIG side (orders x lineitem) is a HASH JOIN expressed
+       as the tagged-union + ``groupby(orderkey).map_groups`` pattern —
+       lineitem first pre-aggregates revenue per orderkey in a
+       per-batch Arrow combiner, so the join exchange moves one thin
+       row per (orderkey, partial), never raw line items;
+    3. the joined rows reduce to top-k with a per-batch top-k combiner
+       (the max-merge property) before one driver-side merge of k-row
+       fragments.
+
+    Output: (l_orderkey, o_orderdate_us, o_orderpriority, revenue_e2)
+    ordered by revenue desc, orderdate asc, orderkey asc. Ordering
+    compares the FIXED-POINT integer on both sides, so ties are
+    deterministic and SQL-identical.
+    """
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+            .select(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    ckeys_ref = ray.put(np.sort(cust["c_custkey"].to_numpy(np.int64)))
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        ck = ray.get(ckeys_ref)
+        dt = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        oc = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        keep = dt < Q3_CUTOFF_US
+        idx = np.minimum(np.searchsorted(ck, oc), len(ck) - 1) if len(ck) else None
+        keep &= ck[idx] == oc if len(ck) else False
+        sub = batch.filter(pa.array(keep))
+        return pa.table({
+            "orderkey": sub["o_orderkey"],
+            "date_us": sub["o_orderdate"].cast(pa.int64()),
+            "priority": sub["o_orderpriority"],
+            "rev_p": pa.nulls(sub.num_rows, pa.float64()),
+            "side": pa.array(["o"] * sub.num_rows, pa.string()),
+        })
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(sd > Q3_CUTOFF_US))
+        rev = pc.multiply(
+            sub["l_extendedprice"], pc.subtract(pa.scalar(1.0), sub["l_discount"])
+        )
+        g = pa.TableGroupBy(
+            sub.select(["l_orderkey"]).append_column("rev", rev), ["l_orderkey"]
+        ).aggregate([("rev", "sum")])
+        n = g.num_rows
+        return pa.table({
+            "orderkey": g["l_orderkey"],
+            "date_us": pa.nulls(n, pa.int64()),
+            "priority": pa.nulls(n, pa.string()),
+            "rev_p": g["rev_sum"],
+            "side": pa.array(["l"] * n, pa.string()),
+        })
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_side, batch_format="pyarrow")
+    lines = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == "o"]
+        l = g[g["side"] == "l"]
+        if o.empty or l.empty:
+            # "string" dtype (not object) keeps Ray's block-size
+            # estimator quiet on empty frames
+            return pd.DataFrame({
+                "l_orderkey": pd.Series(dtype="int64"),
+                "o_orderdate_us": pd.Series(dtype="int64"),
+                "o_orderpriority": pd.Series(dtype="string"),
+                "revenue_e2": pd.Series(dtype="int64"),
+            })
+        return pd.DataFrame({
+            "l_orderkey": [int(g["orderkey"].iloc[0])],
+            "o_orderdate_us": [int(o["date_us"].iloc[0])],
+            "o_orderpriority": [o["priority"].iloc[0]],
+            "revenue_e2": [e2_sum(l["rev_p"].to_numpy(np.float64).sum())],
+        })
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["revenue_e2", "o_orderdate_us", "l_orderkey"],
+            ascending=[False, True, True],
+        )
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    out = (
+        orders.union(lines)
+        .groupby("orderkey")
+        .map_groups(join_group, batch_format="pandas")
+        .map_batches(topk_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = out.sort_values(
+        ["revenue_e2", "o_orderdate_us", "l_orderkey"], ascending=[False, True, True]
+    ).head(k).reset_index(drop=True)
+    return out.astype({"l_orderkey": "int64", "o_orderdate_us": "int64",
+                       "revenue_e2": "int64"})

@@ -223,3 +223,46 @@ def test_retention_cohorts_counts(tmp_path):
     got = {(int(r.cohort_day), int(r.day_offset)): int(r.n_users)
            for r in out.itertuples()}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (5, 0): 1}
+
+
+def test_ship_priority_q3_semantics(tmp_path):
+    """Q3 join semantics on a hand-built 3-table fixture: only
+    BUILDING customers' orders before the cutoff with line items
+    shipped after the cutoff qualify; revenue sums only the qualifying
+    line items; ordering is revenue desc with date/orderkey ties."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from information_retrieval_images_ray.pipelines.relational import (
+        Q3_CUTOFF_US,
+        ship_priority_topk,
+    )
+
+    before, after = Q3_CUTOFF_US - 10, Q3_CUTOFF_US + 10
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING", "MACHINERY"], pa.string()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        # order 10: qualifies; order 11: wrong segment; order 12: too late
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 2, 1], pa.int64()),
+        "o_orderdate": pa.array([before, before, after], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "3-MEDIUM"], pa.string()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 10, 11, 12], pa.int64()),
+        # two qualifying lines for order 10 (one shipped too early)
+        "l_shipdate": pa.array([after, after, before, after, after],
+                               pa.timestamp("us")),
+        "l_extendedprice": pa.array([100.0, 50.0, 999.0, 10.0, 10.0], pa.float64()),
+        "l_discount": pa.array([0.1, 0.0, 0.0, 0.0, 0.0], pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    out = ship_priority_topk(str(tmp_path), k=10)
+    assert len(out) == 1
+    row = out.iloc[0]
+    # revenue = 100*0.9 + 50*1.0 = 140.00 -> 14000 cents
+    assert (int(row.l_orderkey), int(row.o_orderdate_us),
+            row.o_orderpriority, int(row.revenue_e2)) == (
+        10, before, "1-URGENT", 14000)
