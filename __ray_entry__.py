@@ -343,6 +343,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-trained bigram-LM fluency scores (the CCNet-style
         # perplexity-filter shape, integer-exact p_e6 arithmetic)
         "q_bigram_lm": lambda sf: analysis.bigram_lm_scores(docs(sf)),
+        # NTILE quartiles of token count per lang (thin-row exchange)
+        "q_length_quartiles": lambda sf: analysis.length_quartiles(
+            ray.data.read_parquet(
+                f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"]
+            )
+        ),
         # the actionable keep/drop: fused single-pass Gopher decision
         "q_quality_filter": lambda sf: analysis.quality_filter(docs(sf)),
         # HyperLogLog distinct-term sketch: mergeable per-batch
@@ -425,6 +431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # large-star/small-star groupby rounds over the edge set
         # (Kiveris et al. 2014) — no driver union-find
         "q_dup_components": lambda sf: dedup.dup_components(docs(sf), n=5),
+        # per-doc triangle counts (degree-oriented wedge algorithm):
+        # clique-density signal over the same pair graph
+        "q_dup_triangles": lambda sf: dedup.dup_triangles(docs(sf), n=5),
         "q_minhash_neardup": lambda sf: dedup.minhash_near_dups(docs(sf), threshold=0.5),
         "q_simhash_neardup": lambda sf: dedup.simhash_near_dups(docs(sf), max_hamming=3),
         # eval-set decontamination: train docs sharing a 5-gram with
@@ -513,6 +522,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered conversion funnel (view -> click -> purchase) per
         # user: one keyed exchange, searchsorted per stage in-group
         "q_event_funnel": lambda sf: streaming.event_funnel(sf),
+        # bounded-frame moving window (ROWS BETWEEN 2 PRECEDING):
+        # integer-cents sums, cumsum-minus-shifted-cumsum in-group
+        "q_moving_window": lambda sf: streaming.moving_window_sums(sf),
         # cohort retention: first-event-day cohorts x day offsets;
         # distinct-by-construction in the user group, so the second
         # exchange never runs a count-distinct shuffle
@@ -1999,6 +2011,18 @@ SELECT doc_id, md5(array_to_string({TOK_SQL}, ' ')) AS fingerprint FROM document
         "q_autocomplete": _autocomplete_sql(),
         "q_spell_suggest": _spell_sql(),
         "q_repetition_stats": _repetition_sql(),
+        # NTILE mirror: DuckDB ntile gives the first n%k tiles the
+        # extra row — exactly the divmod split in length_quartiles
+        "q_length_quartiles": f"""
+WITH toks AS (SELECT lang, doc_id, len({TOK_SQL}) AS n_tokens FROM documents),
+t AS (SELECT lang, n_tokens,
+             ntile(4) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS tile
+      FROM toks)
+SELECT lang, CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM t GROUP BY 1, 2
+""",
         # bigram-LM mirror: adjacent pairs via positional array index,
         # p_e6 in pure integer arithmetic ((2e6*c12 + c1) // (2*c1))
         "q_bigram_lm": f"""
@@ -2167,6 +2191,21 @@ reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
                 SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
 SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY u
+""",
+        # triangle mirror: three-way self-join over the ordered
+        # (doc_a < doc_b) pair CTE counts each triangle once
+        "q_dup_triangles": f"""
+WITH {_NGRAM_PAIR_CTE},
+tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+        FROM common e1
+        JOIN common e2 ON e2.doc_a = e1.doc_b
+        JOIN common e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+m AS (SELECT x AS doc_id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM m GROUP BY 1
 """,
         # decontamination mirror: same 5-gram CTE shape, split from the
         # md5(doc_id) % 100 buckets, hot-shingle cap (1024) mirrored
@@ -2463,6 +2502,15 @@ SELECT u.user_id,
 FROM (SELECT DISTINCT user_id FROM e) u
 LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
 LEFT JOIN p USING (user_id)
+""",
+        "q_moving_window": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+                  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents FROM events)
+SELECT user_id, event_id, CAST(t AS BIGINT) AS ts_us, cents AS value_cents,
+       CAST(sum(cents) OVER w AS BIGINT) AS window_sum_cents,
+       CAST(count(*) OVER w AS BIGINT) AS window_n
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """,
         "q_retention_cohorts": """
 WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -1421,3 +1421,59 @@ def bigram_lm_scores(ds: ray.data.Dataset, tokenizer: str = "simple") -> pd.Data
         concurrency=(1, 8),
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
+def length_quartiles(ds: ray.data.Dataset, tiles: int = 4,
+                     tokenizer: str = "simple") -> pd.DataFrame:
+    """NTILE window shape: per language, docs ranked by (token count,
+    doc_id) split into ``tiles`` equal-as-possible tiles (SQL NTILE
+    semantics: the first n % k tiles take one extra row), summarized
+    as (lang, tile, n_docs, min_tokens, max_tokens) — the
+    length-stratification report a curriculum/packing pipeline uses to
+    pick sequence-length buckets.
+
+    Distribution: a thin (lang, doc_id, n_tokens) projection computed
+    in a stateless batch map, then one ``groupby(lang)`` exchange of
+    those THIN rows (never text) with the tile assignment vectorized
+    inside the group — the same per-key-locality contract as the other
+    window shapes; output is tiles x langs rows.
+    """
+    tok = get_tokenizer(tokenizer)
+
+    def project(batch: pa.Table) -> pa.Table:
+        n = [len(tok(t or "")) for t in batch["text"].to_pylist()]
+        return pa.table({
+            "lang": batch["lang"],
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n, pa.int64()),
+        })
+
+    def tile_group(g: pd.DataFrame) -> pd.DataFrame:
+        nt = g["n_tokens"].to_numpy(np.int64)
+        did = g["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((did, nt))
+        nt = nt[order]
+        n = len(nt)
+        base, extra = divmod(n, tiles)
+        sizes = np.array([base + (1 if i < extra else 0) for i in range(tiles)])
+        sizes = sizes[sizes > 0]
+        ends = np.cumsum(sizes)
+        starts = np.concatenate([[0], ends[:-1]])
+        return pd.DataFrame({
+            "lang": g["lang"].iloc[0],
+            "tile": np.arange(1, len(sizes) + 1, dtype=np.int64),
+            "n_docs": sizes.astype(np.int64),
+            "min_tokens": nt[starts],
+            "max_tokens": nt[ends - 1],
+        })
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(tile_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["lang", "tile"]).reset_index(drop=True)
+        .astype({c: "int64" for c in out.columns if c != "lang"})
+    )

@@ -403,3 +403,46 @@ def retention_cohorts(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
         .astype("int64")
     )
+
+
+def moving_window_sums(sf_dir: str, window: int = 3) -> pd.DataFrame:
+    """Bounded-frame moving window (``SUM(...) OVER (PARTITION BY user
+    ORDER BY ts, event_id ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW)``): per event, the sum over the user's last ``window`` events
+    — the smoothing/rate shape monitoring pipelines run. Values go to
+    integer cents FIRST (the running-total trick), so the windowed sum
+    is order-exact integer math; ts ties break by event_id exactly as
+    the SQL frame. Same keyed ``map_groups`` distribution as the other
+    per-entity windows: one hash exchange, vectorized
+    cumsum-minus-shifted-cumsum inside the group. Columns: user_id,
+    event_id, ts_us, value_cents, window_sum_cents, window_n."""
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def windowed(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].astype("int64").to_numpy()
+        order = np.lexsort((eid, ts))
+        cents = np.floor(
+            g["value"].to_numpy(np.float64)[order] * 100 + 0.5
+        ).astype(np.int64)
+        cum = np.cumsum(cents)
+        lagged = np.concatenate([np.zeros(min(window, len(cum)), np.int64),
+                                 cum[:-window] if len(cum) > window else
+                                 np.empty(0, np.int64)])
+        wsum = cum - lagged
+        n = np.minimum(np.arange(1, len(cum) + 1), window)
+        return pd.DataFrame({
+            "user_id": int(g["user_id"].iloc[0]),
+            "event_id": eid[order],
+            "ts_us": ts[order],
+            "value_cents": cents,
+            "window_sum_cents": wsum,
+            "window_n": n,
+        })
+
+    out = ev.groupby("user_id").map_groups(
+        windowed, batch_format="pandas").to_pandas()
+    return (
+        out.sort_values(["user_id", "ts_us", "event_id"])
+        .reset_index(drop=True).astype("int64")
+    )

@@ -600,3 +600,27 @@ def test_bigram_lm_multi_bigram_doc():
     out = bigram_lm_scores(docs)
     # c(a,b)=1, c(b,a)=1, c1(a)=1, c1(b)=1 -> each p_e6 = 1_000_000
     assert out.iloc[0].tolist() == [0, 2, 2_000_000, 1_000_000]
+
+
+def test_length_quartiles_ntile_split():
+    """NTILE semantics: 6 docs over 4 tiles -> sizes 2,2,1,1 (first
+    n%k tiles take the extra row); ties in token count order by
+    doc_id; fewer docs than tiles emits one-doc tiles only."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.analysis import length_quartiles
+
+    texts = ["a", "a b", "a b c", "a b c d", "a b c d e", "a b c d e f"]
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": t, "lang": "en"} for i, t in enumerate(texts)]
+        + [{"doc_id": 10, "text": "x y", "lang": "fr"},
+           {"doc_id": 11, "text": "x", "lang": "fr"}]
+    )
+    out = length_quartiles(docs, tiles=4)
+    en = out[out["lang"] == "en"]
+    assert en["n_docs"].tolist() == [2, 2, 1, 1]
+    assert en["min_tokens"].tolist() == [1, 3, 5, 6]
+    assert en["max_tokens"].tolist() == [2, 4, 5, 6]
+    fr = out[out["lang"] == "fr"]
+    assert fr["n_docs"].tolist() == [1, 1]
+    assert fr["min_tokens"].tolist() == [1, 2]

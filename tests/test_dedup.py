@@ -300,3 +300,25 @@ def test_dup_components_empty_pairs():
     ])
     out = dup_components(docs, n=5)
     assert out.empty and list(out.columns) == ["doc_id", "cluster_id"]
+
+
+def test_dup_triangles_clique_vs_chain():
+    """Three docs sharing one 5-gram form a triangle (each member
+    counted once); a 2-doc pair and a chain A~B~C without A~C add no
+    triangles."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.dedup import dup_triangles
+
+    blk = "t1 t2 t3 t4 t5"
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": blk + " a1 a2 a3 a4 a5"},
+        {"doc_id": 1, "text": blk + " b1 b2 b3 b4 b5"},
+        {"doc_id": 2, "text": blk + " c1 c2 c3 c4 c5"},
+        # chain: 3~4 and 4~5 but 3 !~ 5
+        {"doc_id": 3, "text": "d1 d2 d3 d4 d5 m1 m2 m3 m4 m5"},
+        {"doc_id": 4, "text": "m1 m2 m3 m4 m5 n1 n2 n3 n4 n5"},
+        {"doc_id": 5, "text": "n1 n2 n3 n4 n5 e1 e2 e3 e4 e5"},
+    ])
+    out = dup_triangles(docs, n=5)
+    assert dict(zip(out["doc_id"], out["n_triangles"])) == {0: 1, 1: 1, 2: 1}

@@ -266,3 +266,25 @@ def test_ship_priority_q3_semantics(tmp_path):
     assert (int(row.l_orderkey), int(row.o_orderdate_us),
             row.o_orderpriority, int(row.revenue_e2)) == (
         10, before, "1-URGENT", 14000)
+
+
+def test_moving_window_sums_frame(tmp_path):
+    """ROWS BETWEEN 2 PRECEDING frame: window of 3 with integer-cents
+    sums, short prefix windows, ts-tie broken by event_id."""
+    H = 3_600_000_000
+    rows = [
+        (0, 1 * H, 1, "view", 1.00),
+        (1, 2 * H, 1, "view", 2.00),
+        (2, 3 * H, 1, "view", 4.00),
+        (3, 4 * H, 1, "view", 8.00),
+        # user 2: two events at the SAME ts -> event_id order
+        (4, 1 * H, 2, "view", 1.00),
+        (5, 1 * H, 2, "view", 2.00),
+    ]
+    out = streaming.moving_window_sums(_events_dir(tmp_path, rows), window=3)
+    u1 = out[out["user_id"] == 1]
+    assert u1["window_sum_cents"].tolist() == [100, 300, 700, 1400]
+    assert u1["window_n"].tolist() == [1, 2, 3, 3]
+    u2 = out[out["user_id"] == 2]
+    assert u2["event_id"].tolist() == [4, 5]
+    assert u2["window_sum_cents"].tolist() == [100, 300]
