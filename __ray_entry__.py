@@ -434,6 +434,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc triangle counts (degree-oriented wedge algorithm):
         # clique-density signal over the same pair graph
         "q_dup_triangles": lambda sf: dedup.dup_triangles(docs(sf), n=5),
+        # asymmetric containment |A∩B|/min(|A|,|B|) — catches short
+        # docs embedded in long ones that Jaccard dilutes
+        "q_ngram_containment": lambda sf: dedup.ngram_containment_pairs(docs(sf), n=5),
+        # per-source exact-dup rates (crawl-health report)
+        "q_dup_rate_by_source": lambda sf: analysis.dup_rate_by_source(
+            ray.data.read_parquet(
+                f"{sf}/documents.parquet", columns=["doc_id", "text", "source"]
+            )
+        ),
+        # Heaps-law vocabulary growth curve in doc_id order
+        "q_vocab_growth": lambda sf: analysis.vocab_growth(docs(sf), bucket=50),
         "q_minhash_neardup": lambda sf: dedup.minhash_near_dups(docs(sf), threshold=0.5),
         "q_simhash_neardup": lambda sf: dedup.simhash_near_dups(docs(sf), max_hamming=3),
         # eval-set decontamination: train docs sharing a 5-gram with
@@ -539,6 +550,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q3 shape: broadcast small side + tagged-union hash join
         # (orders x pre-aggregated lineitem revenue) + top-k combiner
         "q_ship_priority": lambda sf: relational.ship_priority_topk(sf, k=10),
+        # TPC-H Q5 shape: 6-table chain — two tagged-union hash joins
+        # (custkey then orderkey) + dimension broadcasts, revenue
+        # pre-aggregated per (order, supplier-nation) in the combiner
+        "q_local_supplier_volume": lambda sf: relational.local_supplier_volume(sf),
     }
 
 
@@ -2192,6 +2207,39 @@ reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
 SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY u
 """,
+        # containment mirror: same pair CTE, min-size denominator in
+        # the pure-integer fixed-point form
+        "q_ngram_containment": f"""
+WITH {_NGRAM_PAIR_CTE}
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(c AS BIGINT) AS common,
+       CAST((2000000*c + least(sa.n, sb.n)) // (2*least(sa.n, sb.n))
+            AS BIGINT) AS containment_e6
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+""",
+        "q_dup_rate_by_source": """
+WITH h AS (SELECT source, md5(text) AS h FROM documents),
+c AS (SELECT source, h, count(*) AS n FROM h GROUP BY 1, 2),
+s AS (SELECT source, sum(n) AS n_docs, count(*) AS n_distinct
+      FROM c GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST((2000000*(n_docs - n_distinct) + n_docs) // (2*n_docs)
+            AS BIGINT) AS dup_rate_e6
+FROM s
+""",
+        "q_vocab_growth": f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+fs AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+b AS (SELECT first_doc // 50 AS bucket, count(*) AS new_terms FROM fs GROUP BY 1),
+buckets AS (SELECT unnest(range(0, (SELECT max(bucket) + 1 FROM b))) AS bucket)
+SELECT CAST((buckets.bucket + 1) * 50 AS BIGINT) AS up_to_doc,
+       CAST(sum(coalesce(b.new_terms, 0)) OVER (ORDER BY buckets.bucket)
+            AS BIGINT) AS vocab_size
+FROM buckets LEFT JOIN b USING (bucket)
+""",
         # triangle mirror: three-way self-join over the ordered
         # (doc_a < doc_b) pair CTE counts each triangle once
         "q_dup_triangles": f"""
@@ -2404,6 +2452,21 @@ SELECT l_returnflag, l_linestatus,
        CAST(FLOOR(SUM(l_extendedprice*(1.0 - l_discount))*100 + 0.5) AS BIGINT) AS sum_revenue_e2,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem GROUP BY 1, 2
+""",
+        "q_local_supplier_volume": """
+SELECT n_name,
+       CAST(FLOOR(SUM(l_extendedprice*(1.0 - l_discount))*100 + 0.5)
+            AS BIGINT) AS revenue_e2
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
 """,
         # Q3 mirror: revenue rounds to e2 BEFORE the order-by on both
         # sides, so tie-breaks compare the same integers

@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.tokenizer import get_tokenizer
 
@@ -1477,3 +1477,106 @@ def length_quartiles(ds: ray.data.Dataset, tiles: int = 4,
         out.sort_values(["lang", "tile"]).reset_index(drop=True)
         .astype({c: "int64" for c in out.columns if c != "lang"})
     )
+
+
+def dup_rate_by_source(ds: ray.data.Dataset) -> pd.DataFrame:
+    """Per-source exact-duplicate rates — the crawl-health report every
+    corpus intake runs (a source whose dup rate spikes is re-crawling
+    itself): (source, n_docs, n_distinct, dup_rate_e6) with
+    dup_rate = (n_docs - n_distinct) / n_docs in the pure-integer
+    fixed-point form.
+
+    Shape: one (source, md5) exchange of hash rows (never text) counts
+    multiplicity per distinct content; a second tiny exchange on
+    source reduces to the report. Both aggregates are combiner-safe.
+    """
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode()).hexdigest()
+              for t in batch["text"].to_pylist()]
+        return pa.table({"source": batch["source"],
+                         "h": pa.array(hs, pa.string())})
+
+    per_content = (
+        ds.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby(["source", "h"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select(["source", "n"]), ["source"]).aggregate(
+            [("n", "sum"), ("n", "count")]
+        )
+        return g.rename_columns(["source", "n_docs_p", "n_distinct_p"])
+
+    out = (
+        per_content.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs_p", alias_name="n_docs"),
+                   Sum("n_distinct_p", alias_name="n_distinct"))
+        .to_pandas()
+    )
+    nd = out["n_docs"].astype("int64")
+    dups = nd - out["n_distinct"].astype("int64")
+    out["dup_rate_e6"] = (2_000_000 * dups + nd) // (2 * nd)
+    return (
+        out.sort_values("source").reset_index(drop=True)
+        .astype({c: "int64" for c in out.columns if c != "source"})
+    )
+
+
+def vocab_growth(ds: ray.data.Dataset, bucket: int = 50,
+                 tokenizer: str = "simple") -> pd.DataFrame:
+    """Heaps-law vocabulary growth curve: distinct terms seen up
+    through each ``bucket``-doc prefix of the corpus in doc_id order —
+    the saturation diagnostic for tokenizer/vocab sizing (when the
+    curve flattens, new data stops adding words).
+
+    Shape: the distributed part is term -> min(doc_id) (one groupby of
+    token rows — the term_stats exchange); per-bucket first-seen
+    counts then reduce in a per-batch combiner, and only
+    ceil(n_docs/bucket) tiny rows reach the driver for the cumsum.
+    Columns: (up_to_doc, vocab_size) where up_to_doc is the exclusive
+    bucket end (doc_id < up_to_doc).
+    """
+    tok = get_tokenizer(tokenizer)
+
+    def token_rows(batch: pa.Table) -> pa.Table:
+        ids, terms = [], []
+        for did, txt in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+            for t in set(tok(txt or "")):
+                ids.append(did)
+                terms.append(t)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "term": pa.array(terms, pa.string())})
+
+    first_seen = (
+        ds.map_batches(token_rows, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Min("doc_id", alias_name="first_doc"))
+    )
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        b = batch["first_doc"].to_numpy(zero_copy_only=False) // bucket
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "new_terms": pa.array(c.astype(np.int64), pa.int64())})
+
+    per_bucket = (
+        first_seen.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("new_terms", alias_name="new_terms"))
+        .to_pandas()
+    )
+    if per_bucket.empty:
+        return pd.DataFrame({"up_to_doc": pd.Series(dtype="int64"),
+                             "vocab_size": pd.Series(dtype="int64")})
+    per_bucket = per_bucket.sort_values("bucket").reset_index(drop=True)
+    # buckets with no new terms still appear on the curve
+    hi = int(per_bucket["bucket"].max())
+    full = pd.DataFrame({"bucket": np.arange(hi + 1, dtype=np.int64)})
+    full = full.merge(per_bucket, on="bucket", how="left").fillna(0)
+    full["up_to_doc"] = (full["bucket"] + 1) * bucket
+    full["vocab_size"] = full["new_terms"].astype("int64").cumsum()
+    return full[["up_to_doc", "vocab_size"]].astype("int64")

@@ -1162,3 +1162,91 @@ def dup_triangles(
     if out.empty:
         return empty
     return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
+def ngram_containment_pairs(
+    ds: ray.data.Dataset,
+    n: int = 5,
+    threshold: float = 0.0,
+    tokenizer: str = "simple",
+    max_group: int | None = DEFAULT_MAX_GROUP,
+) -> pd.DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    ``|A ∩ B| / min(|A|, |B|)`` — the measure that catches a short doc
+    quoted or embedded inside a long one, which Jaccard dilutes toward
+    0 as the size ratio grows (Broder's containment, "On the
+    resemblance and containment of documents", SEQUENCES 1997). Same
+    distributed chain as ``ngram_jaccard_pairs`` (shingle explode with
+    carried set sizes, capped per-shingle pair emission, per-pair
+    aggregate); the score is the pure-integer fixed-point form
+    ``(2e6*common + m) // (2*m)`` with ``m = min(na, nb)`` so the SQL
+    oracle matches bitwise. Returns (doc_a, doc_b, common,
+    containment_e6) for containment >= threshold.
+    """
+    sh = shingle_rows(ds, n, tokenizer, with_counts=True)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["doc_id"].to_numpy(np.int64))
+        ids = g["doc_id"].to_numpy(np.int64)[order]
+        szs = g["n_sh"].to_numpy(np.int64)[order]
+        if max_group is not None and len(ids) > max_group:
+            return pd.DataFrame(
+                {"doc_a": [-1], "doc_b": [-1], "na": [0], "nb": [0]}
+            ).astype("int64")
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"doc_a": ids[a], "doc_b": ids[b], "na": szs[a], "nb": szs[b]}
+        )
+
+    pairs = (
+        sh.groupby("shingle")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(
+            Count(alias_name="common"),
+            Min("na", alias_name="na"),
+            Min("nb", alias_name="nb"),
+        )
+    )
+    thresh_e6 = int(np.floor(threshold * 1e6 + 0.5))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.to_pandas()
+        sentinel = t["doc_a"].to_numpy() < 0
+        drop = t[sentinel]
+        t = t[~sentinel]
+        m = np.minimum(t["na"].to_numpy(np.int64), t["nb"].to_numpy(np.int64))
+        m = np.maximum(m, 1)
+        common = t["common"].to_numpy(np.int64)
+        cont_e6 = (2_000_000 * common + m) // (2 * m)
+        keep = cont_e6 >= thresh_e6
+        out = {
+            "doc_a": t["doc_a"].to_numpy(np.int64)[keep].tolist(),
+            "doc_b": t["doc_b"].to_numpy(np.int64)[keep].tolist(),
+            "common": common[keep].tolist(),
+            "containment_e6": cont_e6[keep].tolist(),
+        }
+        for _, r in drop.iterrows():
+            out["doc_a"].append(-1)
+            out["doc_b"].append(-1)
+            out["common"].append(int(r["common"]))
+            out["containment_e6"].append(0)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    out = pairs.map_batches(finish, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ["doc_a", "doc_b", "common", "containment_e6"]}
+        )
+    sentinel = out["doc_a"] < 0
+    n_dropped = int(out.loc[sentinel, "common"].sum())
+    if n_dropped:
+        print(f"[ngram_containment_pairs] {n_dropped} hot shingles over "
+              f"max_group={max_group} dropped from pair emission")
+    return (
+        out[~sentinel]
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )

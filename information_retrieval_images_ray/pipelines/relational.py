@@ -409,3 +409,150 @@ def ship_priority_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     ).head(k).reset_index(drop=True)
     return out.astype({"l_orderkey": "int64", "o_orderdate_us": "int64",
                        "revenue_e2": "int64"})
+
+
+Q5_YEAR_LO_US = 852_076_800_000_000   # 1997-01-01 UTC in microseconds
+Q5_YEAR_HI_US = 883_612_800_000_000   # 1998-01-01 UTC
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue per nation for
+    line items where the CUSTOMER and the SUPPLIER share a nation in
+    one region, over one order year — the 6-table join chain composed
+    from the engine's scale-correct pieces:
+
+    - region -> nation are dimension-tiny driver reads, reduced to a
+      broadcast nationkey set + name map;
+    - supplier broadcasts as parallel sorted arrays (suppkey ->
+      nationkey), resolved in-task by searchsorted;
+    - customer x orders is a tagged-union hash join on custkey —
+      customer thins to (custkey, nationkey) for in-region customers,
+      orders thins to (custkey, orderkey) after the date filter;
+    - the result re-keys on orderkey for the second tagged-union join
+      against lineitem, whose batch combiner pre-resolves the
+      supplier's nation and PRE-AGGREGATES revenue per (orderkey,
+      s_nationkey), so the big exchange moves one partial row per
+      (order, supplier-nation), never raw line items;
+    - the join group keeps only rows with c_nation == s_nation (the
+      "local supplier" condition), and a final tiny nation aggregate
+      emits (n_name, revenue_e2) sorted by revenue desc.
+    """
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg[reg["r_name"] == region]["r_regionkey"].astype(int))
+    nat = nat[nat["n_regionkey"].astype(int).isin(rkeys)]
+    nkeys = np.sort(nat["n_nationkey"].to_numpy(np.int64))
+    names = {int(k): v for k, v in zip(nat["n_nationkey"], nat["n_name"])}
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup.sort_values("s_suppkey")
+    broadcast_ref = ray.put((
+        nkeys,
+        sup["s_suppkey"].to_numpy(np.int64),
+        sup["s_nationkey"].to_numpy(np.int64),
+    ))
+
+    def _isin_sorted(keys: np.ndarray, arr: np.ndarray) -> np.ndarray:
+        if not len(keys):
+            return np.zeros(len(arr), dtype=bool)
+        idx = np.minimum(np.searchsorted(keys, arr), len(keys) - 1)
+        return keys[idx] == arr
+
+    # ---- stage 1: customer x orders on custkey --------------------------
+    def cust_side(batch: pd.DataFrame) -> pd.DataFrame:
+        nk, _, _ = ray.get(broadcast_ref)
+        ck = batch["c_custkey"].to_numpy(np.int64)
+        cn = batch["c_nationkey"].to_numpy(np.int64)
+        keep = _isin_sorted(nk, cn)
+        return pd.DataFrame({
+            "key": ck[keep], "nationkey": cn[keep],
+            "orderkey": np.full(int(keep.sum()), -1, np.int64),
+        })
+
+    def orders_side(batch: pd.DataFrame) -> pd.DataFrame:
+        dt = batch["o_orderdate"].astype("int64").to_numpy()
+        keep = (dt >= Q5_YEAR_LO_US) & (dt < Q5_YEAR_HI_US)
+        return pd.DataFrame({
+            "key": batch["o_custkey"].to_numpy(np.int64)[keep],
+            "nationkey": np.full(int(keep.sum()), -1, np.int64),
+            "orderkey": batch["o_orderkey"].to_numpy(np.int64)[keep],
+        })
+
+    def join_cust_orders(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["orderkey"] < 0]
+        o = g[g["orderkey"] >= 0]
+        if c.empty or o.empty:
+            return pd.DataFrame({"orderkey": pd.Series(dtype="int64"),
+                                 "c_nat": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "orderkey": o["orderkey"].to_numpy(np.int64),
+            "c_nat": np.full(len(o), int(c["nationkey"].iloc[0]), np.int64),
+        })
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_side, batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_side, batch_format="pandas")
+    order_nat = (
+        cust.union(orders).groupby("key")
+        .map_groups(join_cust_orders, batch_format="pandas")
+    )
+
+    # ---- stage 2: x lineitem on orderkey --------------------------------
+    def line_side(batch: pd.DataFrame) -> pd.DataFrame:
+        _, sk, sn = ray.get(broadcast_ref)
+        ok = batch["l_orderkey"].to_numpy(np.int64)
+        sup_idx = np.minimum(np.searchsorted(sk, batch["l_suppkey"].to_numpy(np.int64)),
+                             len(sk) - 1)
+        s_nat = sn[sup_idx]
+        rev = (batch["l_extendedprice"].to_numpy(np.float64)
+               * (1.0 - batch["l_discount"].to_numpy(np.float64)))
+        df = pd.DataFrame({"orderkey": ok, "s_nat": s_nat, "rev": rev})
+        agg = df.groupby(["orderkey", "s_nat"], as_index=False)["rev"].sum()
+        return pd.DataFrame({
+            "orderkey": agg["orderkey"].astype("int64"),
+            "nat": agg["s_nat"].astype("int64"),
+            "rev_p": agg["rev"].astype("float64"),
+        })
+
+    def tag_order_nat(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "orderkey": batch["orderkey"].astype("int64"),
+            "nat": batch["c_nat"].astype("int64"),
+            "rev_p": np.full(len(batch), np.nan),  # customer-side marker
+        })
+
+    def join_order_lines(g: pd.DataFrame) -> pd.DataFrame:
+        isc = g["rev_p"].isna()
+        c = g[isc]
+        l = g[~isc]
+        if c.empty or l.empty:
+            return pd.DataFrame({"nationkey": pd.Series(dtype="int64"),
+                                 "rev_p": pd.Series(dtype="float64")})
+        c_nat = int(c["nat"].iloc[0])
+        local = l[l["nat"].to_numpy(np.int64) == c_nat]
+        if local.empty:
+            return pd.DataFrame({"nationkey": pd.Series(dtype="int64"),
+                                 "rev_p": pd.Series(dtype="float64")})
+        return pd.DataFrame({"nationkey": [c_nat],
+                             "rev_p": [float(local["rev_p"].sum())]})
+
+    lines = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pandas")
+    per_nation = (
+        order_nat.map_batches(tag_order_nat, batch_format="pandas")
+        .union(lines)
+        .groupby("orderkey")
+        .map_groups(join_order_lines, batch_format="pandas")
+        .groupby("nationkey")
+        .aggregate(Sum("rev_p", alias_name="rev_f"))
+        .to_pandas()
+    )
+    per_nation["n_name"] = [names[int(k)] for k in per_nation["nationkey"]]
+    per_nation["revenue_e2"] = [e2_sum(v) for v in per_nation["rev_f"]]
+    out = per_nation[["n_name", "revenue_e2"]].sort_values(
+        ["revenue_e2", "n_name"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return out.astype({"revenue_e2": "int64"})

@@ -624,3 +624,43 @@ def test_length_quartiles_ntile_split():
     fr = out[out["lang"] == "fr"]
     assert fr["n_docs"].tolist() == [1, 1]
     assert fr["min_tokens"].tolist() == [1, 2]
+
+
+def test_dup_rate_by_source():
+    """Integer-exact rates: src_a has 3 docs / 2 distinct (rate 1/3),
+    src_b is all distinct (rate 0)."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.analysis import dup_rate_by_source
+
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": "same text", "source": "src_a"},
+        {"doc_id": 1, "text": "same text", "source": "src_a"},
+        {"doc_id": 2, "text": "other", "source": "src_a"},
+        {"doc_id": 3, "text": "x", "source": "src_b"},
+        {"doc_id": 4, "text": "y", "source": "src_b"},
+    ])
+    out = dup_rate_by_source(docs)
+    got = {r.source: (int(r.n_docs), int(r.n_distinct), int(r.dup_rate_e6))
+           for r in out.itertuples()}
+    assert got == {"src_a": (3, 2, 333333), "src_b": (2, 2, 0)}
+
+
+def test_vocab_growth_curve():
+    """First-seen buckets cumsum into the growth curve; a bucket with
+    no new terms still appears (flat segment)."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.analysis import vocab_growth
+
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": "a b"},        # bucket 0: a, b
+        {"doc_id": 1, "text": "a b"},
+        {"doc_id": 2, "text": "a c"},        # bucket 1: c
+        {"doc_id": 3, "text": "a"},
+        {"doc_id": 4, "text": "b c"},        # bucket 2: nothing new
+        {"doc_id": 6, "text": "a d"},        # bucket 3: d
+    ])
+    out = vocab_growth(docs, bucket=2)
+    assert out["up_to_doc"].tolist() == [2, 4, 6, 8]
+    assert out["vocab_size"].tolist() == [2, 3, 3, 4]

@@ -322,3 +322,24 @@ def test_dup_triangles_clique_vs_chain():
     ])
     out = dup_triangles(docs, n=5)
     assert dict(zip(out["doc_id"], out["n_triangles"])) == {0: 1, 1: 1, 2: 1}
+
+
+def test_ngram_containment_asymmetric():
+    """A short doc fully contained in a long one scores containment
+    1.0 even though Jaccard is low — the asymmetric measure's point."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "q1 q2 q3 q4 q5 q6"                      # 2 distinct 5-grams
+    longd = short + " z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": short}, {"doc_id": 1, "text": longd},
+    ])
+    cont = ngram_containment_pairs(docs, n=5)
+    assert cont.iloc[0].tolist() == [0, 1, 2, 1_000_000]
+    jac = ngram_jaccard_pairs(docs, n=5)
+    assert int(jac.iloc[0]["jaccard_e6"]) < 1_000_000

@@ -288,3 +288,60 @@ def test_moving_window_sums_frame(tmp_path):
     u2 = out[out["user_id"] == 2]
     assert u2["event_id"].tolist() == [4, 5]
     assert u2["window_sum_cents"].tolist() == [100, 300]
+
+
+def test_local_supplier_volume_q5(tmp_path):
+    """Q5 semantics on a hand-built 6-table fixture: revenue counts
+    only when customer and supplier share an in-region nation within
+    the order-date year; out-of-region and cross-nation rows drop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from information_retrieval_images_ray.pipelines.relational import (
+        Q5_YEAR_LO_US,
+        local_supplier_volume,
+    )
+
+    t = Q5_YEAR_LO_US + 10
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": pa.array(["ASIA", "EUROPE"], pa.string()),
+    }), str(tmp_path / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([10, 11, 20], pa.int32()),
+        "n_name": pa.array(["JAPAN", "INDIA", "FRANCE"], pa.string()),
+        "n_regionkey": pa.array([0, 0, 1], pa.int32()),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_nationkey": pa.array([10, 11, 20], pa.int32()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([100, 101], pa.int64()),
+        "s_nationkey": pa.array([10, 11], pa.int32()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        # order 1: JAPAN customer in-year; order 2: INDIA customer
+        # in-year; order 3: FRANCE (out of region); order 4: JAPAN but
+        # before the year window
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 2, 3, 1], pa.int64()),
+        "o_orderdate": pa.array([t, t, t, Q5_YEAR_LO_US - 10],
+                                pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        # (order 1, JAPAN supplier) local: 100*0.9=90.00 counts
+        # (order 1, INDIA supplier) NOT local: drops
+        # (order 2, INDIA supplier) local: 50.00 counts
+        # (order 3, order 4): excluded upstream
+        "l_orderkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        "l_suppkey": pa.array([100, 101, 101, 100, 100], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 7.0, 50.0, 9.0, 9.0], pa.float64()),
+        "l_discount": pa.array([0.1, 0.0, 0.0, 0.0, 0.0], pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    out = local_supplier_volume(str(tmp_path), region="ASIA")
+    got = dict(zip(out["n_name"], out["revenue_e2"]))
+    assert got == {"JAPAN": 9000, "INDIA": 5000}
+    # ordering: revenue desc
+    assert out["n_name"].tolist() == ["JAPAN", "INDIA"]
