@@ -434,6 +434,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc triangle counts (degree-oriented wedge algorithm):
         # clique-density signal over the same pair graph
         "q_dup_triangles": lambda sf: dedup.dup_triangles(docs(sf), n=5),
+        # local clustering coefficients 2T/(d(d-1)): clique-vs-hub
+        # signal composing degrees + the distributed triangle count
+        "q_clustering_coeff": lambda sf: dedup.dup_clustering_coefficients(docs(sf), n=5),
         # asymmetric containment |A∩B|/min(|A|,|B|) — catches short
         # docs embedded in long ones that Jaccard dilutes
         "q_ngram_containment": lambda sf: dedup.ngram_containment_pairs(docs(sf), n=5),
@@ -2206,6 +2209,30 @@ reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
                 SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
 SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY u
+""",
+        # clustering-coefficient mirror: degrees from the undirected
+        # pair CTE, triangles from the three-way self-join
+        "q_clustering_coeff": f"""
+WITH {_NGRAM_PAIR_CTE},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM common
+          UNION SELECT doc_b, doc_a FROM common),
+deg AS (SELECT u AS doc_id, count(*) AS degree FROM edges GROUP BY 1),
+tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+        FROM common e1
+        JOIN common e2 ON e2.doc_a = e1.doc_b
+        JOIN common e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+m AS (SELECT x AS doc_id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri),
+tcnt AS (SELECT doc_id, count(*) AS t FROM m GROUP BY 1)
+SELECT CAST(deg.doc_id AS BIGINT) AS doc_id,
+       CAST(degree AS BIGINT) AS degree,
+       CAST(coalesce(t, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN degree >= 2
+                 THEN (4000000*coalesce(t, 0) + degree*(degree-1))
+                      // (2*degree*(degree-1))
+                 ELSE 0 END AS BIGINT) AS clustering_e6
+FROM deg LEFT JOIN tcnt ON tcnt.doc_id = deg.doc_id
 """,
         # containment mirror: same pair CTE, min-size denominator in
         # the pure-integer fixed-point form

@@ -1090,6 +1090,13 @@ def dup_triangles(
     """
     pairs = ngram_jaccard_pairs(ds, n=n, threshold=threshold,
                                 tokenizer=tokenizer, max_group=max_group)
+    return triangles_from_pairs(pairs)
+
+
+def triangles_from_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
+    """The triangle core of ``dup_triangles`` over an already-computed
+    (doc_a < doc_b) distinct pair list — shared with
+    ``dup_clustering_coefficients``."""
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                           "n_triangles": pd.Series(dtype="int64")})
     if pairs.empty:
@@ -1249,4 +1256,42 @@ def ngram_containment_pairs(
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
         .astype("int64")
+    )
+
+
+def dup_clustering_coefficients(
+    ds: ray.data.Dataset,
+    n: int = 5,
+    threshold: float = 0.0,
+    tokenizer: str = "simple",
+    max_group: int | None = DEFAULT_MAX_GROUP,
+) -> pd.DataFrame:
+    """Local clustering coefficients over the near-dup pair graph:
+    c(v) = 2*T(v) / (deg(v)*(deg(v)-1)) — how close each doc's
+    neighborhood is to a clique (1.0 = its duplicates all duplicate
+    each other; near 0 = the doc is a hub stitching unrelated texts, a
+    template/boilerplate smell). Composes the engine's pieces: one
+    pair stage, the distributed wedge triangle count
+    (``triangles_from_pairs``), degrees from the SPARSE pair list, and
+    the pure-integer fixed-point ratio so the SQL mirror is bitwise.
+    Returns (doc_id, degree, n_triangles, clustering_e6) for every doc
+    in >= 1 pair (degree-1 docs score 0), sorted by doc_id.
+    """
+    pairs = ngram_jaccard_pairs(ds, n=n, threshold=threshold,
+                                tokenizer=tokenizer, max_group=max_group)
+    if pairs.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ["doc_id", "degree", "n_triangles", "clustering_e6"]})
+    deg = (pd.concat([pairs["doc_a"], pairs["doc_b"]])
+           .value_counts().rename_axis("doc_id").reset_index(name="degree"))
+    tri = triangles_from_pairs(pairs)
+    out = deg.merge(tri, on="doc_id", how="left").fillna({"n_triangles": 0})
+    d = out["degree"].astype("int64")
+    t = out["n_triangles"].astype("int64")
+    denom = (d * (d - 1)).clip(lower=1)
+    coef = (2_000_000 * 2 * t + denom) // (2 * denom)
+    out["clustering_e6"] = np.where(d >= 2, coef, 0)
+    return (
+        out.sort_values("doc_id").reset_index(drop=True)
+        .astype("int64")[["doc_id", "degree", "n_triangles", "clustering_e6"]]
     )

@@ -343,3 +343,31 @@ def test_ngram_containment_asymmetric():
     assert cont.iloc[0].tolist() == [0, 1, 2, 1_000_000]
     jac = ngram_jaccard_pairs(docs, n=5)
     assert int(jac.iloc[0]["jaccard_e6"]) < 1_000_000
+
+
+def test_clustering_coefficients_clique_vs_hub():
+    """A triangle's members score 1.0; chain middles (degree 2, no
+    triangle) score 0; degree-1 endpoints score 0 by convention."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.dedup import (
+        dup_clustering_coefficients,
+    )
+
+    blk = "t1 t2 t3 t4 t5"
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": blk + " a1 a2 a3 a4 a5"},
+        {"doc_id": 1, "text": blk + " b1 b2 b3 b4 b5"},
+        {"doc_id": 2, "text": blk + " c1 c2 c3 c4 c5"},
+        {"doc_id": 3, "text": "d1 d2 d3 d4 d5 m1 m2 m3 m4 m5"},
+        {"doc_id": 4, "text": "m1 m2 m3 m4 m5 n1 n2 n3 n4 n5"},
+        {"doc_id": 5, "text": "n1 n2 n3 n4 n5 e1 e2 e3 e4 e5"},
+    ])
+    out = dup_clustering_coefficients(docs, n=5)
+    got = {int(r.doc_id): (int(r.degree), int(r.n_triangles),
+                           int(r.clustering_e6))
+           for r in out.itertuples()}
+    assert got == {
+        0: (2, 1, 1_000_000), 1: (2, 1, 1_000_000), 2: (2, 1, 1_000_000),
+        3: (1, 0, 0), 4: (2, 0, 0), 5: (1, 0, 0),
+    }
