@@ -468,6 +468,56 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Corpus-health report: the intake checks a training-data
+    pipeline runs before committing a crawl — corpus stats, quality
+    keep rates, per-source exact-dup rates, per-lang length quartiles
+    and the vocabulary growth curve — as ONE JSON document (stdout, or
+    --out FILE written atomically)."""
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.analysis import (
+        corpus_stats,
+        dup_rate_by_source,
+        length_quartiles,
+        quality_filter_rates,
+        vocab_growth,
+    )
+
+    def docs(columns):
+        ds = ray.data.read_parquet(args.corpus, columns=columns)
+        renames = {src: dst for src, dst in [
+            (args.id_col, "doc_id"), (args.text_col, "text"),
+            (args.lang_col, "lang"), (args.source_col, "source"),
+        ] if src != dst and src in columns}
+        return ds.rename_columns(renames) if renames else ds
+
+    base = [args.id_col, args.text_col]
+    report = {
+        "corpus": args.corpus,
+        "stats": corpus_stats(docs(base)).to_dict("records"),
+        "quality_rates": quality_filter_rates(
+            docs(base + [args.lang_col])).to_dict("records"),
+        "dup_rate_by_source": dup_rate_by_source(
+            docs(base + [args.source_col])).to_dict("records"),
+        "length_quartiles": length_quartiles(
+            docs(base + [args.lang_col])).to_dict("records"),
+        "vocab_growth": vocab_growth(
+            docs(base), bucket=args.vocab_bucket).to_dict("records"),
+    }
+    payload = json.dumps(report, default=str)
+    if args.out:
+        import os
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, args.out)
+    else:
+        print(payload)
+    return 0
+
+
 def cmd_vec_embed(args) -> int:
     """Embed a text parquet into (vec_id, embedding) parquet with the
     deterministic hashed-n-gram embedder — the corpus half of the
@@ -684,6 +734,18 @@ def make_parser() -> argparse.ArgumentParser:
     ex.add_argument("--lang-col", default="lang")
     ex.add_argument("--num-cpus", type=int, default=None)
     ex.set_defaults(func=cmd_export)
+
+    rp = sub.add_parser("report",
+                        help="corpus-health report: stats/quality/dup/quartiles/vocab JSON")
+    rp.add_argument("--corpus", required=True, help="parquet with id/text/lang/source")
+    rp.add_argument("--out", default=None, help="write JSON here (default stdout)")
+    rp.add_argument("--vocab-bucket", type=int, default=50)
+    rp.add_argument("--id-col", default="doc_id")
+    rp.add_argument("--text-col", default="text")
+    rp.add_argument("--lang-col", default="lang")
+    rp.add_argument("--source-col", default="source")
+    rp.add_argument("--num-cpus", type=int, default=None)
+    rp.set_defaults(func=cmd_report)
 
     vm = sub.add_parser("vec-embed",
                         help="embed a text parquet with the hashed-n-gram embedder")

@@ -375,3 +375,32 @@ def test_query_prf_and_explain(cli_index, capsys):
     rc = main(["query", "getUserName", "--index", cli_index,
                "--mode", "prf", "--explain"])
     assert rc == 2
+
+
+def test_cli_report(tmp_path, capsys):
+    """`report` emits one JSON document with every corpus-health
+    section; --out writes the same payload atomically."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d", "a b c d", "e f g h", "i j"], pa.string()),
+        "lang": pa.array(["en", "en", "fr", "fr"], pa.string()),
+        "source": pa.array(["s1", "s1", "s2", "s2"], pa.string()),
+    }), corpus)
+    rc = main(["report", "--corpus", corpus, "--vocab-bucket", "2"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rep) == {"corpus", "stats", "quality_rates",
+                        "dup_rate_by_source", "length_quartiles", "vocab_growth"}
+    dup = {r["source"]: r for r in rep["dup_rate_by_source"]}
+    assert dup["s1"]["n_docs"] == 2 and dup["s1"]["n_distinct"] == 1
+    assert dup["s2"]["dup_rate_e6"] == 0
+    out_file = str(tmp_path / "report.json")
+    rc = main(["report", "--corpus", corpus, "--out", out_file])
+    assert rc == 0
+    assert json.load(open(out_file))["dup_rate_by_source"]
