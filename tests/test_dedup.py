@@ -371,3 +371,23 @@ def test_clustering_coefficients_clique_vs_hub():
         0: (2, 1, 1_000_000), 1: (2, 1, 1_000_000), 2: (2, 1, 1_000_000),
         3: (1, 0, 0), 4: (2, 0, 0), 5: (1, 0, 0),
     }
+
+
+def test_dup_components_long_chain_multi_round():
+    """A 12-doc chain (diameter 11) forces several large/small-star
+    rounds before stars form — the convergence loop, not just the
+    1-round fixture, must match union-find."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.dedup import (
+        dup_clusters,
+        dup_components,
+    )
+
+    words = [f"w{i}a w{i}b w{i}c w{i}d w{i}e" for i in range(13)]
+    docs = ray.data.from_items([
+        {"doc_id": i, "text": words[i] + " " + words[i + 1]} for i in range(12)
+    ])
+    got = dup_components(docs, n=5)
+    assert got.values.tolist() == dup_clusters(docs, n=5).values.tolist()
+    assert set(got["cluster_id"]) == {0} and len(got) == 12
