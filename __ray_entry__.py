@@ -437,6 +437,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # local clustering coefficients 2T/(d(d-1)): clique-vs-hub
         # signal composing degrees + the distributed triangle count
         "q_clustering_coeff": lambda sf: dedup.dup_clustering_coefficients(docs(sf), n=5),
+        # fixed-point integer PageRank over the pair graph: which copy
+        # is the canonical/template doc its near-dups orbit (k
+        # synchronous rounds of tagged-union join + groupby-sum,
+        # bit-exact across engines by integer arithmetic)
+        "q_dup_pagerank": lambda sf: dedup.dup_pagerank(docs(sf), n=5, iters=6),
+        # substring-level duplication: fraction of each doc's tokens
+        # covered by an 8-token window shared verbatim with another
+        # doc (Lee et al. 2022 cross-doc window form)
+        "q_span_coverage": lambda sf: dedup.dup_span_coverage(docs(sf), window=8),
         # asymmetric containment |A∩B|/min(|A|,|B|) — catches short
         # docs embedded in long ones that Jaccard dilutes
         "q_ngram_containment": lambda sf: dedup.ngram_containment_pairs(docs(sf), n=5),
@@ -699,6 +708,76 @@ common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            WHERE a.shingle IN (SELECT shingle FROM eligible)
            GROUP BY 1, 2)"""
+
+
+def _pagerank_sql(iters: int = 6, scale: int = 10**12,
+                  d_num: int = 85, d_den: int = 100) -> str:
+    """Unrolled fixed-point integer PageRank mirror of
+    ``dedup.dup_pagerank``: one CTE per synchronous round, every
+    operation a BIGINT floor-division, so the chain is bit-identical
+    to the engine's tagged-union-join rounds regardless of sum order
+    (integer addition is associative; float PageRank would not be)."""
+    init = f"({scale} // (SELECT c FROM nn))"
+    base = f"(({d_den - d_num} * {init}) // {d_den})"
+    rounds = []
+    for t in range(iters):
+        rounds.append(f"""pr{t + 1} AS (
+  SELECT e.v AS doc_id,
+         CAST({base} + sum(({d_num} * p.pr) // ({d_den} * dg.d)) AS BIGINT) AS pr
+  FROM edges e
+  JOIN pr{t} p ON p.doc_id = e.u
+  JOIN deg2 dg ON dg.doc_id = e.u
+  GROUP BY e.v)""")
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_NGRAM_PAIR_CTE},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM common
+          UNION ALL SELECT doc_b, doc_a FROM common),
+deg2 AS (SELECT u AS doc_id, count(*) AS d FROM edges GROUP BY 1),
+nn AS (SELECT count(*) AS c FROM deg2),
+pr0 AS (SELECT doc_id, CAST({init} AS BIGINT) AS pr FROM deg2),
+{chain}
+SELECT CAST(deg2.doc_id AS BIGINT) AS doc_id,
+       CAST(deg2.d AS BIGINT) AS degree,
+       pr{iters}.pr AS pagerank_pp12
+FROM deg2 JOIN pr{iters} ON pr{iters}.doc_id = deg2.doc_id
+"""
+
+
+def _span_coverage_sql(window: int = 8) -> str:
+    """Mirror of ``dedup.dup_span_coverage``: window hashes are the
+    same md5-u64 prefix of the space-joined token window; duplicated =
+    carried by >= 2 distinct docs; covered positions via a lateral
+    position expansion + DISTINCT (the set-union the engine computes
+    with its difference array); pure-integer fixed-point coverage."""
+    w = int(window)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS ts FROM documents),
+win AS (SELECT doc_id, u.i AS s,
+               CAST(concat('0x', substr(md5(
+                   array_to_string(ts[u.i : u.i + {w - 1}], ' ')), 1, 16))
+                    AS UBIGINT) AS wh
+        FROM toks CROSS JOIN LATERAL
+             unnest(range(1, greatest(len(ts) - {w - 2}, 1))) AS u(i)),
+dupw AS (SELECT wh FROM win GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+dwin AS (SELECT doc_id, count(*) AS dup_windows
+         FROM win JOIN dupw USING (wh) GROUP BY 1),
+cov AS (SELECT DISTINCT w.doc_id, g.p
+        FROM win w JOIN dupw USING (wh)
+        CROSS JOIN LATERAL unnest(range(w.s, w.s + {w})) AS g(p)),
+cnt AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY 1)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CAST(coalesce(dw.dup_windows, 0) AS BIGINT) AS dup_windows,
+       CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+       CAST(CASE WHEN len(t.ts) > 0
+                 THEN (2000000 * coalesce(c.covered, 0) + len(t.ts))
+                      // (2 * len(t.ts))
+                 ELSE 0 END AS BIGINT) AS coverage_e6
+FROM toks t
+LEFT JOIN dwin dw ON dw.doc_id = t.doc_id
+LEFT JOIN cnt c ON c.doc_id = t.doc_id
+"""
 
 
 def _phrase_sql(n_tokens: int = 3, k: int = 10) -> str:
@@ -2234,6 +2313,13 @@ SELECT CAST(deg.doc_id AS BIGINT) AS doc_id,
                  ELSE 0 END AS BIGINT) AS clustering_e6
 FROM deg LEFT JOIN tcnt ON tcnt.doc_id = deg.doc_id
 """,
+        # integer-PageRank mirror: unrolled per-round CTEs over the
+        # same pair CTE (see _pagerank_sql for the bit-exactness note)
+        "q_dup_pagerank": _pagerank_sql(iters=6),
+        # substring-duplication mirror: same md5-u64 window hashes,
+        # DISTINCT lateral position expansion = the engine's interval
+        # union
+        "q_span_coverage": _span_coverage_sql(window=8),
         # containment mirror: same pair CTE, min-size denominator in
         # the pure-integer fixed-point form
         "q_ngram_containment": f"""

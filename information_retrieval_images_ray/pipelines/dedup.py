@@ -1295,3 +1295,221 @@ def dup_clustering_coefficients(
         out.sort_values("doc_id").reset_index(drop=True)
         .astype("int64")[["doc_id", "degree", "n_triangles", "clustering_e6"]]
     )
+
+
+def dup_pagerank(
+    ds: ray.data.Dataset,
+    n: int = 5,
+    iters: int = 6,
+    threshold: float = 0.0,
+    tokenizer: str = "simple",
+    max_group: int | None = DEFAULT_MAX_GROUP,
+    scale: int = 10**12,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> pd.DataFrame:
+    """Fixed-point integer PageRank over the near-dup pair graph — the
+    centrality ranking of the duplicate neighborhood (a high-rank doc
+    is the template/canonical text its near-dups orbit; the natural
+    "which copy do I keep" signal beyond min-doc-id).
+
+    Determinism contract: the classic power iteration is done in PURE
+    INTEGER arithmetic (mass scaled to ``scale`` = 10^12 parts, damping
+    d = d_num/d_den, every division a floor) so the result is
+    bit-identical across engines and run orders — float PageRank sums
+    are order-sensitive; integer sums are not. Per iteration:
+
+        pr'(u) = ((d_den - d_num) * (scale // N)) // d_den
+                 + sum_{v in N(u)} (d_num * pr(v)) // (d_den * deg(v))
+
+    over the undirected pair graph (every node has deg >= 1, so there
+    is no dangling mass). ``iters`` is fixed (the MapReduce-era
+    contract: k synchronous rounds, Malewicz et al. Pregel-style), not
+    convergence-tested — the operator is a deterministic transform.
+
+    Scale shape: the edge list stays a Dataset; each round is ONE
+    tagged-union groupby join (ranks keyed to edge sources — the Q3
+    hash-join shape, no broadcast of the corpus-sized rank table) plus
+    ONE groupby-sum of the contributions. Driver sees only the final
+    (node, rank) table, which is |near-dup docs|-sized, not
+    corpus-sized. Returns (doc_id, degree, pagerank_pp12) sorted by
+    doc_id; ranks are parts-per-10^12 of the total mass.
+    """
+    pairs = ngram_jaccard_pairs(ds, n=n, threshold=threshold,
+                                tokenizer=tokenizer, max_group=max_group)
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ["doc_id", "degree", "pagerank_pp12"]})
+    if pairs.empty:
+        return empty
+
+    both = pd.DataFrame({
+        "src": pd.concat([pairs["doc_a"], pairs["doc_b"]], ignore_index=True),
+        "dst": pd.concat([pairs["doc_b"], pairs["doc_a"]], ignore_index=True),
+    }).astype("int64")
+    deg = both.groupby("src").size().rename("deg_src").reset_index()
+    both = both.merge(deg, on="src")
+    n_nodes = int(deg.shape[0])
+    init = scale // n_nodes
+    base = ((d_den - d_num) * init) // d_den
+
+    edge_rows = both.rename(columns={"src": "key"}).copy()
+    edge_rows["pr"] = np.int64(0)
+    edge_rows["tag"] = np.int64(0)
+    edges = ray.data.from_pandas(
+        edge_rows[["key", "dst", "deg_src", "pr", "tag"]]).materialize()
+
+    rank_df = pd.DataFrame({
+        "key": deg["src"].to_numpy(np.int64),
+        "dst": np.full(n_nodes, -1, np.int64),
+        "deg_src": np.ones(n_nodes, np.int64),
+        "pr": np.full(n_nodes, init, np.int64),
+        "tag": np.ones(n_nodes, np.int64),
+    })
+
+    def contribs(g: pd.DataFrame) -> pd.DataFrame:
+        pr = int(g.loc[g["tag"] == 1, "pr"].iloc[0])
+        e = g[g["tag"] == 0]
+        if e.empty:
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"),
+                                 "contrib": pd.Series(dtype="int64")})
+        c = (d_num * pr) // (d_den * e["deg_src"].to_numpy(np.int64))
+        return pd.DataFrame({"dst": e["dst"].to_numpy(np.int64), "contrib": c})
+
+    ranks = ray.data.from_pandas(rank_df)
+    for _ in range(iters):
+        summed = (
+            edges.union(ranks)
+            .groupby("key").map_groups(contribs, batch_format="pandas")
+            .groupby("dst").sum("contrib")
+        )
+
+        def renew(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "key": batch["dst"].to_numpy(np.int64),
+                "pr": base + batch["sum(contrib)"].to_numpy(np.int64),
+            })
+            out["dst"] = np.int64(-1)
+            out["deg_src"] = np.int64(1)
+            out["tag"] = np.int64(1)
+            return out[["key", "dst", "deg_src", "pr", "tag"]]
+
+        ranks = summed.map_batches(renew, batch_format="pandas").materialize()
+
+    final = ranks.to_pandas()[["key", "pr"]].rename(
+        columns={"key": "doc_id", "pr": "pagerank_pp12"})
+    out = deg.rename(columns={"src": "doc_id", "deg_src": "degree"}).merge(
+        final, on="doc_id")
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype("int64")[["doc_id", "degree", "pagerank_pp12"]])
+
+
+def dup_span_coverage(
+    ds: ray.data.Dataset,
+    window: int = 8,
+    tokenizer: str = "simple",
+) -> pd.DataFrame:
+    """Substring-level duplication coverage (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    measurement, in its cross-document window form): for every doc,
+    the fraction of its token positions covered by at least one
+    ``window``-token span that also appears verbatim in ANOTHER doc.
+    Doc-level dedup (exact/minhash/jaccard) misses partially-copied
+    text; this is the per-doc "how much of me is boilerplate" dial
+    used to gate or trim training documents.
+
+    Two thin passes, the ``decontaminate`` scale shape:
+
+    1. one tokenize pass emits per-doc-DISTINCT (window_hash64, doc)
+       rows -> a built-in groupby Count gives the number of distinct
+       docs per window -> the DUPLICATED window set (>= 2 docs) is
+       bounded by shared content, so it broadcasts as a sorted u64
+       array via ray.put (the Bloom seam beyond ~50M entries, as in
+       the dedup build);
+    2. a second streaming pass re-derives each doc's window hashes
+       (pure CPU), marks members of the broadcast set with one
+       searchsorted per batch, and computes exact covered-position
+       counts with a vectorized difference-array interval union —
+       no per-position rows ever enter an exchange.
+
+    Windows ride as md5-u64 of the space-joined token window (the SQL
+    oracle mirrors the same 16-hex-digit prefix). Coverage is reported
+    in the engine's pure-integer fixed-point form. Returns one row per
+    doc: (doc_id, n_tokens, dup_windows, covered_tokens, coverage_e6)
+    sorted by doc_id.
+    """
+    import ray
+
+    tok = get_tokenizer(tokenizer)
+    w = int(window)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        # window hashes ride bit-reinterpreted as int64 (top-bit u64
+        # values overflow Arrow's int64 inference and would fall back
+        # to pickled-object blocks in the groupby exchange); the value
+        # never reaches the output, only membership matters
+        ids, whs = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ts = tok(text or "")
+            if len(ts) < w:
+                continue
+            hs = {md5_u64(" ".join(ts[i:i + w])) for i in range(len(ts) - w + 1)}
+            ids.extend([did] * len(hs))
+            whs.extend(hs)
+        wh64 = np.fromiter(whs, np.uint64, len(whs)).view(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "wh": pa.array(wh64)})
+
+    counts = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("wh").aggregate(Count(alias_name="n_docs"))
+        .filter(expr="n_docs >= 2")
+        .to_pandas()
+    )
+    dup = (np.sort(counts["wh"].to_numpy(np.int64))
+           if len(counts) else np.empty(0, np.int64))
+    dup_ref = ray.put(dup)
+
+    def cover(batch: pa.Table) -> pa.Table:
+        dset = ray.get(dup_ref)
+        ids, ntoks, dwins, covs = [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ts = tok(text or "")
+            nt = len(ts)
+            ids.append(did)
+            ntoks.append(nt)
+            if nt < w or not len(dset):
+                dwins.append(0)
+                covs.append(0)
+                continue
+            whs = np.fromiter(
+                (md5_u64(" ".join(ts[i:i + w])) for i in range(nt - w + 1)),
+                np.uint64, nt - w + 1).view(np.int64)
+            mask = dset[np.minimum(np.searchsorted(dset, whs), len(dset) - 1)] == whs
+            starts = np.nonzero(mask)[0]
+            dwins.append(int(len(starts)))
+            if not len(starts):
+                covs.append(0)
+                continue
+            diff = np.zeros(nt + 1, np.int64)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, starts + w, -1)
+            covs.append(int((np.cumsum(diff[:nt]) > 0).sum()))
+        nt_arr = np.asarray(ntoks, np.int64)
+        cov_arr = np.asarray(covs, np.int64)
+        denom = np.maximum(nt_arr, 1)
+        cov_e6 = np.where(nt_arr > 0,
+                          (2_000_000 * cov_arr + denom) // (2 * denom), 0)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nt_arr),
+            "dup_windows": pa.array(dwins, pa.int64()),
+            "covered_tokens": pa.array(cov_arr),
+            "coverage_e6": pa.array(cov_e6.astype(np.int64)),
+        })
+
+    out = ds.map_batches(cover, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ["doc_id", "n_tokens", "dup_windows",
+                              "covered_tokens", "coverage_e6"]})
+    return (out.sort_values("doc_id").reset_index(drop=True).astype("int64"))

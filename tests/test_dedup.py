@@ -391,3 +391,116 @@ def test_dup_components_long_chain_multi_round():
     got = dup_components(docs, n=5)
     assert got.values.tolist() == dup_clusters(docs, n=5).values.tolist()
     assert set(got["cluster_id"]) == {0} and len(got) == 12
+
+
+def test_dup_pagerank_star_matches_integer_reference():
+    """Hub-and-spokes: the hub shares a distinct 5-gram block with each
+    leaf, leaves share nothing with each other. The distributed rounds
+    must equal a driver-side replay of the SAME integer recurrence
+    exactly (no tolerance — that is the operator's determinism
+    contract), and the hub must outrank every leaf."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.dedup import dup_pagerank
+
+    blocks = [f"b{i}1 b{i}2 b{i}3 b{i}4 b{i}5" for i in range(4)]
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": " ".join(blocks)},             # hub
+        {"doc_id": 1, "text": blocks[1] + " l1a l1b l1c l1d l1e"},
+        {"doc_id": 2, "text": blocks[2] + " l2a l2b l2c l2d l2e"},
+        {"doc_id": 3, "text": blocks[3] + " l3a l3b l3c l3d l3e"},
+    ])
+    iters, scale, dn, dd = 6, 10**12, 85, 100
+    out = dup_pagerank(docs, n=5, iters=iters)
+
+    edges = [(0, 1), (0, 2), (0, 3)]
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    n_nodes = len(nbrs)
+    init = scale // n_nodes
+    base = ((dd - dn) * init) // dd
+    pr = {u: init for u in nbrs}
+    for _ in range(iters):
+        new = {u: base for u in nbrs}
+        for u, vs in nbrs.items():
+            c = (dn * pr[u]) // (dd * len(vs))
+            for v in vs:
+                new[v] += c
+        pr = new
+    got = dict(zip(out["doc_id"], out["pagerank_pp12"]))
+    assert got == pr
+    assert got[0] > got[1] == got[2] == got[3]
+    assert dict(zip(out["doc_id"], out["degree"])) == {0: 3, 1: 1, 2: 1, 3: 1}
+
+
+def test_dup_pagerank_symmetric_pair_and_empty():
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.dedup import dup_pagerank
+
+    blk = "p1 p2 p3 p4 p5"
+    docs = ray.data.from_items([
+        {"doc_id": 7, "text": blk + " qa qb qc qd qe"},
+        {"doc_id": 9, "text": blk + " ra rb rc rd re"},
+    ])
+    out = dup_pagerank(docs, n=5, iters=4)
+    # two symmetric deg-1 nodes: equal rank, ~all mass retained
+    assert list(out["doc_id"]) == [7, 9]
+    a, b = out["pagerank_pp12"]
+    assert a == b and abs(int(a) - 10**12 // 2) < 100
+
+    lonely = ray.data.from_items([
+        {"doc_id": 0, "text": "aa bb cc dd ee"},
+        {"doc_id": 1, "text": "ff gg hh ii jj"},
+    ])
+    assert dup_pagerank(lonely, n=5).empty
+
+
+def test_span_coverage_shared_run_and_interval_union():
+    """A and B share a 10-token run -> 3 duplicated 8-windows whose
+    UNION covers exactly 10 positions (not 24); C is unique -> 0."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.dedup import dup_span_coverage
+
+    run = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"          # 10 shared tokens
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": run + " ua ub uc ud ue uf"},   # 16 toks
+        {"doc_id": 1, "text": "va vb vc vd ve vf " + run},   # 16 toks
+        {"doc_id": 2, "text": " ".join(f"w{i}" for i in range(16))},
+    ])
+    out = dup_span_coverage(docs, window=8)
+    rows = {int(r.doc_id): r for r in out.itertuples()}
+    for d in (0, 1):
+        assert rows[d].n_tokens == 16
+        assert rows[d].dup_windows == 3          # starts 0,1,2 of the run
+        assert rows[d].covered_tokens == 10      # interval union, not 3*8
+        assert rows[d].coverage_e6 == 625_000
+    assert rows[2].dup_windows == 0 and rows[2].covered_tokens == 0
+    assert rows[2].coverage_e6 == 0
+
+
+def test_span_coverage_exact_dups_and_short_docs():
+    """Exact dups cover fully (1e6); a within-doc-only repeat is NOT
+    cross-doc duplicated; docs shorter than the window emit a row with
+    zero windows."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.dedup import dup_span_coverage
+
+    text = " ".join(f"t{i}" for i in range(12))
+    rep8 = " ".join(f"r{i}" for i in range(8))
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": text},
+        {"doc_id": 1, "text": text},                          # exact dup
+        {"doc_id": 2, "text": rep8 + " zz " + rep8},          # self-repeat only
+        {"doc_id": 3, "text": "s1 s2 s3"},                    # < window
+    ])
+    out = dup_span_coverage(docs, window=8)
+    rows = {int(r.doc_id): r for r in out.itertuples()}
+    assert rows[0].coverage_e6 == rows[1].coverage_e6 == 1_000_000
+    assert rows[2].dup_windows == 0 and rows[2].coverage_e6 == 0
+    assert rows[3].n_tokens == 3 and rows[3].dup_windows == 0
+    assert len(out) == 4
