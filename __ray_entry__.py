@@ -446,6 +446,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # covered by an 8-token window shared verbatim with another
         # doc (Lee et al. 2022 cross-doc window form)
         "q_span_coverage": lambda sf: dedup.dup_span_coverage(docs(sf), window=8),
+        # the corrective twin: rebuild every doc with its duplicated
+        # 8-token spans removed; cleaned text attested by md5 (only
+        # the digest rides the result)
+        "q_trim_spans": lambda sf: dedup.trim_dup_spans(docs(sf), window=8),
         # asymmetric containment |A∩B|/min(|A|,|B|) — catches short
         # docs embedded in long ones that Jaccard dilutes
         "q_ngram_containment": lambda sf: dedup.ngram_containment_pairs(docs(sf), n=5),
@@ -777,6 +781,41 @@ SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
 FROM toks t
 LEFT JOIN dwin dw ON dw.doc_id = t.doc_id
 LEFT JOIN cnt c ON c.doc_id = t.doc_id
+"""
+
+
+def _trim_spans_sql(window: int = 8) -> str:
+    """Mirror of ``dedup.trim_dup_spans``: same window/dup-set CTEs as
+    the coverage oracle, then keep = positions NOT covered, cleaned
+    text = kept tokens re-joined in position order, attested by md5 —
+    the digest (not the string) is what both sides compare."""
+    w = int(window)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS ts FROM documents),
+win AS (SELECT doc_id, u.i AS s,
+               CAST(concat('0x', substr(md5(
+                   array_to_string(ts[u.i : u.i + {w - 1}], ' ')), 1, 16))
+                    AS UBIGINT) AS wh
+        FROM toks CROSS JOIN LATERAL
+             unnest(range(1, greatest(len(ts) - {w - 2}, 1))) AS u(i)),
+dupw AS (SELECT wh FROM win GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT w.doc_id, g.p
+        FROM win w JOIN dupw USING (wh)
+        CROSS JOIN LATERAL unnest(range(w.s, w.s + {w})) AS g(p)),
+pos AS (SELECT doc_id, u.p AS p, ts[u.p] AS tk
+        FROM toks CROSS JOIN LATERAL unnest(range(1, len(ts) + 1)) AS u(p)),
+keep AS (SELECT pos.doc_id, pos.p, pos.tk
+         FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+         WHERE cov.p IS NULL),
+cleaned AS (SELECT doc_id, count(*) AS kept,
+                   array_to_string(list(tk ORDER BY p), ' ') AS txt
+            FROM keep GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cl.kept, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(t.ts) - coalesce(cl.kept, 0) AS BIGINT) AS removed_tokens,
+       md5(coalesce(cl.txt, '')) AS cleaned_md5
+FROM toks t LEFT JOIN cleaned cl ON cl.doc_id = t.doc_id
 """
 
 
@@ -2320,6 +2359,9 @@ FROM deg LEFT JOIN tcnt ON tcnt.doc_id = deg.doc_id
         # DISTINCT lateral position expansion = the engine's interval
         # union
         "q_span_coverage": _span_coverage_sql(window=8),
+        # span-trim mirror: kept = positions outside the covered set,
+        # cleaned md5 over the order-preserving rejoin
+        "q_trim_spans": _trim_spans_sql(window=8),
         # containment mirror: same pair CTE, min-size denominator in
         # the pure-integer fixed-point form
         "q_ngram_containment": f"""

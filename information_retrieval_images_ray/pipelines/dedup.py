@@ -1327,13 +1327,15 @@ def dup_pagerank(
     contract: k synchronous rounds, Malewicz et al. Pregel-style), not
     convergence-tested — the operator is a deterministic transform.
 
-    Scale shape: the edge list stays a Dataset; each round is ONE
-    tagged-union groupby join (ranks keyed to edge sources — the Q3
-    hash-join shape, no broadcast of the corpus-sized rank table) plus
-    ONE groupby-sum of the contributions. Driver sees only the final
-    (node, rank) table, which is |near-dup docs|-sized, not
-    corpus-sized. Returns (doc_id, degree, pagerank_pp12) sorted by
-    doc_id; ranks are parts-per-10^12 of the total mass.
+    Scale shape: the SPARSE near-dup pair list lands on the driver
+    once to derive degrees (the same seam ``dup_components`` names —
+    at billion-edge scale both the degree count and the edge build
+    become one more keyed exchange); the iteration itself then runs
+    over an edge Dataset — each round is ONE tagged-union groupby join
+    (ranks keyed to edge sources, the Q3 hash-join shape, no broadcast
+    of the rank table) plus ONE groupby-sum of the contributions.
+    Returns (doc_id, degree, pagerank_pp12) sorted by doc_id; ranks
+    are parts-per-10^12 of the total mass.
     """
     pairs = ngram_jaccard_pairs(ds, n=n, threshold=threshold,
                                 tokenizer=tokenizer, max_group=max_group)
@@ -1403,6 +1405,40 @@ def dup_pagerank(
             .astype("int64")[["doc_id", "degree", "pagerank_pp12"]])
 
 
+def _dup_window_set(ds: ray.data.Dataset, w: int, tok) -> np.ndarray:
+    """Pass 1 shared by ``dup_span_coverage`` / ``trim_dup_spans``:
+    the sorted int64 array of ``w``-token window hashes carried by
+    >= 2 distinct docs. Window hashes ride bit-reinterpreted as int64
+    (top-bit u64 values overflow Arrow's int64 inference and would
+    fall back to pickled-object blocks in the groupby exchange); the
+    value never reaches any output, only membership matters. The
+    returned set is bounded by SHARED content, so it broadcasts
+    (ray.put by the caller; the Bloom seam beyond ~50M entries, as in
+    the dedup build)."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids, whs = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ts = tok(text or "")
+            if len(ts) < w:
+                continue
+            hs = {md5_u64(" ".join(ts[i:i + w])) for i in range(len(ts) - w + 1)}
+            ids.extend([did] * len(hs))
+            whs.extend(hs)
+        wh64 = np.fromiter(whs, np.uint64, len(whs)).view(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "wh": pa.array(wh64)})
+
+    counts = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("wh").aggregate(Count(alias_name="n_docs"))
+        .filter(expr="n_docs >= 2")
+        .to_pandas()
+    )
+    return (np.sort(counts["wh"].to_numpy(np.int64))
+            if len(counts) else np.empty(0, np.int64))
+
+
 def dup_span_coverage(
     ds: ray.data.Dataset,
     window: int = 8,
@@ -1441,33 +1477,7 @@ def dup_span_coverage(
 
     tok = get_tokenizer(tokenizer)
     w = int(window)
-
-    def emit(batch: pa.Table) -> pa.Table:
-        # window hashes ride bit-reinterpreted as int64 (top-bit u64
-        # values overflow Arrow's int64 inference and would fall back
-        # to pickled-object blocks in the groupby exchange); the value
-        # never reaches the output, only membership matters
-        ids, whs = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            ts = tok(text or "")
-            if len(ts) < w:
-                continue
-            hs = {md5_u64(" ".join(ts[i:i + w])) for i in range(len(ts) - w + 1)}
-            ids.extend([did] * len(hs))
-            whs.extend(hs)
-        wh64 = np.fromiter(whs, np.uint64, len(whs)).view(np.int64)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "wh": pa.array(wh64)})
-
-    counts = (
-        ds.map_batches(emit, batch_format="pyarrow")
-        .groupby("wh").aggregate(Count(alias_name="n_docs"))
-        .filter(expr="n_docs >= 2")
-        .to_pandas()
-    )
-    dup = (np.sort(counts["wh"].to_numpy(np.int64))
-           if len(counts) else np.empty(0, np.int64))
-    dup_ref = ray.put(dup)
+    dup_ref = ray.put(_dup_window_set(ds, w, tok))
 
     def cover(batch: pa.Table) -> pa.Table:
         dset = ray.get(dup_ref)
@@ -1513,3 +1523,82 @@ def dup_span_coverage(
                              ["doc_id", "n_tokens", "dup_windows",
                               "covered_tokens", "coverage_e6"]})
     return (out.sort_values("doc_id").reset_index(drop=True).astype("int64"))
+
+
+def trim_dup_spans(
+    ds: ray.data.Dataset,
+    window: int = 8,
+    tokenizer: str = "simple",
+) -> pd.DataFrame:
+    """The corrective twin of ``dup_span_coverage`` — Lee et al.
+    2022's actual dedup action: rebuild each doc's token stream with
+    every position that falls inside a cross-doc-duplicated
+    ``window``-token span REMOVED, keeping the surviving tokens in
+    their original order. Doc-level dedup drops whole docs;
+    span-level TRIMMING salvages the unique remainder of
+    partially-boilerplate docs (the higher-recall form used on web
+    crawl text before training).
+
+    Same two-pass scale shape as the coverage measurement (shared
+    pass-1 dup-window set, ``_dup_window_set``); pass 2 additionally
+    re-joins the kept tokens and attests the cleaned text with an md5
+    so the transform is verifiable end-to-end without shipping the
+    cleaned strings anywhere (only the digest reaches the result —
+    the cleaned corpus itself would be written to parquet at scale).
+    Returns one row per doc: (doc_id, n_tokens, kept_tokens,
+    removed_tokens, cleaned_md5) sorted by doc_id; docs shorter than
+    the window (or with no duplicated spans) keep everything and
+    attest their normalized (space-rejoined) token stream.
+    """
+    import ray
+
+    tok = get_tokenizer(tokenizer)
+    w = int(window)
+    dup_ref = ray.put(_dup_window_set(ds, w, tok))
+
+    def trim(batch: pa.Table) -> pa.Table:
+        dset = ray.get(dup_ref)
+        ids, ntoks, kept, removed, digests = [], [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ts = tok(text or "")
+            nt = len(ts)
+            ids.append(did)
+            ntoks.append(nt)
+            if nt < w or not len(dset):
+                covered = np.zeros(nt, bool)
+            else:
+                whs = np.fromiter(
+                    (md5_u64(" ".join(ts[i:i + w])) for i in range(nt - w + 1)),
+                    np.uint64, nt - w + 1).view(np.int64)
+                mask = dset[np.minimum(np.searchsorted(dset, whs),
+                                       len(dset) - 1)] == whs
+                starts = np.nonzero(mask)[0]
+                diff = np.zeros(nt + 1, np.int64)
+                np.add.at(diff, starts, 1)
+                np.add.at(diff, starts + w, -1)
+                covered = np.cumsum(diff[:nt]) > 0
+            keep = [t for t, c in zip(ts, covered) if not c]
+            kept.append(len(keep))
+            removed.append(int(covered.sum()))
+            digests.append(hashlib.md5(" ".join(keep).encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(ntoks, pa.int64()),
+            "kept_tokens": pa.array(kept, pa.int64()),
+            "removed_tokens": pa.array(removed, pa.int64()),
+            "cleaned_md5": pa.array(digests, pa.string()),
+        })
+
+    out = ds.map_batches(trim, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "n_tokens": pd.Series(dtype="int64"),
+            "kept_tokens": pd.Series(dtype="int64"),
+            "removed_tokens": pd.Series(dtype="int64"),
+            "cleaned_md5": pd.Series(dtype="object"),
+        })
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_tokens", "kept_tokens", "removed_tokens"):
+        out[c] = out[c].astype("int64")
+    return out

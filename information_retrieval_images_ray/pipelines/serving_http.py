@@ -90,6 +90,14 @@ import pandas as pd
 from .query import hydrate_hits
 from .serving import ShardedQueryService
 
+# request-body keys /search and /msearch pass through to search()
+_SEARCH_PARAM_KEYS = (
+    "must", "should", "must_not", "max_edits", "prefix_len",
+    "max_expansions", "window", "max_terms", "exclude_doc", "offset",
+    "snippet", "snippet_window", "fb_docs", "fb_terms", "beta",
+    "explain", "search_after", "collapse_field",
+)
+
 
 def _best_window_tokens(
     tokens: list[str], qterms: set[str], window: int,
@@ -234,21 +242,21 @@ class IndexHTTPServer:
                                 bool(req.get("hydrate", True)),
                                 lang=req.get("lang"),
                                 mode=str(req.get("mode", "bm25")),
-                                **{kk: req[kk] for kk in (
-                                    "must", "should", "must_not",
-                                    "max_edits", "prefix_len",
-                                    "max_expansions", "window",
-                                    "max_terms", "exclude_doc", "offset",
-                                    "snippet", "snippet_window",
-                                    "fb_docs", "fb_terms", "beta",
-                                    "explain", "search_after",
-                                    "collapse_field",
-                                ) if kk in req},
+                                **{kk: req[kk] for kk in _SEARCH_PARAM_KEYS
+                                   if kk in req},
                             ))
                         except ValueError as e:  # bad mode / bad param
                             self._json(400, {"error": str(e)})
                         except FileNotFoundError as e:  # no sidecar
                             self._json(409, {"error": str(e)})
+                    elif self.path == "/msearch":
+                        try:
+                            self._json(200, {
+                                "responses": outer.msearch(
+                                    req.get("searches", []))
+                            })
+                        except ValueError as e:  # malformed batch
+                            self._json(400, {"error": str(e)})
                     elif self.path == "/facets":
                         out = outer.facets(
                             req.get("query", ""),
@@ -476,6 +484,72 @@ class IndexHTTPServer:
                 window=int(params.get("snippet_window", 8)),
             )
         return rows
+
+    def msearch(self, searches: list[dict]) -> list:
+        """Elasticsearch-style ``_msearch``: N search bodies in one
+        POST, one response list per body (order preserved). A
+        HOMOGENEOUS plain-bm25 batch — every body default-mode with
+        the same ``limit``/``lang``/``hydrate`` and no paging /
+        explain / snippet extras — rides ONE pooled ``topk`` call: all
+        qids share a single df exchange and a single scatter-gather
+        across the shard actors, and hydration is ONE doc-id-pruned
+        read for the whole batch (the round-trip amortization that is
+        the point of msearch). Anything else falls back to per-body
+        ``search`` dispatch with per-body error isolation (a bad mode
+        in body 3 yields ``{"error": ...}`` at index 3, not a failed
+        batch — the ES contract)."""
+        if not isinstance(searches, list) or not searches:
+            raise ValueError("msearch needs a non-empty 'searches' list")
+
+        def plain(s: dict) -> bool:
+            return (str(s.get("mode", "bm25")) == "bm25"
+                    and not s.get("search_after")
+                    and not int(s.get("offset", 0))
+                    and not s.get("explain") and not s.get("snippet"))
+
+        ks = {int(s.get("limit", 10)) for s in searches}
+        langs = {s.get("lang") for s in searches}
+        hyds = {bool(s.get("hydrate", True)) for s in searches}
+        if (all(plain(s) for s in searches)
+                and len(ks) == 1 and len(langs) == 1 and len(hyds) == 1):
+            with self._lock:
+                self._sync_tombstones()
+                svc = self.service
+            lang = next(iter(langs))
+            hits = svc.topk(
+                [{"qid": i, "query": str(s.get("query", ""))}
+                 for i, s in enumerate(searches)],
+                k=next(iter(ks)),
+                doc_filter=("lang", lang) if lang else None,
+            )
+            per: list[list[dict]] = [[] for _ in searches]
+            for h in hits:
+                per[int(h["qid"])].append({
+                    "rank": h["rank"], "doc_id": int(h["doc_id"]),
+                    "score": h["score"],
+                })
+            if next(iter(hyds)):
+                all_ids = sorted({r["doc_id"] for rows in per for r in rows})
+                if all_ids:
+                    meta = {m["doc_id"]: m for m in self._hydrate(all_ids)}
+                    for rows in per:
+                        for r in rows:
+                            for key, val in meta.get(r["doc_id"], {}).items():
+                                if key not in r:
+                                    r[key] = val
+            return per
+        out: list = []
+        for s in searches:
+            try:
+                out.append(self.search(
+                    s.get("query", ""), int(s.get("limit", 10)),
+                    bool(s.get("hydrate", True)), lang=s.get("lang"),
+                    mode=str(s.get("mode", "bm25")),
+                    **{kk: s[kk] for kk in _SEARCH_PARAM_KEYS if kk in s},
+                ))
+            except (ValueError, FileNotFoundError) as e:
+                out.append({"error": str(e)})
+        return out
 
     def _snippet_terms(self, mode: str, query: str, params: dict) -> set[str]:
         """The literal term set a highlighter can mark for this mode —

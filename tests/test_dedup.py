@@ -504,3 +504,50 @@ def test_span_coverage_exact_dups_and_short_docs():
     assert rows[2].dup_windows == 0 and rows[2].coverage_e6 == 0
     assert rows[3].n_tokens == 3 and rows[3].dup_windows == 0
     assert len(out) == 4
+
+
+def test_trim_dup_spans_removes_shared_run_only():
+    """The shared 10-token run is excised from both carriers; the
+    unique remainders survive in order, attested by md5; an untouched
+    doc attests its full normalized stream."""
+    import hashlib
+
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.dedup import trim_dup_spans
+
+    run = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    uniq2 = " ".join(f"w{i}" for i in range(16))
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": run + " ua ub uc ud ue uf"},
+        {"doc_id": 1, "text": "va vb vc vd ve vf " + run},
+        {"doc_id": 2, "text": uniq2},
+    ])
+    out = trim_dup_spans(docs, window=8)
+    rows = {int(r.doc_id): r for r in out.itertuples()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows[0].kept_tokens == 6 and rows[0].removed_tokens == 10
+    assert rows[0].cleaned_md5 == md5("ua ub uc ud ue uf")
+    assert rows[1].cleaned_md5 == md5("va vb vc vd ve vf")
+    assert rows[2].removed_tokens == 0 and rows[2].cleaned_md5 == md5(uniq2)
+
+
+def test_trim_dup_spans_full_removal_and_short_doc():
+    import hashlib
+
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.dedup import trim_dup_spans
+
+    text = " ".join(f"t{i}" for i in range(12))
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": text},
+        {"doc_id": 1, "text": text},          # exact dup: fully excised
+        {"doc_id": 2, "text": "s1 s2 s3"},    # < window: untouched
+    ])
+    out = trim_dup_spans(docs, window=8)
+    rows = {int(r.doc_id): r for r in out.itertuples()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows[0].kept_tokens == 0 and rows[0].cleaned_md5 == md5("")
+    assert rows[1].cleaned_md5 == md5("")
+    assert rows[2].kept_tokens == 3 and rows[2].cleaned_md5 == md5("s1 s2 s3")

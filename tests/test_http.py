@@ -867,3 +867,49 @@ def test_search_explain_breakdown(server):
             "query": "alp", "mode": "prefix", "limit": 3, "explain": True,
         })
     assert ei.value.code == 400
+
+
+def test_msearch_fast_path_matches_per_query_search(server):
+    """A homogeneous plain-bm25 batch takes the single pooled topk
+    call; each response list must equal the per-query /search result
+    exactly (ranks, scores, hydrated fields)."""
+    srv, idx = server
+    queries = ["alpha dup", "bravo", "charlie echo", "zzznohit"]
+    status, out = _req(srv.port, "/msearch", {
+        "searches": [{"query": q, "limit": 5} for q in queries]
+    })
+    assert status == 200
+    responses = out["responses"]
+    assert len(responses) == len(queries)
+    for q, got in zip(queries, responses):
+        _, want = _req(srv.port, "/search", {"query": q, "limit": 5})
+        assert got == want
+
+
+def test_msearch_mixed_modes_and_error_isolation(server):
+    """Heterogeneous batch falls back to per-body dispatch; a bad mode
+    in the middle yields an error OBJECT at that index while its
+    neighbors still return hits (the ES _msearch contract)."""
+    srv, idx = server
+    status, out = _req(srv.port, "/msearch", {"searches": [
+        {"query": "alpha", "limit": 3},
+        {"query": "alpha", "mode": "definitely_not_a_mode"},
+        {"query": "alp", "mode": "prefix", "limit": 3},
+    ]})
+    assert status == 200
+    r = out["responses"]
+    assert isinstance(r[0], list) and r[0]
+    assert isinstance(r[1], dict) and "error" in r[1]
+    assert isinstance(r[2], list) and r[2]
+    _, want = _req(srv.port, "/search",
+                   {"query": "alp", "mode": "prefix", "limit": 3})
+    assert r[2] == want
+
+
+def test_msearch_empty_batch_rejected(server):
+    srv, idx = server
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(srv.port, "/msearch", {"searches": []})
+    assert ei.value.code == 400
