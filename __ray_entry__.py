@@ -462,6 +462,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Heaps-law vocabulary growth curve in doc_id order
         "q_vocab_growth": lambda sf: analysis.vocab_growth(docs(sf), bucket=50),
         "q_minhash_neardup": lambda sf: dedup.minhash_near_dups(docs(sf), threshold=0.5),
+        # incremental near-dup GATE: hash-split train docs become a
+        # persisted MinHash store; test docs arrive as the new crawl
+        # batch and are vetted cross-side against it (build_minhash_
+        # store -> check_against_store end-to-end)
+        "q_minhash_gate": lambda sf: dedup.minhash_gate_on_split(docs(sf)),
         "q_simhash_neardup": lambda sf: dedup.simhash_near_dups(docs(sf), max_hamming=3),
         # eval-set decontamination: train docs sharing a 5-gram with
         # any test doc under the deterministic hash split
@@ -1375,6 +1380,71 @@ est AS (SELECT c.doc_a, c.doc_b,
         JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
         GROUP BY 1, 2)
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(FLOOR(j * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+FROM est WHERE j >= 0.5
+"""
+
+
+def _minhash_gate_sql(train: int = 80, val: int = 10) -> str:
+    """Mirror of ``dedup.minhash_gate_on_split(threshold=0.5)``: the
+    md5(doc_id)%100 split assigns sides (store < train, new batch
+    >= train+val, val docs absent from both), signatures are the same
+    HUGEINT-wrap minhash as _minhash_sql, candidates are CROSS-SIDE
+    band collisions only, the hot-bucket cap counts the bucket's
+    gate-side membership (val docs never enter a bucket), and the
+    agreement estimate is identical."""
+    from information_retrieval_images_ray.pipelines.dedup import (
+        _MERSENNE,
+        MinHashStage,
+    )
+
+    st = MinHashStage(num_perm=64, shingle_n=3)
+    perms = ", ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(st.a, st.b))
+    )
+    p = int(_MERSENNE)
+    w = 1 << 64
+    cut = train + val
+    return f"""
+WITH perms(i, a, b) AS (VALUES {perms}),
+split AS (SELECT doc_id,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                AS UBIGINT) % 100 AS bkt
+          FROM documents),
+members AS (SELECT doc_id,
+             CASE WHEN bkt < {train} THEN 0
+                  WHEN bkt >= {cut} THEN 1 END AS is_new
+            FROM split WHERE bkt < {train} OR bkt >= {cut}),
+toks AS (SELECT d.doc_id, {TOK_SQL} AS ts
+         FROM documents d JOIN members m ON m.doc_id = d.doc_id),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ts[u.i : u.i + 2], ' ') AS s
+       FROM toks CROSS JOIN LATERAL unnest(range(1, greatest(len(ts) - 1, 1))) AS u(i)),
+xh AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) % {p} AS x
+       FROM sh),
+sigj AS (SELECT doc_id, p.i AS perm,
+          min(CAST(((CAST(p.a AS HUGEINT) * x) % {w} + p.b) % {w} % {p} AS UBIGINT)) AS v
+         FROM xh CROSS JOIN perms p GROUP BY 1, 2),
+sig AS (SELECT m.doc_id, p.i AS perm, coalesce(s.v, CAST({p} AS UBIGINT)) AS v
+        FROM members m CROSS JOIN perms p
+        LEFT JOIN sigj s ON s.doc_id = m.doc_id AND s.perm = p.i),
+bands AS (SELECT s.doc_id, perm // 4 AS band_id, m.is_new,
+                 list(v ORDER BY perm) AS chunk
+          FROM sig s JOIN members m ON m.doc_id = s.doc_id
+          GROUP BY 1, 2, 3),
+elig AS (SELECT band_id, chunk FROM bands GROUP BY 1, 2 HAVING count(*) <= 1024),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS matched_doc
+         FROM bands a
+         JOIN bands b ON a.band_id = b.band_id AND a.chunk = b.chunk
+              AND a.is_new = 1 AND b.is_new = 0
+         JOIN elig e ON e.band_id = a.band_id AND e.chunk = a.chunk),
+est AS (SELECT c.doc_id, c.matched_doc,
+               avg(CASE WHEN sa.v = sb.v THEN 1.0 ELSE 0.0 END) AS j
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_id
+        JOIN sig sb ON sb.doc_id = c.matched_doc AND sb.perm = sa.perm
+        GROUP BY 1, 2)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(matched_doc AS BIGINT) AS matched_doc,
        CAST(FLOOR(j * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
 FROM est WHERE j >= 0.5
 """
@@ -2294,6 +2364,7 @@ SELECT md5(text) AS content_md5, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
 FROM documents GROUP BY 1
 """,
         "q_minhash_neardup": _minhash_sql(),
+        "q_minhash_gate": _minhash_gate_sql(),
         "q_simhash_neardup": _simhash_sql(),
         "q_ngram_jaccard": f"""
 WITH {_NGRAM_PAIR_CTE}

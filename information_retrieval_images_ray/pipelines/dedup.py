@@ -574,14 +574,26 @@ def minhash_near_dups(
     ).select_columns(["doc_a", "doc_b"])
     if pairs.count() == 0:
         return empty
+    return _estimate_pair_jaccard(pairs, sigs, threshold)
 
-    # verify: attach each side's signature with a union+groupby map-side
-    # join (one hash exchange per side, keyed by the doc id), then a
-    # vectorized agreement fraction inside the second group. The same
-    # tagged-union join shape extend_index uses for its content
-    # anti-join — NOT Dataset.join, whose 2.49 hash-shuffle aggregators
-    # flakily resolve keys against a sibling operator's schema when
-    # several hash exchanges share one session.
+
+def _estimate_pair_jaccard(
+    pairs: ray.data.Dataset, sigs: ray.data.Dataset, threshold: float
+) -> pd.DataFrame:
+    """Signature-agreement Jaccard over candidate (doc_a, doc_b) pairs
+    — shared by ``minhash_near_dups`` and ``check_against_store``.
+
+    Attaches each side's signature with a union+groupby map-side join
+    (one hash exchange per side, keyed by the doc id), then a
+    vectorized agreement fraction inside the second group. The same
+    tagged-union join shape extend_index uses for its content
+    anti-join — NOT Dataset.join, whose 2.49 hash-shuffle aggregators
+    flakily resolve keys against a sibling operator's schema when
+    several hash exchanges share one session. ``sigs`` must cover
+    every id on either side of ``pairs`` (doc_id, packed-binary sig).
+    Returns (doc_a, doc_b, jaccard_e6) for estimates >= threshold,
+    sorted."""
+
     def tag_pairs(b: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -659,7 +671,10 @@ def minhash_near_dups(
         .to_pandas()
     )
     if out.empty:
-        return empty
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "jaccard_e6": pd.Series(dtype="int64")}
+        )
     return (
         out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype("int64")
     )
@@ -1602,3 +1617,267 @@ def trim_dup_spans(
     for c in ("doc_id", "n_tokens", "kept_tokens", "removed_tokens"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup gate: persisted MinHash store + check-batch
+
+
+def _pack_sigs(sig_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """list<u64> signature -> fixed-width packed binary (8*num_perm
+    bytes, little-endian) — the join- and parquet-friendly form."""
+
+    def to_bin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sig": pa.array(
+                [np.asarray(s, dtype=np.uint64).tobytes()
+                 for s in batch["signature"].to_pylist()],
+                pa.binary(),
+            ),
+        })
+
+    return sig_ds.map_batches(to_bin, batch_format="pyarrow")
+
+
+def _band_rows_from_packed(bands: int, rows_per_band: int):
+    """Batch fn: packed signatures -> thin (band_id, band_hash, doc_id)
+    rows — the only thing that rides the bucket exchange."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bid, bh, did = [], [], []
+        for doc, raw in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
+            sig = np.frombuffer(raw, dtype=np.uint64)
+            for b in range(bands):
+                chunk = tuple(
+                    int(v) for v in sig[b * rows_per_band : (b + 1) * rows_per_band]
+                )
+                bid.append(b)
+                bh.append(stable_u64(repr(chunk)))
+                did.append(doc)
+        return pa.table({
+            "band_id": pa.array(bid, pa.int32()),
+            "band_hash": pa.array(bh, pa.uint64()),
+            "doc_id": pa.array(did, pa.int64()),
+        })
+
+    return fn
+
+
+def build_minhash_store(
+    ds: ray.data.Dataset,
+    store_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    tokenizer: str = "simple",
+) -> dict:
+    """Persist a corpus's MinHash state as the INCREMENTAL near-dup
+    gate's reference side: ``signatures/`` (doc_id, packed sig) and
+    ``bands/`` (band_id, band_hash, doc_id) parquet, plus a meta.json
+    pinning the sketch parameters. New crawl batches are then vetted
+    with ``check_against_store`` WITHOUT recomputing anything for the
+    already-ingested corpus — the standard intake topology (dedup
+    against what you already have, not within-batch only), impossible
+    with the in-session ``minhash_near_dups`` alone.
+
+    Band rows are sorted by (band_id, band_hash) before the write so
+    a bucket's rows co-locate in row groups (the same
+    sort-before-hive-write rule the IVF layout uses); at 10^12 docs
+    the bands table is the join side that stays on disk, streamed
+    per-bucket, never driver-resident."""
+    os.makedirs(store_dir, exist_ok=True)
+    sig_dir = os.path.join(store_dir, "signatures")
+    band_dir = os.path.join(store_dir, "bands")
+    sigs = _pack_sigs(
+        minhash_signatures(ds, num_perm, shingle_n, tokenizer)
+    ).materialize()
+    sigs.write_parquet(sig_dir)
+    rows_per_band = num_perm // bands
+    (sigs.map_batches(_band_rows_from_packed(bands, rows_per_band),
+                      batch_format="pyarrow")
+         .sort(["band_id", "band_hash"])
+         .write_parquet(band_dir))
+    n_docs = sigs.count()
+    meta = {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n,
+            "tokenizer": tokenizer, "n_docs": int(n_docs)}
+    import json as _json
+    tmp = os.path.join(store_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, os.path.join(store_dir, "meta.json"))
+    return meta
+
+
+def extend_minhash_store(ds: ray.data.Dataset, store_dir: str) -> dict:
+    """Append a new batch's signatures + band rows to an existing
+    store (same sketch parameters, read from meta.json). Caller
+    contract: the batch's doc_ids are disjoint from the store's (the
+    intake pipeline assigns fresh ids); typically called for the docs
+    that SURVIVED ``check_against_store``."""
+    import glob as _glob
+    import json as _json
+
+    with open(os.path.join(store_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    sigs = _pack_sigs(minhash_signatures(
+        ds, meta["num_perm"], meta["shingle_n"], meta["tokenizer"]
+    )).materialize()
+    n_new = sigs.count()
+    if n_new:
+        sigs.write_parquet(os.path.join(store_dir, "signatures"))
+        rows_per_band = meta["num_perm"] // meta["bands"]
+        (sigs.map_batches(
+            _band_rows_from_packed(meta["bands"], rows_per_band),
+            batch_format="pyarrow")
+            .sort(["band_id", "band_hash"])
+            .write_parquet(os.path.join(store_dir, "bands")))
+    meta["n_docs"] = int(meta["n_docs"]) + int(n_new)
+    tmp = os.path.join(store_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, os.path.join(store_dir, "meta.json"))
+    return meta
+
+
+def check_against_store(
+    ds: ray.data.Dataset,
+    store_dir: str,
+    threshold: float = 0.5,
+    max_group: int | None = DEFAULT_MAX_GROUP,
+) -> pd.DataFrame:
+    """The crawl-intake near-dup GATE: which docs of a NEW batch are
+    near-duplicates of anything ALREADY IN the persisted store. Only
+    cross-side (new x stored) pairs are emitted — within-batch dup
+    detection is ``minhash_near_dups``'s job, and stored-vs-stored
+    was settled when those docs were admitted.
+
+    Shape: the new batch's band rows (thin) union the store's band
+    rows (streamed off parquet, never driver-resident); one
+    (band_id, band_hash) groupby emits new x stored candidates with
+    the module-wide hot-bucket cap (sentinel-logged); candidates
+    dedup via a pair groupby; verification is the shared
+    signature-agreement join (``_estimate_pair_jaccard``) over the
+    union of both sides' signature tables. Returns
+    (doc_id, matched_doc, jaccard_e6) — doc_id from the NEW batch,
+    matched_doc from the store — sorted.
+    """
+    import json as _json
+
+    import pyarrow.compute as pc
+
+    with open(os.path.join(store_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    rows_per_band = meta["num_perm"] // meta["bands"]
+
+    new_sigs = _pack_sigs(minhash_signatures(
+        ds, meta["num_perm"], meta["shingle_n"], meta["tokenizer"]
+    )).materialize()
+    new_bands = new_sigs.map_batches(
+        _band_rows_from_packed(meta["bands"], rows_per_band),
+        batch_format="pyarrow",
+    )
+
+    def tag(is_new: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "is_new", pa.array(np.full(b.num_rows, is_new, np.int8)))
+        return fn
+
+    store_bands = ray.data.read_parquet(os.path.join(store_dir, "bands"))
+    all_bands = new_bands.map_batches(tag(1), batch_format="pyarrow").union(
+        store_bands.map_batches(tag(0), batch_format="pyarrow"))
+
+    def emit_cross(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(np.int64)
+        tags = g["is_new"].to_numpy()
+        new_ids = np.unique(ids[tags == 1])
+        old_ids = np.unique(ids[tags == 0])
+        if len(new_ids) == 0 or len(old_ids) == 0:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        if max_group is not None and len(new_ids) + len(old_ids) > max_group:
+            return pd.DataFrame({"doc_a": [-1], "doc_b": [-1]}).astype("int64")
+        return pd.DataFrame({
+            "doc_a": np.repeat(new_ids, len(old_ids)),
+            "doc_b": np.tile(old_ids, len(new_ids)),
+        })
+
+    cand = (
+        all_bands.groupby(["band_id", "band_hash"])
+        .map_groups(emit_cross, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_buckets"))
+        .materialize()
+    )
+
+    def only(pred):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pred(b["doc_a"]))
+        return fn
+
+    n_dropped = cand.map_batches(
+        only(lambda c: pc.less(c, 0)), batch_format="pyarrow").count()
+    if n_dropped:
+        print(f"[check_against_store] {n_dropped} hot band buckets over "
+              f"max_group={max_group} dropped from verification")
+
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"),
+         "matched_doc": pd.Series(dtype="int64"),
+         "jaccard_e6": pd.Series(dtype="int64")}
+    )
+    pairs = cand.map_batches(
+        only(lambda c: pc.greater_equal(c, 0)), batch_format="pyarrow"
+    ).select_columns(["doc_a", "doc_b"])
+    if pairs.count() == 0:
+        return empty
+    store_sigs = ray.data.read_parquet(os.path.join(store_dir, "signatures"))
+    sigs = new_sigs.union(store_sigs)
+    out = _estimate_pair_jaccard(pairs, sigs, threshold)
+    if out.empty:
+        return empty
+    return (
+        out.rename(columns={"doc_a": "doc_id", "doc_b": "matched_doc"})
+        .sort_values(["doc_id", "matched_doc"]).reset_index(drop=True)
+    )
+
+
+def minhash_gate_on_split(
+    ds: ray.data.Dataset,
+    train: int = 80,
+    val: int = 10,
+    threshold: float = 0.5,
+    store_dir: str | None = None,
+) -> pd.DataFrame:
+    """Driver-checkable end-to-end exercise of the incremental gate:
+    the deterministic hash split (md5(doc_id) % 100 — the same
+    assignment as analysis.split_summary / decontaminate) plays the
+    roles: TRAIN docs (< train) are ingested into a fresh persisted
+    store, TEST docs (>= train+val) arrive as the new crawl batch, and
+    the returned frame is exactly ``check_against_store``'s verdict —
+    which new docs near-duplicate something already ingested. Val docs
+    touch neither side (they cannot leak into the gate). The SQL
+    oracle mirrors the full chain: split, signatures (HUGEINT wrap
+    included), cross-side band collisions, hot cap, agreement
+    estimate."""
+    import shutil
+    import tempfile
+
+    cut = train + val
+
+    def side(lo: int, hi: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keep = [lo <= md5_u64(str(d)) % 100 < hi
+                    for d in batch["doc_id"].to_pylist()]
+            return batch.filter(pa.array(keep, pa.bool_()))
+        return fn
+
+    store_docs = ds.map_batches(side(0, train), batch_format="pyarrow")
+    new_docs = ds.map_batches(side(cut, 101), batch_format="pyarrow")
+    tmp = store_dir or tempfile.mkdtemp(prefix="mh_store_", dir="/tmp")
+    try:
+        build_minhash_store(store_docs, tmp)
+        return check_against_store(new_docs, tmp, threshold=threshold)
+    finally:
+        if store_dir is None:
+            shutil.rmtree(tmp, ignore_errors=True)

@@ -551,3 +551,84 @@ def test_trim_dup_spans_full_removal_and_short_doc():
     assert rows[0].kept_tokens == 0 and rows[0].cleaned_md5 == md5("")
     assert rows[1].cleaned_md5 == md5("")
     assert rows[2].kept_tokens == 3 and rows[2].cleaned_md5 == md5("s1 s2 s3")
+
+
+def test_minhash_store_gate_lifecycle(tmp_path):
+    """build -> check: a new doc near-duplicating a STORED doc is
+    flagged with its match; a within-batch-only dup pair is NOT
+    (cross-side contract); extend -> re-check: a doc duplicating the
+    newly admitted one is now flagged against it."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.dedup import (
+        build_minhash_store,
+        check_against_store,
+        extend_minhash_store,
+    )
+
+    rng = np.random.default_rng(7)
+    base = [" ".join(WORDS[j] for j in rng.integers(0, len(WORDS), 40))
+            for _ in range(10)]
+    store_docs = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(base)])
+    sd = str(tmp_path / "store")
+    meta = build_minhash_store(store_docs, sd)
+    assert meta["n_docs"] == 10
+
+    twin = base[3].split()
+    twin[2] = "zzz"                                   # near-dup of stored 3
+    batch_dup_a = " ".join(WORDS[j] for j in rng.integers(0, len(WORDS), 40))
+    new_docs = ray.data.from_items([
+        {"doc_id": 100, "text": " ".join(twin)},
+        {"doc_id": 101, "text": batch_dup_a},         # within-batch pair...
+        {"doc_id": 102, "text": batch_dup_a},         # ...must NOT be flagged
+    ])
+    out = check_against_store(new_docs, sd, threshold=0.5)
+    got = {(int(r.doc_id), int(r.matched_doc)) for r in out.itertuples()}
+    assert (100, 3) in got
+    assert not any(d in (101, 102) for d, _ in got)
+    assert all(m < 100 for _, m in got)               # matches are store-side
+
+    # admit the batch, then a doc duplicating new doc 101 is caught
+    meta2 = extend_minhash_store(new_docs, sd)
+    assert meta2["n_docs"] == 13
+    probe = ray.data.from_items([{"doc_id": 200, "text": batch_dup_a}])
+    out2 = check_against_store(probe, sd, threshold=0.5)
+    got2 = {(int(r.doc_id), int(r.matched_doc)) for r in out2.itertuples()}
+    assert (200, 101) in got2 and (200, 102) in got2
+
+
+def test_minhash_gate_matches_in_session_pairs(tmp_path):
+    """The gate's verdicts on (new x stored) must agree with the
+    in-session minhash_near_dups run over the union corpus, restricted
+    to cross-side pairs — one truth, two topologies."""
+    import ray.data
+
+    from information_retrieval_images_ray.pipelines.dedup import (
+        build_minhash_store,
+        check_against_store,
+        minhash_near_dups,
+    )
+
+    rng = np.random.default_rng(11)
+    texts = [" ".join(WORDS[j] for j in rng.integers(0, len(WORDS), 40))
+             for _ in range(8)]
+    near = texts[2].split(); near[5] = "qqq"
+    near2 = texts[6].split(); near2[0] = "rrr"
+    store_rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    new_rows = [{"doc_id": 50, "text": " ".join(near)},
+                {"doc_id": 51, "text": " ".join(near2)},
+                {"doc_id": 52, "text": "one two three four five six seven"}]
+    sd = str(tmp_path / "store")
+    build_minhash_store(ray.data.from_items(store_rows), sd)
+    gate = check_against_store(
+        ray.data.from_items(new_rows), sd, threshold=0.5)
+
+    union = minhash_near_dups(
+        ray.data.from_items(store_rows + new_rows), threshold=0.5)
+    cross = {(int(b), int(a), int(j)) for a, b, j in
+             zip(union["doc_a"], union["doc_b"], union["jaccard_e6"])
+             if a < 50 <= b}
+    got = {(int(r.doc_id), int(r.matched_doc), int(r.jaccard_e6))
+           for r in gate.itertuples()}
+    assert got == cross
