@@ -273,6 +273,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # proximity: all terms within a token window (minimal-cover
         # sweep over the sidecar's position lists), BM25-ranked
         "q_proximity_search": lambda sf: flagship.run_proximity_queries(sf, k=10),
+        # ordered span-near (Lucene span_near in_order=true): terms in
+        # QUERY ORDER within a token window, greedy ordered-chain
+        # verify over the sidecar's position lists, BM25-ranked
+        "q_span_near": lambda sf: flagship.run_spannear_queries(sf, k=10),
         # boolean clauses: must AND / should OR / must_not exclusion,
         # ranked by BM25 over the distinct (must + should) terms present
         "q_boolean_search": lambda sf: flagship.run_boolean_queries(sf, k=10),
@@ -355,6 +359,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # registers (integer-exact oracle) + estimate vs exact
         "q_hll_registers": lambda sf: analysis.hll_registers(docs(sf)),
         "q_hll_distinct": lambda sf: analysis.hll_distinct(docs(sf)),
+        # grouped cardinality (the ES cardinality sub-aggregation):
+        # one 64-register HLL per lang, merged by a
+        # groupby((lang, bucket)).max exchange of thin register rows
+        "q_hll_by_lang": lambda sf: analysis.hll_by_group(docs(sf), key="lang"),
         # count-min sketch: the ADD-mergeable heavy-hitter counterpart
         # of the HLL's MAX-mergeable distinct count — per-batch
         # register partials, one groupby sum, integer-exact oracle
@@ -532,6 +540,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_prf": lambda sf: evaluation.token_prf_documents(sf),
         "q_map_at_k": lambda sf: evaluation.map_at_k_documents(sf, k=10),
         "q_mrr_at_k": lambda sf: evaluation.mrr_documents(sf, k=10),
+        # recall@10: fraction of ALL conjunctive-relevant docs
+        # retrieved in the page (the metric a top-k page can't max out
+        # when the relevant set is deeper than k)
+        "q_recall_at_k": lambda sf: evaluation.recall_documents(sf, k=10),
         "q_overlap_topk": lambda sf: evaluation.overlap_documents(sf, k=10),
         "q_ndcg_at_k": lambda sf: evaluation.ndcg_at_k_documents(sf, k=10),
         # -- relational shapes (J1-J4, G1-G7, T1-T2, §2.9 windows) -----------
@@ -564,6 +576,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed percentiles via a (type, cents) histogram
         # combiner — one bounded exchange, no sort, no sketch
         "q_event_percentiles": lambda sf: streaming.event_value_percentiles(sf),
+        # broadcast banded RANGE JOIN: events x small tier table on
+        # lo <= value < hi — sorted-edge searchsorted inside
+        # map_batches + per-batch count partials, never a shuffle join
+        "q_value_tiers": lambda sf: relational.value_tier_counts(sf),
         "q_distinct_langs": lambda sf: relational.distinct_langs(sf),
         # grouped top-k (QUALIFY shape): k longest docs per lang,
         # per-batch combiner so the exchange moves k rows per batch
@@ -1091,6 +1107,125 @@ ranked AS (SELECT p.qid, p.doc_id, sc.score,
                                      ORDER BY sc.score DESC, p.doc_id) AS rnk
            FROM prox p JOIN scored sc ON sc.qid = p.qid AND sc.doc_id = p.doc_id)
 {_ft_select(k)}
+"""
+
+
+def _spannear_sql(k: int = 10) -> str:
+    """Ordered span-near oracle: a doc matches a qid iff occurrences
+    p0 < p1 < ... < p_{n-1} of the query terms IN QUERY ORDER exist
+    with p_{n-1} - p0 <= window; matches rank by the BM25 sum over the
+    DISTINCT query terms. The per-qid joins carry the strict ordering
+    chain — the only difference from the proximity oracle."""
+    from information_retrieval_images_ray.functions.tokenizer import tokenize_simple
+    from information_retrieval_images_ray.pipelines.flagship import SPANNEAR_QUERIES
+
+    sq_vals, parts = [], []
+    for q in SPANNEAR_QUERIES:
+        ordered = tokenize_simple(q["terms"])  # order preserved
+        for t in sorted(set(ordered)):
+            sq_vals.append(f"({q['qid']}, '{t}')")
+        aliases = [f"p{i}" for i in range(len(ordered))]
+        joins = " ".join(
+            f"JOIN pos {a} ON {a}.doc_id = p0.doc_id" for a in aliases[1:]
+        )
+        conds = " AND ".join(
+            f"{a}.term = '{t}'" for a, t in zip(aliases, ordered)
+        )
+        chain = " AND ".join(
+            f"{aliases[i]}.i < {aliases[i + 1]}.i"
+            for i in range(len(aliases) - 1)
+        )
+        span = (
+            f"{aliases[-1]}.i - p0.i" if len(aliases) > 1 else "0"
+        )
+        where = conds if not chain else f"{conds} AND {chain}"
+        parts.append(
+            f"SELECT {q['qid']} AS qid, p0.doc_id AS doc_id FROM pos p0 {joins} "
+            f"WHERE {where} AND {span} <= {q['window']} GROUP BY 2"
+        )
+    return f"""
+WITH sq(qid, term) AS (VALUES {", ".join(sq_vals)}),
+{_FT_BASE_CTE},
+toksl AS (SELECT doc_id, {TOK_SQL} AS ts FROM docs),
+pos AS (SELECT doc_id, u.i AS i, ts[u.i] AS term
+        FROM toksl CROSS JOIN LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
+near AS ({" UNION ALL ".join(parts)}),
+{_FT_SCORE_TAIL},
+ranked AS (SELECT p.qid, p.doc_id, sc.score,
+                  row_number() OVER (PARTITION BY p.qid
+                                     ORDER BY sc.score DESC, p.doc_id) AS rnk
+           FROM near p JOIN scored sc ON sc.qid = p.qid AND sc.doc_id = p.doc_id)
+{_ft_select(k)}
+"""
+
+
+def _recall_sql() -> str:
+    """Recall@10: fraction of the conjunctive-relevant set retrieved
+    in the top-10 page (same relevance CTEs as MAP/MRR)."""
+    return f"""
+WITH {_bm25_cte_body()},
+nq AS (SELECT qid, count(DISTINCT term) AS nt FROM queries GROUP BY 1),
+relc AS (SELECT q.qid, tf.doc_id, count(DISTINCT tf.term) AS c
+         FROM queries q JOIN tf ON tf.term = q.term GROUP BY 1, 2),
+rel AS (SELECT relc.qid, relc.doc_id FROM relc JOIN nq ON nq.qid = relc.qid
+        WHERE relc.c = nq.nt),
+rc AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY 1),
+hits AS (SELECT qid, doc_id FROM ranked WHERE rnk <= 10),
+hc AS (SELECT h.qid, count(*) AS n_hit
+       FROM hits h JOIN rel r ON r.qid = h.qid AND r.doc_id = h.doc_id
+       GROUP BY 1),
+allq AS (SELECT DISTINCT qid FROM queries)
+SELECT CAST(allq.qid AS BIGINT) AS qid,
+       CAST(coalesce(rc.n_rel, 0) AS BIGINT) AS n_rel,
+       CAST(coalesce(hc.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(FLOOR((CASE WHEN coalesce(rc.n_rel, 0) = 0 THEN 0.0
+                   ELSE coalesce(hc.n_hit, 0) * 1.0 / rc.n_rel END)
+                  * 1000000 + 0.5) AS BIGINT) AS recall_e6
+FROM allq LEFT JOIN rc ON rc.qid = allq.qid
+LEFT JOIN hc ON hc.qid = allq.qid
+"""
+
+
+def _value_tiers_sql() -> str:
+    """Range-join oracle: events joined to the frozen tier bands on
+    lo <= cents < hi (cents = floor(value*100+0.5), the engine's
+    integer conversion), counted per (event_type, tier)."""
+    from information_retrieval_images_ray.pipelines.relational import VALUE_TIERS
+
+    vals = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in VALUE_TIERS)
+    return f"""
+WITH tiers(tier, lo, hi) AS (VALUES {vals}),
+e AS (SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+SELECT e.event_type, t.tier, CAST(count(*) AS BIGINT) AS n
+FROM e JOIN tiers t ON e.cents >= t.lo AND e.cents < t.hi
+GROUP BY 1, 2
+"""
+
+
+_HLL_BY_LANG_SQL = f"""
+WITH terms AS (SELECT DISTINCT lang, unnest({TOK_SQL}) AS term FROM documents),
+h AS (SELECT lang, CAST(concat('0x', substr(md5(term), 1, 16)) AS UBIGINT) AS hv
+      FROM terms),
+p AS (SELECT lang, hv >> 58 AS bucket,
+             hv & ((1::UBIGINT << 58) - 1) AS rest FROM h),
+reg AS (SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+               max(CASE WHEN rest = 0 THEN 59
+                        ELSE 58 - length(bin(rest)) + 1 END) AS reg
+        FROM p GROUP BY 1, 2),
+s AS (SELECT lang, count(*) AS nb,
+             sum(CAST(1::BIGINT << (63 - reg) AS HUGEINT)) AS s_obs
+      FROM reg GROUP BY 1),
+tot AS (SELECT lang, nb,
+               s_obs + CAST(64 - nb AS HUGEINT)
+                       * CAST(9223372036854775808 AS HUGEINT) AS s_int
+        FROM s),
+ex AS (SELECT lang, count(*) AS exact FROM terms GROUP BY 1)
+SELECT tot.lang, CAST(nb AS BIGINT) AS n_buckets_hit,
+       CAST(FLOOR(0.709 * 64 * 64 * 9223372036854775808.0
+                  / CAST(s_int AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS est_e6,
+       CAST(ex.exact AS BIGINT) AS exact_distinct
+FROM tot JOIN ex ON ex.lang = tot.lang
 """
 
 
@@ -2125,6 +2260,7 @@ SELECT min(doc_id) AS doc_id, text FROM (
         # positional phrase must agree with the text-verify phrase path
         "q_phrase_positional": _phrase_sql(n_tokens=2),
         "q_proximity_search": _proximity_sql(),
+        "q_span_near": _spannear_sql(),
         "q_boolean_search": _boolean_sql(),
         "q_prefix_search": _prefix_sql(),
         "q_fuzzy_search": _fuzzy_sql(),
@@ -2162,6 +2298,7 @@ FROM ranked WHERE rnk BETWEEN 11 AND 20
         "q_bm25_explain": _explain_sql(top_docs=3),
         "q_map_at_k": _map_at_k_sql(),
         "q_mrr_at_k": _mrr_sql(),
+        "q_recall_at_k": _recall_sql(),
         "q_overlap_topk": _overlap_topk_sql(),
         "q_ndcg_at_k": _ndcg_sql(),
         "q_token_prf": _token_prf_sql(),
@@ -2258,6 +2395,7 @@ SELECT CAST((n // 10) * 10 AS BIGINT) AS bucket_lo,
 FROM dl GROUP BY 1
 """,
         "q_hll_registers": _HLL_REG_SQL,
+        "q_hll_by_lang": _HLL_BY_LANG_SQL,
         "q_cms_registers": _cms_reg_sql(),
         "q_cms_heavy_hitters": _cms_hh_sql(),
         "q_bpe_pair_counts": _bpe_pairs_sql(),
@@ -2862,6 +3000,7 @@ FROM c
 """,
         # values are 2-decimal, so cents-rounding commutes with the
         # discrete quantile (both sides pick an actual data value)
+        "q_value_tiers": _value_tiers_sql(),
         "q_event_percentiles": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
        CAST(FLOOR(quantile_disc(value, 0.5)  * 100 + 0.5) AS BIGINT) AS p50_cents,

@@ -1015,6 +1015,93 @@ def hll_distinct(ds: ray.data.Dataset, tokenizer: str = "simple") -> pd.DataFram
     ).astype("int64")
 
 
+def hll_by_group(
+    ds: ray.data.Dataset, key: str = "lang", tokenizer: str = "simple"
+) -> pd.DataFrame:
+    """Per-group HLL distinct-term estimates — the grouped form of
+    ``hll_distinct`` (the ES `cardinality` sub-aggregation shape): one
+    64-register sketch per ``key`` value, merged with a
+    groupby((key, bucket)).max exchange of at most groups x 64 thin
+    rows. The per-batch combiner sketches its DISTINCT (group, term)
+    pairs locally, so the raw token stream never leaves the map task;
+    the exact per-group count (for the report column) rides the same
+    distinct-pair exchange the vocabulary stats already pay. Returns
+    one row per group: (key, n_buckets_hit, est_e6, exact_distinct),
+    integer-exact so the oracle divides the same two numbers."""
+    from ..functions.hashing import md5_u64
+
+    tok = _tok_fn(tokenizer)
+    mask = (1 << _HLL_REST_BITS) - 1
+
+    def reg_fn(batch: pa.Table) -> pa.Table:
+        regs: dict[tuple[str, int], int] = {}
+        for g, text in zip(batch[key].to_pylist(), batch["text"].to_pylist()):
+            g = g or ""
+            for t in set(tok(text or "")):
+                h = md5_u64(t)
+                b = h >> _HLL_REST_BITS
+                rest = h & mask
+                rho = (
+                    _HLL_REST_BITS + 1
+                    if rest == 0
+                    else _HLL_REST_BITS - rest.bit_length() + 1
+                )
+                if rho > regs.get((g, b), 0):
+                    regs[(g, b)] = rho
+        keys = sorted(regs)
+        return pa.table(
+            {
+                key: pa.array([k[0] for k in keys], pa.string()),
+                "bucket": pa.array([k[1] for k in keys], pa.int64()),
+                "reg": pa.array([regs[k] for k in keys], pa.int64()),
+            }
+        )
+
+    regs = (
+        ds.map_batches(reg_fn, batch_format="pyarrow")
+        .groupby([key, "bucket"])
+        .aggregate(Max("reg", alias_name="reg"))
+        .to_pandas()
+    )
+
+    def pair_fn(batch: pa.Table) -> pa.Table:
+        pairs = {
+            (g or "", t)
+            for g, text in zip(batch[key].to_pylist(), batch["text"].to_pylist())
+            for t in set(tok(text or ""))
+        }
+        keys = sorted(pairs)
+        return pa.table(
+            {
+                key: pa.array([p[0] for p in keys], pa.string()),
+                "term": pa.array([p[1] for p in keys], pa.string()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(pair_fn, batch_format="pyarrow")
+        .groupby([key, "term"])
+        .aggregate(Count())
+        .groupby(key)
+        .aggregate(Count())
+        .to_pandas()
+        .rename(columns={"count()": "exact_distinct"})
+    )
+
+    rows = []
+    for g, grp in regs.groupby(key):
+        s_int = sum(1 << (63 - int(r)) for r in grp["reg"])
+        s_int += (HLL_M - len(grp)) * (1 << 63)
+        est = _HLL_ALPHA * HLL_M * HLL_M * 9223372036854775808.0 / float(s_int)
+        rows.append((g, len(grp), int(e6(np.array([est]))[0])))
+    out = pd.DataFrame(rows, columns=[key, "n_buckets_hit", "est_e6"])
+    out = out.merge(exact, on=key, how="left")
+    out["exact_distinct"] = out["exact_distinct"].fillna(0).astype("int64")
+    for c in ("n_buckets_hit", "est_e6"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(key).reset_index(drop=True)
+
+
 # Frozen autocomplete battery (shared with the SQL VALUES list).
 AUTOCOMPLETE_BATTERY = ("s", "st", "co", "w", "qu", "zz")
 

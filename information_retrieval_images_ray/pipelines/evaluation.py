@@ -343,3 +343,35 @@ def mrr_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
     hits = run_bm25_queries(sf_dir, k=k)[["qid", "rank", "doc_id"]]
     rel = conjunctive_matches(_docs(sf_dir), qterms)
     return mrr_at_k(hits, rel, [q["qid"] for q in BM25_QUERIES], k)
+
+
+def recall_at_k(
+    hits: pd.DataFrame, rel: pd.DataFrame, qids: list[int], k: int = 10
+) -> pd.DataFrame:
+    """Per-query (qid, n_rel, n_hit, recall_e6): the fraction of ALL
+    relevant docs retrieved in the top-k — the fifth standard rank
+    metric, the one a top-k page can never max out when the relevant
+    set is deeper than k (recall ceiling = k / n_rel). Relevance = the
+    same conjunctive-containment oracle as MAP/MRR/nDCG; queries with
+    an empty relevant set report recall 0."""
+    rel_sets = {qid: set(g["doc_id"]) for qid, g in rel.groupby("qid")}
+    rows = []
+    for qid in qids:
+        rset = rel_sets.get(qid, set())
+        ranked = hits[(hits["qid"] == qid) & (hits["rank"] <= k)]
+        n_hit = sum(1 for d in ranked["doc_id"] if d in rset)
+        r = n_hit / len(rset) if rset else 0.0
+        rows.append((qid, len(rset), n_hit, int(e6(np.array([r]))[0])))
+    return pd.DataFrame(
+        rows, columns=["qid", "n_rel", "n_hit", "recall_e6"]
+    ).astype("int64")
+
+
+def recall_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """(qid, n_rel, n_hit, recall_e6) for the frozen BM25 battery."""
+    from .flagship import BM25_QUERIES, run_bm25_queries
+
+    qterms = _query_term_sets(BM25_QUERIES, "simple")
+    hits = run_bm25_queries(sf_dir, k=k)[["qid", "rank", "doc_id"]]
+    rel = conjunctive_matches(_docs(sf_dir), qterms)
+    return recall_at_k(hits, rel, [q["qid"] for q in BM25_QUERIES], k)

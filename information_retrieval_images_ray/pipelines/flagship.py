@@ -1161,6 +1161,55 @@ def run_snippet_queries(
     return out.sort_values(["qid", "doc_id"]).reset_index(drop=True)
 
 
+# Frozen span-near battery: terms must appear IN THE GIVEN ORDER within
+# a `window`-token span (last chosen position - first <= window) — the
+# Lucene span_near(in_order=true) shape, stricter than proximity. Term
+# ORDER is semantic here, so entries are not sorted. qid 5 reverses
+# qid 1's order (different answers prove orderedness); qid 6 is df-0.
+SPANNEAR_QUERIES = [
+    {"qid": 1, "terms": "hash join", "window": 4},
+    {"qid": 2, "terms": "merge sort", "window": 3},
+    {"qid": 3, "terms": "fast scan filter", "window": 7},
+    {"qid": 4, "terms": "window group", "window": 6},
+    {"qid": 5, "terms": "join hash", "window": 4},
+    {"qid": 6, "terms": "zebra scan", "window": 5},
+]
+
+
+def run_spannear_queries(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Ordered span-near search over the positional sidecar: candidates
+    are the conjunctive (all-terms) docs from the postings, verification
+    is the greedy ordered-chain sweep (`verify_spannear_positions`),
+    ranking is the BM25 sum over the DISTINCT query terms (all present
+    by construction) — the same rank surface as phrase/proximity."""
+    import numpy as np
+
+    from ..functions.tokenizer import tokenize_simple
+    from ..sources.corpus_source import read_documents_table
+    from .positions import build_positions_sidecar, verify_spannear_positions
+
+    index_dir = build_documents_index(sf_dir)
+    build_positions_sidecar(read_documents_table(sf_dir), index_dir)
+    reader = IndexReader(index_dir)
+
+    frames = []
+    for q in SPANNEAR_QUERIES:
+        ordered = tokenize_simple(q["terms"])  # order preserved
+        terms = sorted(set(ordered))
+        ids, scores = reader.conjunctive_scores(terms)
+        if not len(ids):
+            continue
+        hit = verify_spannear_positions(index_dir, ordered, q["window"], ids)
+        frame = _rank_verified(q["qid"], ids, scores, hit, k)
+        if frame is not None:
+            frames.append(frame)
+    if not frames:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ["qid", "rank", "doc_id", "score_e6"]}
+        )
+    return pd.concat(frames, ignore_index=True).astype("int64")
+
+
 # Frozen proximity battery: ALL terms within a `window`-token span
 # (unordered; span = max chosen position - min chosen position).
 # 2-term pairs, one 3-term entry, one df-0 term (qid 6 -> empty).

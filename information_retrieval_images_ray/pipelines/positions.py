@@ -432,6 +432,49 @@ def verify_proximity_positions(
     return np.sort(out["doc_id"].to_numpy(np.int64))
 
 
+def verify_spannear_positions(
+    index_dir: str, terms: list[str], window: int, cand_ids: np.ndarray,
+) -> np.ndarray:
+    """Doc ids among ``cand_ids`` containing the terms IN QUERY ORDER
+    within a ``window``-token span: exists p0 < p1 < ... < p_{n-1}
+    (each p_i an occurrence of terms[i]) with p_{n-1} - p0 <= window.
+    The ordered counterpart of ``verify_proximity_positions`` — the
+    Lucene span_near(in_order=true) shape. Greedy minimal chain per
+    start: from each occurrence of the first term, take the SMALLEST
+    strictly-greater position of each subsequent term (searchsorted);
+    a chain ending within the window from the tightest possible start
+    proves the span, and no chain can end earlier than the greedy one.
+    Runs as groupby(doc_id).map_groups over the pushdown-pruned
+    sidecar rows — never a corpus scan."""
+    if not len(cand_ids) or not terms:
+        return np.empty(0, np.int64)
+    ds = _read_positions(index_dir, terms, cand_ids)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        pos = {t: np.asarray(p, np.int64) for t, p in zip(g["term"], g["positions"])}
+        lists = [pos.get(t) for t in terms]
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        if any(p is None or not len(p) for p in lists):
+            return empty
+        for start in lists[0]:
+            cur = start
+            ok = True
+            for p in lists[1:]:
+                j = int(np.searchsorted(p, cur, side="right"))
+                if j >= len(p):
+                    ok = False
+                    break
+                cur = int(p[j])
+            if ok and cur - int(start) <= window:
+                return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])]})
+        return empty
+
+    out = ds.groupby("doc_id").map_groups(per_doc).to_pandas()
+    if out.empty:
+        return np.empty(0, np.int64)
+    return np.sort(out["doc_id"].to_numpy(np.int64))
+
+
 def best_window_positions(
     index_dir: str, terms: list[str], window: int, cand_ids: np.ndarray,
 ) -> pd.DataFrame:

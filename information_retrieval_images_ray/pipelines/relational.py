@@ -556,3 +556,61 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
         ["revenue_e2", "n_name"], ascending=[False, True]
     ).reset_index(drop=True)
     return out.astype({"revenue_e2": "int64"})
+
+
+# Frozen value-tier bands for the broadcast range join: [lo, hi) in
+# integer cents, contiguous and covering [0, +inf). Shared verbatim
+# with the SQL VALUES list.
+VALUE_TIERS = (
+    ("t0_micro", 0, 1_000),          # < $10
+    ("t1_small", 1_000, 5_000),      # $10-$50
+    ("t2_mid", 5_000, 20_000),       # $50-$200
+    ("t3_large", 20_000, 50_000),    # $200-$500
+    ("t4_huge", 50_000, 2**62),      # >= $500
+)
+
+
+def value_tier_counts(sf_dir: str) -> pd.DataFrame:
+    """Broadcast BANDED RANGE JOIN (the classic dimension-band lookup —
+    events joined to a small tier table on lo <= value < hi). A
+    shuffle join on an inequality predicate is the wrong physical plan
+    at any scale; the scale-correct form when one side is a handful of
+    bands is: broadcast the sorted band edges, assign each row its
+    band with one vectorized ``searchsorted`` inside ``map_batches``,
+    and pre-aggregate (event_type, tier) counts in the same pass so
+    the only exchange is the tiny per-batch partial table. Values
+    convert to integer cents first (floor(v*100+0.5)) so the band
+    predicate is bit-portable across engines.
+
+    Returns (event_type, tier, n) sorted by (event_type, tier)."""
+    edges = np.array([t[1] for t in VALUE_TIERS], np.int64)
+    names = [t[0] for t in VALUE_TIERS]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        tier_ix = np.searchsorted(edges, cents, side="right") - 1
+        et = batch["event_type"].to_pylist()
+        counts: dict[tuple[str, int], int] = {}
+        for e, t in zip(et, tier_ix):
+            if t < 0:
+                continue  # below the first band (negative values)
+            k = (e, int(t))
+            counts[k] = counts.get(k, 0) + 1
+        keys = sorted(counts)
+        return pa.table({
+            "event_type": pa.array([k[0] for k in keys], pa.string()),
+            "tier": pa.array([names[k[1]] for k in keys], pa.string()),
+            "n": pa.array([counts[k] for k in keys], pa.int64()),
+        })
+
+    out = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(fn, batch_format="pyarrow")
+        .groupby(["event_type", "tier"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "tier"]).reset_index(drop=True)

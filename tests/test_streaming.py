@@ -345,3 +345,28 @@ def test_local_supplier_volume_q5(tmp_path):
     assert got == {"JAPAN": 9000, "INDIA": 5000}
     # ordering: revenue desc
     assert out["n_name"].tolist() == ["JAPAN", "INDIA"]
+
+
+def test_value_tier_counts_range_join(tmp_path):
+    """Broadcast banded range join: band edges are inclusive-lo /
+    exclusive-hi on integer cents; counts group by (event_type, tier)."""
+    from information_retrieval_images_ray.pipelines.relational import (
+        value_tier_counts,
+    )
+
+    rows = [
+        (0, 1, 1, "view", 9.99),       # 999 cents  -> t0 (hi edge excl.)
+        (1, 2, 1, "view", 10.00),      # 1000       -> t1 (lo edge incl.)
+        (2, 3, 2, "click", 49.995),    # 5000 (round .5 up) -> t2
+        (3, 4, 2, "click", 199.99),    # 19999      -> t2
+        (4, 5, 3, "purchase", 500.0),  # 50000      -> t4
+        (5, 6, 3, "view", 0.0),        # 0          -> t0
+    ]
+    out = value_tier_counts(_events_dir(tmp_path, rows))
+    got = {(r.event_type, r.tier): int(r.n) for r in out.itertuples()}
+    assert got == {
+        ("view", "t0_micro"): 2,
+        ("view", "t1_small"): 1,
+        ("click", "t2_mid"): 2,
+        ("purchase", "t4_huge"): 1,
+    }
