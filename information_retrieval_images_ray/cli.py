@@ -247,7 +247,7 @@ def cmd_query(args) -> int:
             args.query, args.k, fb_docs=args.fb_docs,
             fb_terms=args.fb_terms, beta=args.beta, doc_filter=doc_filter,
         )
-    elif mode in ("phrase", "proximity"):
+    elif mode in ("phrase", "proximity", "span_near"):
         import os as _os
 
         import numpy as np
@@ -256,6 +256,7 @@ def cmd_query(args) -> int:
             positions_dir,
             verify_phrase_positions,
             verify_proximity_positions,
+            verify_spannear_positions,
         )
 
         if not _os.path.isdir(positions_dir(args.index)):
@@ -267,6 +268,9 @@ def cmd_query(args) -> int:
             sorted(set(toks)), doc_filter=doc_filter)
         if mode == "phrase":
             ok = set(verify_phrase_positions(args.index, toks, ids).tolist())
+        elif mode == "span_near":
+            ok = set(verify_spannear_positions(
+                args.index, toks, args.window, ids).tolist())
         else:
             ok = set(verify_proximity_positions(
                 args.index, sorted(set(toks)), args.window, ids).tolist())
@@ -290,7 +294,7 @@ def cmd_query(args) -> int:
 
         from .pipelines.serving_http import _best_window_tokens
 
-        if mode in ("bm25", "phrase", "proximity", "collapse"):
+        if mode in ("bm25", "phrase", "proximity", "span_near", "collapse"):
             qterms = set(reader.tokenize(args.query))
         elif mode == "boosted":
             from .pipelines.query import parse_boosted_query
@@ -637,7 +641,7 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("--mode", default="bm25",
                    choices=["bm25", "boolean", "prefix", "fuzzy", "wildcard",
                             "regex", "boosted", "collapse", "synonym",
-                            "more_like_this", "phrase", "proximity", "prf"])
+                            "more_like_this", "phrase", "proximity", "span_near", "prf"])
     q.add_argument("--collapse-field", dest="collapse_field", default="lang",
                    help="collapse mode: docmeta column whose groups "
                         "collapse to their best hit")

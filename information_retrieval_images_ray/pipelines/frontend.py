@@ -74,6 +74,7 @@ INDEX_HTML = """<!doctype html>
       <option value="boolean">boolean</option>
       <option value="phrase">phrase</option>
       <option value="proximity">proximity</option>
+      <option value="span_near">span_near (ordered)</option>
       <option value="prefix">prefix</option>
       <option value="fuzzy">fuzzy</option>
       <option value="wildcard">wildcard</option>

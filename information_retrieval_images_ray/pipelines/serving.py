@@ -838,6 +838,46 @@ class ShardedQueryService:
                 )
         return out
 
+    def topk_spannear(self, queries: list[dict], k: int = 10,
+                      doc_filter=None) -> list[dict]:
+        """Ordered within-window top-k (terms IN QUERY ORDER inside a
+        ``window``-token span — Lucene span_near in_order=true).
+        queries: [{"qid", "terms", "window"}]. Candidates are the
+        conjunctive docs over the DISTINCT terms (order-free);
+        verification is the greedy ordered-chain sweep, which consumes
+        the tokenized terms in their original order."""
+        import os
+
+        from .positions import positions_dir, verify_spannear_positions
+
+        if not os.path.isdir(positions_dir(self.index_dir)):
+            raise FileNotFoundError(
+                f"no positions sidecar under {self.index_dir} — "
+                "run build_positions_sidecar first"
+            )
+        ordered_lists = [self._tok(q["terms"]) for q in queries]
+        term_lists = [sorted(set(o)) for o in ordered_lists]
+        cands = self._conjunctive(queries, term_lists, doc_filter)
+        out = []
+        for q, ordered, terms in zip(queries, ordered_lists, term_lists):
+            hits = cands.get(q["qid"], [])
+            if not terms or not hits:
+                continue
+            import numpy as np
+
+            ids = np.array([d for _, d in hits], np.int64)
+            ok = set(verify_spannear_positions(
+                self.index_dir, ordered, int(q["window"]), ids).tolist())
+            kept = sorted(
+                ((s, d) for s, d in hits if d in ok),
+                key=lambda e: (-e[0], e[1]),
+            )[:k]
+            for rank, (score, doc) in enumerate(kept, start=1):
+                out.append(
+                    {"qid": q["qid"], "rank": rank, "doc_id": doc, "score": score}
+                )
+        return out
+
     def facets(self, queries: list[dict], facet_cols: list[str],
                doc_filter=None) -> list[dict[str, dict[str, int]]]:
         """Distributed faceting: one scatter (no df exchange — presence

@@ -423,6 +423,11 @@ class IndexHTTPServer:
                 "qid": 0, "terms": query,
                 "window": int(params.get("window", 8)),
             }], k=k, doc_filter=doc_filter)
+        elif mode == "span_near":
+            hits = svc.topk_spannear([{
+                "qid": 0, "terms": query,
+                "window": int(params.get("window", 8)),
+            }], k=k, doc_filter=doc_filter)
         elif mode == "prf":
             hits = svc.topk_prf(
                 [{"qid": 0, "query": query}], k=k,
@@ -449,7 +454,7 @@ class IndexHTTPServer:
             raise ValueError(
                 f"unknown mode {mode!r}: expected bm25|boolean|prefix|"
                 "fuzzy|wildcard|regex|boosted|collapse|synonym|"
-                "more_like_this|phrase|proximity|prf"
+                "more_like_this|phrase|proximity|span_near|prf"
             )
         rows = [
             {"rank": h["rank"], "doc_id": int(h["doc_id"]), "score": h["score"],
@@ -556,7 +561,7 @@ class IndexHTTPServer:
         empty for expansion modes, whose matched terms are dictionary
         expansions the router doesn't retain per hit."""
         tok = self.service._tok
-        if mode in ("bm25", "phrase", "proximity", "collapse"):
+        if mode in ("bm25", "phrase", "proximity", "span_near", "collapse"):
             return set(tok(query))
         if mode == "boosted":
             from .query import parse_boosted_query

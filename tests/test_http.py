@@ -611,6 +611,21 @@ def test_search_mode_multiplexing(server):
         idx, ["alpha", "zebra"], 6, ids))
     assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
 
+    # ordered span-near through the same route; both orders must
+    # reproduce their own serial composition
+    from information_retrieval_images_ray.pipelines.positions import (
+        verify_spannear_positions,
+    )
+
+    for ordered in (["alpha", "zebra"], ["zebra", "alpha"]):
+        _, hits = _req(srv.port, "/search", {
+            "mode": "span_near", "query": " ".join(ordered),
+            "window": 6, "limit": 5,
+        })
+        want = serial(ordered, lambda ids: verify_spannear_positions(
+            idx, ordered, 6, ids))
+        assert [(h["doc_id"], h["score"]) for h in hits] == want
+
 
 # ---------------------------------------------------------------------------
 # server-side text embedding (/knn and /hybrid with "text")

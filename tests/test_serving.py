@@ -211,6 +211,23 @@ def test_sharded_phrase_proximity_rank_identical(served_index, num_actors):
                     served_index, toks, window, ids),
             )
             assert mine == want, ("proximity", terms_text, window)
+
+        from information_retrieval_images_ray.pipelines.positions import (
+            verify_spannear_positions,
+        )
+
+        for terms_text, window in [("get user", 4), ("user get", 4),
+                                   ("merge hash", 6)]:
+            ordered = tokenize_code(terms_text)
+            got = svc.topk_spannear(
+                [{"qid": 0, "terms": terms_text, "window": window}], k=10)
+            mine = [(r["doc_id"], r["score"]) for r in got]
+            want = serial(
+                ordered,
+                lambda ids: verify_spannear_positions(
+                    served_index, ordered, window, ids),
+            )
+            assert mine == want, ("span_near", terms_text, window)
     finally:
         svc.shutdown()
 
