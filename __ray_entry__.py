@@ -359,6 +359,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # registers (integer-exact oracle) + estimate vs exact
         "q_hll_registers": lambda sf: analysis.hll_registers(docs(sf)),
         "q_hll_distinct": lambda sf: analysis.hll_distinct(docs(sf)),
+        # per-doc Shannon entropy of the token distribution (the
+        # repetitiveness/diversity quality signal) — one shuffle-free
+        # pass, integer e12 contributions so the sum is order-free
+        "q_doc_entropy": lambda sf: analysis.doc_token_entropy(docs(sf)),
+        # per-source unigram KL divergence vs the corpus distribution
+        # (corpus-drift / domain-shift diagnostic): thin (source, term,
+        # n) exchange + broadcast totals + integer e12 contributions
+        "q_source_kl": lambda sf: analysis.source_kl_divergence(
+            ray.data.read_parquet(
+                f"{sf}/documents.parquet", columns=["source", "text"]
+            )
+        ),
         # grouped cardinality (the ES cardinality sub-aggregation):
         # one 64-register HLL per lang, merged by a
         # groupby((lang, bucket)).max exchange of thin register rows
@@ -1200,6 +1212,48 @@ e AS (SELECT event_type,
 SELECT e.event_type, t.tier, CAST(count(*) AS BIGINT) AS n
 FROM e JOIN tiers t ON e.cents >= t.lo AND e.cents < t.hi
 GROUP BY 1, 2
+"""
+
+
+_DOC_ENTROPY_SQL = f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+nt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+              count(*) AS nd FROM tf GROUP BY 1),
+con AS (SELECT tf.doc_id,
+               CAST(FLOOR((tf.c * 1.0 / nt.n) * log2(nt.n * 1.0 / tf.c)
+                          * 1000000000000 + 0.5) AS BIGINT) AS e12
+        FROM tf JOIN nt USING (doc_id)),
+s AS (SELECT doc_id, sum(e12) AS e12 FROM con GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(nt.n, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(nt.nd, 0) AS BIGINT) AS distinct_terms,
+       coalesce(CAST(FLOOR(s.e12 / 1000000.0 + 0.5) AS BIGINT),
+                0) AS entropy_e6
+FROM docs d LEFT JOIN nt ON nt.doc_id = d.doc_id
+LEFT JOIN s ON s.doc_id = d.doc_id
+"""
+
+_SOURCE_KL_SQL = f"""
+WITH tok AS (SELECT source, unnest({TOK_SQL}) AS term FROM documents),
+st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+       FROM tok GROUP BY 1, 2),
+ct AS (SELECT term, sum(n) AS nc FROM st GROUP BY 1),
+ns AS (SELECT source, sum(n) AS ns, count(*) AS n_terms
+       FROM st GROUP BY 1),
+tot AS (SELECT sum(n) AS ncorp FROM st),
+con AS (SELECT st.source,
+               CAST(FLOOR((st.n * 1.0 / ns.ns)
+                          * ln((st.n * 1.0 * tot.ncorp) / (ns.ns * ct.nc))
+                          * 1000000000000 + 0.5) AS BIGINT) AS e12
+        FROM st JOIN ns USING (source) JOIN ct USING (term)
+        CROSS JOIN tot),
+kl AS (SELECT source, sum(e12) AS e12 FROM con GROUP BY 1)
+SELECT ns.source, CAST(ns.n_terms AS BIGINT) AS n_terms,
+       CAST(ns.ns AS BIGINT) AS n_tokens,
+       CAST(FLOOR(kl.e12 / 1000000.0 + 0.5) AS BIGINT) AS kl_e6
+FROM ns JOIN kl USING (source)
 """
 
 
@@ -2396,6 +2450,8 @@ FROM dl GROUP BY 1
 """,
         "q_hll_registers": _HLL_REG_SQL,
         "q_hll_by_lang": _HLL_BY_LANG_SQL,
+        "q_doc_entropy": _DOC_ENTROPY_SQL,
+        "q_source_kl": _SOURCE_KL_SQL,
         "q_cms_registers": _cms_reg_sql(),
         "q_cms_heavy_hitters": _cms_hh_sql(),
         "q_bpe_pair_counts": _bpe_pairs_sql(),

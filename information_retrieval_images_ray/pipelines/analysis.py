@@ -1667,3 +1667,133 @@ def vocab_growth(ds: ray.data.Dataset, bucket: int = 50,
     full["up_to_doc"] = (full["bucket"] + 1) * bucket
     full["vocab_size"] = full["new_terms"].astype("int64").cumsum()
     return full[["up_to_doc", "vocab_size"]].astype("int64")
+
+
+def doc_token_entropy(ds: ray.data.Dataset, tokenizer: str = "simple") -> ray.data.Dataset:
+    """Per-doc Shannon entropy of the token distribution (bits) — the
+    repetitiveness/diversity quality signal (low-entropy docs are
+    keyword-stuffed or template spam; CCNet/Gopher-family filters use
+    it next to the repetition ratios). One shuffle-free ``map_batches``
+    pass. Bit-portability: each term's contribution
+    (tf/n)·log2(n/tf) is rounded to an INTEGER e12 fixed-point first
+    and the per-doc sum runs over those integers, so the result is
+    independent of summation order — the same trick as
+    ``bigram_lm_scores`` (float entropy sums are not associative).
+    Returns (doc_id, n_tokens, distinct_terms, entropy_e6)."""
+    tok = _tok_fn(tokenizer)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids, n_toks, n_dist, ents = [], [], [], []
+        for d, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ts = tok(text or "")
+            n = len(ts)
+            doc_ids.append(d)
+            n_toks.append(n)
+            if n == 0:
+                n_dist.append(0)
+                ents.append(0)
+                continue
+            _, counts = np.unique(np.asarray(ts, dtype=object), return_counts=True)
+            p = counts.astype(np.float64) / n
+            e12 = np.floor(p * np.log2(n / counts.astype(np.float64))
+                           * 1e12 + 0.5).astype(np.int64)
+            n_dist.append(len(counts))
+            ents.append(int(np.floor(int(e12.sum()) / 1e6 + 0.5)))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "distinct_terms": pa.array(n_dist, pa.int64()),
+                "entropy_e6": pa.array(ents, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def source_kl_divergence(
+    ds: ray.data.Dataset, key: str = "source", tokenizer: str = "simple"
+) -> pd.DataFrame:
+    """Per-source KL divergence D(P_source || P_corpus) over unigram
+    token distributions — the corpus-drift / domain-shift diagnostic
+    (which crawl sources diverge most from the corpus mix). Shape:
+
+    1. per-batch (source, term) count partials -> ONE
+       groupby((source, term)).sum exchange of thin count rows;
+    2. corpus term totals from a second small groupby over those rows
+       (never re-tokenizing), broadcast via ``ray.put`` with the
+       per-source and corpus token totals;
+    3. a map_batches pass turns each (source, term, n) row into an
+       INTEGER e12 contribution (n/N_s)·ln((n·N_c)/(N_s·n_ct)),
+       summed per source by one tiny groupby — integer sums make the
+       result order-independent (same fixed-point discipline as
+       ``bigram_lm_scores``/``doc_token_entropy``).
+
+    At web scale the corpus term-total broadcast is vocabulary-sized;
+    the documented path is top-K pruning with a residual bucket (the
+    ``bigram_lm_scores`` open-vocabulary note). Returns one row per
+    source: (source, n_terms, n_tokens, kl_e6)."""
+    tok = _tok_fn(tokenizer)
+
+    def count_fn(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for s, text in zip(batch[key].to_pylist(), batch["text"].to_pylist()):
+            s = s or ""
+            for t in tok(text or ""):
+                k = (s, t)
+                counts[k] = counts.get(k, 0) + 1
+        keys = sorted(counts)
+        return pa.table(
+            {
+                key: pa.array([k[0] for k in keys], pa.string()),
+                "term": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array([counts[k] for k in keys], pa.int64()),
+            }
+        )
+
+    st = (
+        ds.map_batches(count_fn, batch_format="pyarrow")
+        .groupby([key, "term"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    term_tot = st.groupby("term").aggregate(Sum("n", alias_name="nc")).to_pandas()
+    src_tot = st.groupby(key).aggregate(
+        Sum("n", alias_name="ns"), Count()
+    ).to_pandas().rename(columns={"count()": "n_terms"})
+    n_corpus = int(term_tot["nc"].sum())
+    ct_ref = ray.put(dict(zip(term_tot["term"], term_tot["nc"].astype(int))))
+    ns_by_src = dict(zip(src_tot[key], src_tot["ns"].astype(int)))
+    ns_ref = ray.put(ns_by_src)
+
+    def contrib_fn(batch: pa.Table) -> pa.Table:
+        ct = ray.get(ct_ref)
+        ns = ray.get(ns_ref)
+        srcs = batch[key].to_pylist()
+        terms = batch["term"].to_pylist()
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_s = np.array([ns[s] for s in srcs], np.float64)
+        n_ct = np.array([ct[t] for t in terms], np.float64)
+        e12 = np.floor(
+            (n / n_s) * np.log((n * n_corpus) / (n_s * n_ct)) * 1e12 + 0.5
+        ).astype(np.int64)
+        return pa.table({key: pa.array(srcs, pa.string()),
+                         "e12": pa.array(e12, pa.int64())})
+
+    kl = (
+        st.map_batches(contrib_fn, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("e12", alias_name="e12"))
+        .to_pandas()
+    )
+    out = src_tot.merge(kl, on=key, how="left")
+    out["e12"] = out["e12"].fillna(0).astype("int64")
+    out["kl_e6"] = np.floor(out["e12"] / 1e6 + 0.5).astype("int64")
+    out = out.rename(columns={"ns": "n_tokens"})
+    for c in ("n_terms", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[[key, "n_terms", "n_tokens", "kl_e6"]]
+        .sort_values(key)
+        .reset_index(drop=True)
+    )

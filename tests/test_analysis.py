@@ -695,3 +695,66 @@ def test_hll_by_group_grouped_sketch():
     assert int(out.loc["en", "n_buckets_hit"]) == int(
         glob["n_buckets_hit"].iloc[0]
     )
+
+
+def test_doc_token_entropy_hand_computed():
+    """Uniform doc -> log2(n) bits; single-repeated-token doc -> 0;
+    empty doc -> 0 with zero counts; 3:1 skew -> 0.811278 bits."""
+    import math
+
+    import ray
+
+    from information_retrieval_images_ray.pipelines.analysis import (
+        doc_token_entropy,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "a b c d"},        # uniform 4 -> 2.0 bits
+        {"doc_id": 1, "text": "x x x x"},        # degenerate -> 0
+        {"doc_id": 2, "text": ""},               # empty -> 0, n=0
+        {"doc_id": 3, "text": "y y y z"},        # H = .75*log2(4/3)+.25*2
+    ]
+    out = doc_token_entropy(ray.data.from_items(rows)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "entropy_e6"] == 2_000_000
+    assert out.loc[0, "n_tokens"] == 4 and out.loc[0, "distinct_terms"] == 4
+    assert out.loc[1, "entropy_e6"] == 0 and out.loc[1, "distinct_terms"] == 1
+    assert out.loc[2, "entropy_e6"] == 0 and out.loc[2, "n_tokens"] == 0
+    want = 0.75 * math.log2(4 / 3) + 0.25 * math.log2(4)
+    assert abs(out.loc[3, "entropy_e6"] - round(want * 1e6)) <= 1
+
+
+def test_source_kl_divergence_hand_computed():
+    """A source matching the corpus mix scores ~0; a divergent source
+    scores the hand-computed D(P_s || P_corpus)."""
+    import math
+
+    import ray
+
+    from information_retrieval_images_ray.pipelines.analysis import (
+        source_kl_divergence,
+    )
+
+    # corpus tokens: a x6, b x2 -> P_c = (0.75, 0.25)
+    # s1 = "a a a b": P_s1 = (0.75, 0.25) == P_c -> KL 0
+    # s2 = "a a a b": same -> the two sources ARE the corpus mix
+    rows = [
+        {"doc_id": 0, "text": "a a a b", "source": "s1"},
+        {"doc_id": 1, "text": "a a a b", "source": "s2"},
+    ]
+    out = source_kl_divergence(
+        ray.data.from_items(rows)).set_index("source")
+    assert int(out.loc["s1", "kl_e6"]) == 0
+    assert int(out.loc["s2", "kl_e6"]) == 0
+
+    # skewed: s1 all-a, s2 all-b; corpus = (0.5, 0.5) with equal sizes
+    rows = [
+        {"doc_id": 0, "text": "a a a a", "source": "s1"},
+        {"doc_id": 1, "text": "b b b b", "source": "s2"},
+    ]
+    out = source_kl_divergence(
+        ray.data.from_items(rows)).set_index("source")
+    want = round(math.log(2.0) * 1e6)   # D(delta || uniform) = ln 2
+    assert abs(int(out.loc["s1", "kl_e6"]) - want) <= 1
+    assert abs(int(out.loc["s2", "kl_e6"]) - want) <= 1
+    assert int(out.loc["s1", "n_tokens"]) == 4
+    assert int(out.loc["s1", "n_terms"]) == 1
