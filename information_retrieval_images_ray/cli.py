@@ -308,8 +308,25 @@ def cmd_query(args) -> int:
 
             t0 = set(reader.tokenize(args.query))
             qterms = t0 | {s for t in t0 for s in SYNONYMS.get(t, ())}
+        elif mode in ("prefix", "fuzzy", "wildcard", "regex"):
+            # highlight the dictionary expansions — exactly the terms
+            # that scored (same sets the search branch used above)
+            if mode == "prefix":
+                norm = (reader.tokenize(args.query) or [""])[0]
+                qterms = set(reader.expand_prefix(norm, args.max_expansions))
+            elif mode == "fuzzy":
+                norm = (reader.tokenize(args.query) or [""])[0]
+                qterms = set(reader.expand_fuzzy(
+                    norm, max_edits=args.max_edits,
+                    max_expansions=args.max_expansions))
+            elif mode == "wildcard":
+                qterms = set(reader.expand_wildcard(
+                    args.query.lower(), args.max_expansions))
+            else:
+                qterms = set(reader.expand_regex(
+                    args.query.lower(), args.max_expansions))
         else:
-            qterms = set()  # expansion modes: no literal terms to mark
+            qterms = set()  # more_like_this/prf: no retained term set
         if qterms:
             t = pads.dataset(args.snippet_corpus, format="parquet").to_table(
                 columns=["doc_id", "text"],

@@ -946,6 +946,29 @@ class ShardedQueryService:
                 by_qid[qid].append((score, doc))
         return by_qid
 
+    def expansion_terms(self, mode: str, value: str,
+                        max_expansions: int = 64, max_edits: int = 1,
+                        prefix_len: int = 1) -> list[str]:
+        """Union of the per-actor dictionary expansions for ONE query —
+        the highlight-able matched-term set for the expansion modes
+        (prefix/fuzzy/wildcard/regex). Same normalization and
+        deterministic lexicographic cap as the corresponding topk_*
+        method, so the set is exactly the terms that scored."""
+        if mode == "prefix":
+            norm = (self._tok(value) or [""])[0]
+            spec = ("prefix", norm, max_expansions)
+        elif mode == "fuzzy":
+            norm = (self._tok(value) or [""])[0]
+            spec = ("fuzzy", (norm, max_edits, prefix_len), max_expansions)
+        elif mode in ("wildcard", "regex"):
+            norm = str(value).lower()
+            spec = (mode, norm, max_expansions)
+        else:
+            raise ValueError(f"not an expansion mode: {mode!r}")
+        if not norm:
+            return []
+        return self._expand([spec], max_expansions)[0]
+
     def _expand(self, specs, max_expansions: int) -> list[list[str]]:
         """Phase 0 for the dictionary-expansion queries: ONE
         ``expand_batch`` RPC per actor carrying the whole battery's

@@ -14,10 +14,13 @@ POST /reset-db over FastAPI) re-expressed as a dependency-free stdlib
                       fixed-window highlight — same semantics as the
                       q_snippets battery (max distinct query terms in
                       the window, ties leftmost), query terms wrapped
-                      in <em></em>. Literal-term modes only (bm25,
-                      boolean, synonym, phrase, proximity); expansion
-                      modes (prefix/fuzzy/wildcard/more_like_this)
-                      return hits without snippets.
+                      in <em></em>. Literal modes mark the query
+                      terms; expansion modes (prefix/fuzzy/wildcard/
+                      regex) mark their deterministic dictionary
+                      expansions — exactly the terms that scored;
+                      more_like_this/prf return hits without snippets
+                      (their matched terms come from per-anchor
+                      docterms reads the page doesn't carry).
   GET  /doc/<doc_id>  -> the doc's metadata row (GET /get-image
                       analogue: the stored artifact for one hit)
   GET  /stats         -> index stats (the --show-db verb over HTTP)
@@ -557,9 +560,12 @@ class IndexHTTPServer:
         return out
 
     def _snippet_terms(self, mode: str, query: str, params: dict) -> set[str]:
-        """The literal term set a highlighter can mark for this mode —
-        empty for expansion modes, whose matched terms are dictionary
-        expansions the router doesn't retain per hit."""
+        """The matched-term set a highlighter can mark for this mode:
+        the literal query terms for the literal modes, the router's
+        deterministic dictionary-expansion set for the expansion modes
+        (prefix/fuzzy/wildcard/regex — exactly the terms that scored).
+        Empty only for more_like_this/prf, whose matched terms come
+        from per-anchor docterms reads the page doesn't carry."""
         tok = self.service._tok
         if mode in ("bm25", "phrase", "proximity", "span_near", "collapse"):
             return set(tok(query))
@@ -576,6 +582,13 @@ class IndexHTTPServer:
 
             toks = set(tok(query))
             return toks | {s for t in toks for s in SYNONYMS.get(t, ())}
+        if mode in ("prefix", "fuzzy", "wildcard", "regex"):
+            return set(self.service.expansion_terms(
+                mode, query,
+                max_expansions=int(params.get("max_expansions", 64)),
+                max_edits=int(params.get("max_edits", 1)),
+                prefix_len=int(params.get("prefix_len", 1)),
+            ))
         return set()
 
     def _attach_snippets(self, rows: list[dict], mode: str, query: str,

@@ -341,12 +341,22 @@ def test_query_snippet_corpus(cli_index, capsys, tmp_path):
         assert (h["snip_start"], h["n_match"]) == (start, n)
         assert "<em>" in h["snippet"]
 
-    # expansion mode: hits come back, snippets silently absent
+    # expansion mode: snippets mark the dictionary expansions — every
+    # <em>-marked token is an expand_wildcard("getuser*") term
     rc = main(["query", "getuser*", "--index", cli_index, "-k", "3",
                "--mode", "wildcard", "--snippet-corpus", corpus_pq])
     assert rc == 0
     whits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert whits and all("snippet" not in h for h in whits)
+    assert whits and all(
+        {"snippet", "snip_start", "n_match"} <= set(h) for h in whits)
+    import re as _re
+
+    exp = set(reader.expand_wildcard("getuser*", 64))
+    marked = {
+        m for h in whits
+        for m in _re.findall(r"<em>([a-z0-9]+)</em>", h["snippet"])
+    }
+    assert marked and marked <= exp
 
 
 def test_query_prf_and_explain(cli_index, capsys):

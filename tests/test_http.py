@@ -824,14 +824,35 @@ def test_search_snippet_boolean_and_synonym_terms(server):
 
 
 def test_search_snippet_expansion_modes_and_no_corpus(server, tmp_path):
-    """Expansion modes (prefix/fuzzy/wildcard) return hits WITHOUT
-    snippet fields; a server started without corpus_path 400s an
-    explicit error instead of guessing."""
+    """Expansion modes highlight their dictionary expansions — the
+    snippet marks exactly the terms that scored (every <em>-marked
+    token starts with the prefix; the window is the token-domain best
+    window over the expansion set); a server started without
+    corpus_path 400s an explicit error instead of guessing."""
     srv, idx = server
     status, hits = _req(srv.port, "/search", {
         "query": "alp", "mode": "prefix", "limit": 3, "snippet": True,
     })
     assert status == 200 and hits
+    import re as _re
+
+    from information_retrieval_images_ray.pipelines.serving import (
+        ShardedQueryService,
+    )
+
+    marked_any = False
+    for h in hits:
+        assert "snippet" in h and h["n_match"] >= 1
+        for m in _re.findall(r"<em>([a-z0-9]+)</em>", h["snippet"]):
+            assert m.startswith("alp")
+            marked_any = True
+    assert marked_any
+    # more_like_this stays snippet-less (terms come from docterms reads)
+    status, hits = _req(srv.port, "/search", {
+        "query": "alpha beta", "mode": "more_like_this", "limit": 3,
+        "snippet": True,
+    })
+    assert status == 200
     assert all("snippet" not in h for h in hits)
 
     bare = IndexHTTPServer(idx, num_actors=1, port=0).start()
