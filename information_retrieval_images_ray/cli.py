@@ -496,13 +496,16 @@ def cmd_report(args) -> int:
     and the vocabulary growth curve — as ONE JSON document (stdout, or
     --out FILE written atomically)."""
     _ensure_ray(args.num_cpus)
+    import numpy as np
     import ray.data
 
     from .pipelines.analysis import (
         corpus_stats,
+        doc_token_entropy,
         dup_rate_by_source,
         length_quartiles,
         quality_filter_rates,
+        source_kl_divergence,
         vocab_growth,
     )
 
@@ -526,6 +529,20 @@ def cmd_report(args) -> int:
             docs(base + [args.lang_col])).to_dict("records"),
         "vocab_growth": vocab_growth(
             docs(base), bucket=args.vocab_bucket).to_dict("records"),
+        # token-entropy distribution summary (repetitiveness signal):
+        # deciles of the per-doc entropy, low tail = template/spam
+        "entropy_percentiles_e6": {
+            f"p{p}": int(v) for p, v in zip(
+                (10, 50, 90),
+                np.percentile(
+                    doc_token_entropy(docs(base)).to_pandas()["entropy_e6"],
+                    [10, 50, 90], method="lower",
+                ),
+            )
+        },
+        # per-source unigram KL vs the corpus mix (domain drift)
+        "source_kl": source_kl_divergence(
+            docs(base + [args.source_col])).to_dict("records"),
     }
     payload = json.dumps(report, default=str)
     if args.out:

@@ -406,10 +406,17 @@ def test_cli_report(tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(rep) == {"corpus", "stats", "quality_rates",
-                        "dup_rate_by_source", "length_quartiles", "vocab_growth"}
+                        "dup_rate_by_source", "length_quartiles",
+                        "vocab_growth", "entropy_percentiles_e6",
+                        "source_kl"}
     dup = {r["source"]: r for r in rep["dup_rate_by_source"]}
     assert dup["s1"]["n_docs"] == 2 and dup["s1"]["n_distinct"] == 1
     assert dup["s2"]["dup_rate_e6"] == 0
+    # every doc above is all-distinct tokens -> entropy = log2(n)
+    assert rep["entropy_percentiles_e6"]["p10"] == 1_000_000   # "i j"
+    assert rep["entropy_percentiles_e6"]["p90"] == 2_000_000   # 4 tokens
+    kl = {r["source"]: r for r in rep["source_kl"]}
+    assert set(kl) == {"s1", "s2"} and kl["s1"]["kl_e6"] > 0
     out_file = str(tmp_path / "report.json")
     rc = main(["report", "--corpus", corpus, "--out", out_file])
     assert rc == 0
