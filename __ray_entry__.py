@@ -588,6 +588,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed percentiles via a (type, cents) histogram
         # combiner — one bounded exchange, no sort, no sketch
         "q_event_percentiles": lambda sf: streaming.event_value_percentiles(sf),
+        # continuous/streaming top-k (the retrieved ICDE'18/'19
+        # streaming-top-k query shape): per tumbling window the top-3
+        # users by integer-cents spend — combiner partials, one keyed
+        # exchange, per-window map_groups rank
+        "q_windowed_topk": lambda sf: streaming.windowed_topk_spenders(sf),
         # broadcast banded RANGE JOIN: events x small tier table on
         # lo <= value < hi — sorted-edge searchsorted inside
         # map_batches + per-batch count partials, never a shuffle join
@@ -3057,6 +3062,20 @@ FROM c
         # values are 2-decimal, so cents-rounding commutes with the
         # discrete quantile (both sides pick an actual data value)
         "q_value_tiers": _value_tiers_sql(),
+        "q_windowed_topk": """
+WITH e AS (SELECT epoch_us(ts) // 3600000000 AS win, user_id,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+a AS (SELECT win, user_id, sum(cents) AS spend_cents,
+             count(*) AS n_events FROM e GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY win
+                ORDER BY spend_cents DESC, user_id) AS rnk FROM a)
+SELECT CAST(win AS BIGINT) AS win, CAST(rnk AS BIGINT) AS "rank",
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(spend_cents AS BIGINT) AS spend_cents,
+       CAST(n_events AS BIGINT) AS n_events
+FROM r WHERE rnk <= 3
+""",
         "q_event_percentiles": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
        CAST(FLOOR(quantile_disc(value, 0.5)  * 100 + 0.5) AS BIGINT) AS p50_cents,

@@ -446,3 +446,65 @@ def moving_window_sums(sf_dir: str, window: int = 3) -> pd.DataFrame:
         out.sort_values(["user_id", "ts_us", "event_id"])
         .reset_index(drop=True).astype("int64")
     )
+
+
+def windowed_topk_spenders(
+    sf_dir: str, window_s: int = 3600, k: int = 3
+) -> pd.DataFrame:
+    """Continuous top-k over the event stream (the streaming-top-k
+    query shape of the retrieved ICDE'18/'19 papers — SAP / top-k
+    frequent terms on streams): per tumbling window, the ``k`` users
+    with the largest summed spend. Batch form of the standing query a
+    stream processor would maintain incrementally:
+
+    1. per-batch (win, user, cents) partials (integer cents first —
+       bit-portable ordering), ONE groupby((win, user)).sum exchange;
+    2. per-window top-k inside ``groupby(win).map_groups`` — the
+       per-group state is one window's user set, never the stream.
+
+    Ties break (spend desc, user_id asc). Returns
+    (win, rank, user_id, spend_cents, n_events)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    win_us = window_s * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.table({
+            "win": pa.array(ts // win_us, pa.int64()),
+            "user_id": batch["user_id"],
+            "cents": pa.array(cents, pa.int64()),
+            "n": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+        })
+        g = pa.TableGroupBy(t, ["win", "user_id"]).aggregate(
+            [("cents", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(["win", "user_id", "cents", "n"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "user_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["win", "user_id"])
+        .aggregate(Sum("cents", alias_name="cents"),
+                   Sum("n", alias_name="n_events"))
+        .groupby("win")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.rename(columns={"cents": "spend_cents"})
+        [["win", "rank", "user_id", "spend_cents", "n_events"]]
+        .sort_values(["win", "rank"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )

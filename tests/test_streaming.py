@@ -370,3 +370,29 @@ def test_value_tier_counts_range_join(tmp_path):
         ("click", "t2_mid"): 2,
         ("purchase", "t4_huge"): 1,
     }
+
+
+def test_windowed_topk_spenders(tmp_path):
+    """Per-window top-k by integer-cents spend: tie on spend breaks
+    user-asc, rank is dense 1..k per window, short windows keep all."""
+    H = 3_600_000_000
+    rows = [
+        (0, 0 * H + 1, 1, "view", 10.0),   # w0: u1 = 1000+500
+        (1, 0 * H + 2, 1, "view", 5.0),
+        (2, 0 * H + 3, 2, "view", 15.0),   # w0: u2 = 1500 (== u1) tie
+        (3, 0 * H + 4, 3, "view", 1.0),    # w0: u3 = 100
+        (4, 0 * H + 5, 4, "view", 0.5),    # w0: u4 = 50 -> cut at k=3
+        (5, 1 * H + 1, 7, "view", 2.0),    # w1: single user
+    ]
+    from information_retrieval_images_ray.pipelines.streaming import (
+        windowed_topk_spenders,
+    )
+
+    out = windowed_topk_spenders(_events_dir(tmp_path, rows), k=3)
+    w0 = out[out["win"] == 0]
+    assert list(w0["user_id"]) == [1, 2, 3]          # tie 1500: u1 < u2
+    assert list(w0["spend_cents"]) == [1500, 1500, 100]
+    assert list(w0["rank"]) == [1, 2, 3]
+    assert list(w0["n_events"]) == [2, 1, 1]
+    w1 = out[out["win"] == 1]
+    assert list(w1["user_id"]) == [7] and list(w1["rank"]) == [1]
