@@ -447,6 +447,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components over the near-dup pair graph (keep one
         # doc per CLUSTER, not per pair)
         "q_dup_clusters": lambda sf: dedup.dup_clusters(docs(sf), n=5),
+        # the dedup ACTION list: every doc's component label + keep=1
+        # iff it is the component's min-id canonical representative
+        "q_neardup_survivors": lambda sf: dedup.neardup_survivors(docs(sf), n=5),
         # the same components computed DISTRIBUTED: alternating
         # large-star/small-star groupby rounds over the edge set
         # (Kiveris et al. 2014) — no driver union-find
@@ -2585,6 +2588,22 @@ reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
                 SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
 SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY u
+""",
+        # the dedup action list over EVERY doc: component label (own id
+        # for singletons) + keep iff canonical (min-id) representative
+        "q_neardup_survivors": f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTE},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM common
+          UNION SELECT doc_b, doc_a FROM common),
+reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+cl AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN coalesce(cl.cluster_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
 """,
         # the distributed large-star/small-star form computes the SAME
         # components — one oracle, two execution strategies

@@ -1881,3 +1881,41 @@ def minhash_gate_on_split(
     finally:
         if store_dir is None:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def neardup_survivors(
+    ds: ray.data.Dataset,
+    n: int = 5,
+    threshold: float = 0.0,
+    tokenizer: str = "simple",
+    max_group: int | None = DEFAULT_MAX_GROUP,
+) -> pd.DataFrame:
+    """The ACTION step of near-dedup: the full per-doc keep/drop list.
+    Every doc gets its near-dup component label (its own id for
+    singletons) and ``keep = 1`` iff it is the component's canonical
+    representative (min doc_id) — the list a training-data pipeline
+    joins against the corpus to materialize the deduplicated set
+    (``q_exact_dedup`` is the content-hash analogue; this is the
+    fuzzy one). The distributed work is the pair stage; only the
+    sparse cluster frame and one thin doc_id column reach the driver.
+
+    Returns (doc_id, cluster_id, keep) for EVERY doc, sorted by
+    doc_id."""
+    clusters = dup_clusters(ds, n=n, threshold=threshold,
+                            tokenizer=tokenizer, max_group=max_group)
+    ids = (
+        ds.map_batches(
+            lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+        )
+        .to_pandas()["doc_id"]
+        .to_numpy(np.int64)
+    )
+    label = dict(zip(clusters["doc_id"].to_numpy(np.int64),
+                     clusters["cluster_id"].to_numpy(np.int64)))
+    cl = np.array([label.get(int(d), int(d)) for d in ids], np.int64)
+    out = pd.DataFrame({
+        "doc_id": ids,
+        "cluster_id": cl,
+        "keep": (ids == cl).astype(np.int64),
+    })
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")

@@ -632,3 +632,34 @@ def test_minhash_gate_matches_in_session_pairs(tmp_path):
     got = {(int(r.doc_id), int(r.matched_doc), int(r.jaccard_e6))
            for r in gate.itertuples()}
     assert got == cross
+
+
+def test_neardup_survivors_keep_list():
+    """Every doc appears exactly once; cluster members carry the
+    component min-id label with only the canonical doc kept;
+    singletons keep themselves."""
+    import ray
+
+    from information_retrieval_images_ray.pipelines.dedup import (
+        dup_clusters, neardup_survivors,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        {"doc_id": 0, "text": text},                    # cluster {0,1,2}
+        {"doc_id": 1, "text": text},
+        {"doc_id": 2, "text": text + " iota"},
+        {"doc_id": 3, "text": "one two three four five six"},   # singleton
+        {"doc_id": 4, "text": "seven eight nine ten eleven twelve"},
+    ]
+    ds = ray.data.from_items(rows)
+    out = neardup_survivors(ds, n=5).set_index("doc_id")
+    assert len(out) == 5
+    cl = dup_clusters(ds, n=5)
+    assert set(cl["doc_id"]) == {0, 1, 2}
+    assert list(out.loc[[0, 1, 2], "cluster_id"]) == [0, 0, 0]
+    assert list(out.loc[[0, 1, 2], "keep"]) == [1, 0, 0]
+    for d in (3, 4):
+        assert out.loc[d, "cluster_id"] == d and out.loc[d, "keep"] == 1
+    # the kept set is exactly one doc per component + all singletons
+    assert int(out["keep"].sum()) == 3
