@@ -1900,22 +1900,26 @@ def neardup_survivors(
     sparse cluster frame and one thin doc_id column reach the driver.
 
     Returns (doc_id, cluster_id, keep) for EVERY doc, sorted by
-    doc_id."""
+    doc_id. The per-doc assignment runs INSIDE map_batches against the
+    broadcast sparse label map (``ray.put`` once, read per task) — doc
+    ids never ride to the driver, so the keep-list streams at corpus
+    scale and can feed ``write_parquet`` directly."""
     clusters = dup_clusters(ds, n=n, threshold=threshold,
                             tokenizer=tokenizer, max_group=max_group)
-    ids = (
-        ds.map_batches(
-            lambda b: b.select(["doc_id"]), batch_format="pyarrow"
-        )
-        .to_pandas()["doc_id"]
-        .to_numpy(np.int64)
-    )
-    label = dict(zip(clusters["doc_id"].to_numpy(np.int64),
-                     clusters["cluster_id"].to_numpy(np.int64)))
-    cl = np.array([label.get(int(d), int(d)) for d in ids], np.int64)
-    out = pd.DataFrame({
-        "doc_id": ids,
-        "cluster_id": cl,
-        "keep": (ids == cl).astype(np.int64),
-    })
+    label_ref = ray.put(dict(zip(
+        clusters["doc_id"].to_numpy(np.int64),
+        clusters["cluster_id"].to_numpy(np.int64),
+    )))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        label = ray.get(label_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = np.array([label.get(int(d), int(d)) for d in ids], np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(cl, pa.int64()),
+            "keep": pa.array((ids == cl).astype(np.int64), pa.int64()),
+        })
+
+    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
