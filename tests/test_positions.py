@@ -283,3 +283,38 @@ def test_sidecar_follows_compaction(tmp_path):
                             recursive=True)
     ]
     assert 0 not in set(np.concatenate(rows).tolist())
+
+
+def test_spannear_property_vs_brute(idx):
+    """Property check of the greedy ordered-chain sweep against the
+    definitional all-chains test, over every ordered 2/3-term query
+    x window combination drawn from the planted vocabulary (the
+    sidecar is module-scoped, so this sweeps 100+ cases cheaply)."""
+    import itertools
+
+    vocab = ["red", "green", "blue", "echo", "once", "a"]
+    toks = {d["doc_id"]: d["content"].split() for d in DOCS}
+    all_ids = np.arange(len(DOCS), dtype=np.int64)
+
+    def brute(ordered, window):
+        hit = []
+        for d, ts in toks.items():
+            pos = [[i for i, x in enumerate(ts) if x == t] for t in ordered]
+            if any(not p for p in pos):
+                continue
+            for c in itertools.product(*pos):
+                if all(c[i] < c[i + 1] for i in range(len(c) - 1)) and \
+                        c[-1] - c[0] <= window:
+                    hit.append(d)
+                    break
+        return sorted(hit)
+
+    cases = list(itertools.permutations(vocab, 2))[:20] + [
+        ("red", "green", "blue"), ("blue", "green", "red"),
+        ("echo", "echo"), ("red", "a"), ("a", "a"),
+    ]
+    for ordered in cases:
+        for window in (1, 3, 6):
+            got = verify_spannear_positions(
+                idx, list(ordered), window, all_ids).tolist()
+            assert got == brute(list(ordered), window), (ordered, window)
