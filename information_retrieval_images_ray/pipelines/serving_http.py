@@ -495,68 +495,103 @@ class IndexHTTPServer:
 
     def msearch(self, searches: list[dict]) -> list:
         """Elasticsearch-style ``_msearch``: N search bodies in one
-        POST, one response list per body (order preserved). A
-        HOMOGENEOUS plain-bm25 batch — every body default-mode with
-        the same ``limit``/``lang``/``hydrate`` and no paging /
-        explain / snippet extras — rides ONE pooled ``topk`` call: all
-        qids share a single df exchange and a single scatter-gather
-        across the shard actors, and hydration is ONE doc-id-pruned
-        read for the whole batch (the round-trip amortization that is
-        the point of msearch). Anything else falls back to per-body
-        ``search`` dispatch with per-body error isolation (a bad mode
-        in body 3 yields ``{"error": ...}`` at index 3, not a failed
-        batch — the ES contract)."""
+        POST, one response list per body (order preserved). Bodies are
+        grouped by (mode, limit, lang, hydrate) and every group of the
+        POOLABLE literal modes (bm25 / boolean / synonym / boosted —
+        modes whose router entry points natively take query BATCHES)
+        with two or more members rides ONE pooled call: the group
+        shares a single df exchange and a single scatter-gather across
+        the shard actors, and hydration is ONE doc-id-pruned read per
+        group (the round-trip amortization that is the point of
+        msearch). Results are bitwise identical to per-body dispatch
+        because the df exchange is query-independent. Everything else
+        — expansion/positional/paged/explain/snippet bodies, and
+        singleton groups — falls back to per-body ``search`` with
+        per-body error isolation (a bad mode in body 3 yields
+        ``{"error": ...}`` at index 3, not a failed batch — the ES
+        contract)."""
         if not isinstance(searches, list) or not searches:
             raise ValueError("msearch needs a non-empty 'searches' list")
 
-        def plain(s: dict) -> bool:
-            return (str(s.get("mode", "bm25")) == "bm25"
-                    and not s.get("search_after")
-                    and not int(s.get("offset", 0))
-                    and not s.get("explain") and not s.get("snippet"))
+        POOLABLE = ("bm25", "boolean", "synonym", "boosted")
 
-        ks = {int(s.get("limit", 10)) for s in searches}
-        langs = {s.get("lang") for s in searches}
-        hyds = {bool(s.get("hydrate", True)) for s in searches}
-        if (all(plain(s) for s in searches)
-                and len(ks) == 1 and len(langs) == 1 and len(hyds) == 1):
-            with self._lock:
-                self._sync_tombstones()
-                svc = self.service
-            lang = next(iter(langs))
-            hits = svc.topk(
-                [{"qid": i, "query": str(s.get("query", ""))}
-                 for i, s in enumerate(searches)],
-                k=next(iter(ks)),
-                doc_filter=("lang", lang) if lang else None,
-            )
-            per: list[list[dict]] = [[] for _ in searches]
+        def group_key(s: dict):
+            mode = str(s.get("mode", "bm25"))
+            if (mode in POOLABLE and not s.get("search_after")
+                    and not int(s.get("offset", 0))
+                    and not s.get("explain") and not s.get("snippet")):
+                return (mode, int(s.get("limit", 10)), s.get("lang"),
+                        bool(s.get("hydrate", True)))
+            return None
+
+        groups: dict[tuple, list[int]] = {}
+        for i, s in enumerate(searches):
+            gk = group_key(s)
+            if gk is not None:
+                groups.setdefault(gk, []).append(i)
+
+        out: list = [None] * len(searches)
+        pooled: set[int] = set()
+        with self._lock:
+            self._sync_tombstones()
+            svc = self.service
+        for (mode, k, lang, hyd), ixs in groups.items():
+            if len(ixs) < 2:
+                continue  # singleton: per-body path below costs the same
+            doc_filter = ("lang", lang) if lang else None
+            try:
+                if mode == "bm25":
+                    hits = svc.topk(
+                        [{"qid": i, "query": str(searches[i].get("query", ""))}
+                         for i in ixs], k=k, doc_filter=doc_filter)
+                elif mode == "boolean":
+                    hits = svc.topk_boolean(
+                        [{"qid": i,
+                          "must": str(searches[i].get("must", "")),
+                          "should": str(searches[i].get("should", "")),
+                          "must_not": str(searches[i].get("must_not", ""))}
+                         for i in ixs], k=k, doc_filter=doc_filter)
+                elif mode == "synonym":
+                    hits = svc.topk_synonym(
+                        [{"qid": i, "query": str(searches[i].get("query", ""))}
+                         for i in ixs], k=k, doc_filter=doc_filter)
+                else:
+                    hits = svc.topk_boosted(
+                        [{"qid": i, "query": str(searches[i].get("query", ""))}
+                         for i in ixs], k=k, doc_filter=doc_filter)
+            except (ValueError, FileNotFoundError):
+                continue  # leave the group to per-body error isolation
+            per: dict[int, list[dict]] = {i: [] for i in ixs}
             for h in hits:
                 per[int(h["qid"])].append({
                     "rank": h["rank"], "doc_id": int(h["doc_id"]),
                     "score": h["score"],
                 })
-            if next(iter(hyds)):
-                all_ids = sorted({r["doc_id"] for rows in per for r in rows})
+            if hyd:
+                all_ids = sorted(
+                    {r["doc_id"] for rows in per.values() for r in rows})
                 if all_ids:
                     meta = {m["doc_id"]: m for m in self._hydrate(all_ids)}
-                    for rows in per:
+                    for rows in per.values():
                         for r in rows:
                             for key, val in meta.get(r["doc_id"], {}).items():
                                 if key not in r:
                                     r[key] = val
-            return per
-        out: list = []
-        for s in searches:
+            for i in ixs:
+                out[i] = per[i]
+                pooled.add(i)
+        for i, s in enumerate(searches):
+            if i in pooled:
+                continue
             try:
-                out.append(self.search(
+                out[i] = self.search(
                     s.get("query", ""), int(s.get("limit", 10)),
                     bool(s.get("hydrate", True)), lang=s.get("lang"),
                     mode=str(s.get("mode", "bm25")),
                     **{kk: s[kk] for kk in _SEARCH_PARAM_KEYS if kk in s},
-                ))
+                )
             except (ValueError, FileNotFoundError) as e:
-                out.append({"error": str(e)})
+                out[i] = {"error": str(e)}
         return out
 
     def _snippet_terms(self, mode: str, query: str, params: dict) -> set[str]:

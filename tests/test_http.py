@@ -942,6 +942,33 @@ def test_msearch_mixed_modes_and_error_isolation(server):
     assert r[2] == want
 
 
+def test_msearch_pooled_groups_match_per_body(server):
+    """Same-mode subgroups of a MIXED batch ride pooled calls and must
+    be bitwise-identical to per-body /search — bm25 x2 and boolean x2
+    pooled, a prefix body and a bad mode interleaved and isolated."""
+    srv, idx = server
+    bodies = [
+        {"query": "alpha delta", "limit": 4},                      # bm25 pool
+        {"mode": "boolean", "must": "alpha", "should": "delta",
+         "must_not": "", "limit": 4},                              # bool pool
+        {"query": "nosuchterm", "mode": "definitely_not_a_mode"},  # error
+        {"query": "zebra", "limit": 4},                            # bm25 pool
+        {"mode": "boolean", "must": "zebra", "should": "",
+         "must_not": "alpha", "limit": 4},                         # bool pool
+        {"query": "alp", "mode": "prefix", "limit": 4},            # fallback
+    ]
+    status, out = _req(srv.port, "/msearch", {"searches": bodies})
+    assert status == 200
+    r = out["responses"]
+    assert isinstance(r[2], dict) and "error" in r[2]
+    for i in (0, 1, 3, 4, 5):
+        body = dict(bodies[i])
+        _, want = _req(srv.port, "/search", body)
+        assert r[i] == want, i
+    # r[4] may legitimately be empty (must_not excludes all must hits)
+    assert r[0] and r[1] and r[3] and r[5]
+
+
 def test_msearch_empty_batch_rejected(server):
     srv, idx = server
     import urllib.error
