@@ -179,6 +179,24 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def _cli_expansion_terms(reader, mode: str, args) -> list[str]:
+    """The mode's deterministic dictionary-expansion set — same
+    normalization as the reader's own search_prefix/fuzzy/wildcard/
+    regex, computed once so scoring and snippet highlighting share
+    one expansion round."""
+    if mode == "prefix":
+        norm = (reader.tokenize(args.query) or [""])[0]
+        return reader.expand_prefix(norm, args.max_expansions) if norm else []
+    if mode == "fuzzy":
+        norm = (reader.tokenize(args.query) or [""])[0]
+        return reader.expand_fuzzy(
+            norm, max_edits=args.max_edits,
+            max_expansions=args.max_expansions) if norm else []
+    if mode == "wildcard":
+        return reader.expand_wildcard(args.query.lower(), args.max_expansions)
+    return reader.expand_regex(args.query.lower(), args.max_expansions)
+
+
 def cmd_query(args) -> int:
     from .pipelines.query import IndexReader, hydrate_hits
 
@@ -207,6 +225,15 @@ def cmd_query(args) -> int:
             args.must or args.query, args.should or "", args.must_not or "",
             args.k, doc_filter=doc_filter,
         )
+    elif mode in ("prefix", "fuzzy", "wildcard", "regex") \
+            and getattr(args, "snippet_corpus", None):
+        # snippet highlighting needs the expansion set anyway — expand
+        # ONCE and OR-score the explicit terms (identical to the
+        # mode's own search_*), instead of expanding twice
+        _exp_terms = _cli_expansion_terms(reader, mode, args)
+        hits = (reader.search_or_terms(_exp_terms, args.k,
+                                       doc_filter=doc_filter)
+                if _exp_terms else [])
     elif mode == "prefix":
         hits = reader.search_prefix(
             args.query, args.k, max_expansions=args.max_expansions,
@@ -310,21 +337,9 @@ def cmd_query(args) -> int:
             qterms = t0 | {s for t in t0 for s in SYNONYMS.get(t, ())}
         elif mode in ("prefix", "fuzzy", "wildcard", "regex"):
             # highlight the dictionary expansions — exactly the terms
-            # that scored (same sets the search branch used above)
-            if mode == "prefix":
-                norm = (reader.tokenize(args.query) or [""])[0]
-                qterms = set(reader.expand_prefix(norm, args.max_expansions))
-            elif mode == "fuzzy":
-                norm = (reader.tokenize(args.query) or [""])[0]
-                qterms = set(reader.expand_fuzzy(
-                    norm, max_edits=args.max_edits,
-                    max_expansions=args.max_expansions))
-            elif mode == "wildcard":
-                qterms = set(reader.expand_wildcard(
-                    args.query.lower(), args.max_expansions))
-            else:
-                qterms = set(reader.expand_regex(
-                    args.query.lower(), args.max_expansions))
+            # that scored (the search branch above computed this same
+            # set once and stashed it)
+            qterms = set(_exp_terms)
         else:
             qterms = set()  # more_like_this/prf: no retained term set
         if qterms:
@@ -530,12 +545,15 @@ def cmd_report(args) -> int:
         "vocab_growth": vocab_growth(
             docs(base), bucket=args.vocab_bucket).to_dict("records"),
         # token-entropy distribution summary (repetitiveness signal):
-        # deciles of the per-doc entropy, low tail = template/spam
+        # p10/p50/p90 of the per-doc entropy, low tail = template/spam
+        # — only the one int64 column rides to the driver
         "entropy_percentiles_e6": {
             f"p{p}": int(v) for p, v in zip(
                 (10, 50, 90),
                 np.percentile(
-                    doc_token_entropy(docs(base)).to_pandas()["entropy_e6"],
+                    doc_token_entropy(docs(base))
+                    .select_columns(["entropy_e6"])
+                    .to_pandas()["entropy_e6"],
                     [10, 50, 90], method="lower",
                 ),
             )

@@ -1889,7 +1889,7 @@ def neardup_survivors(
     threshold: float = 0.0,
     tokenizer: str = "simple",
     max_group: int | None = DEFAULT_MAX_GROUP,
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """The ACTION step of near-dedup: the full per-doc keep/drop list.
     Every doc gets its near-dup component label (its own id for
     singletons) and ``keep = 1`` iff it is the component's canonical
@@ -1899,11 +1899,12 @@ def neardup_survivors(
     fuzzy one). The distributed work is the pair stage; only the
     sparse cluster frame and one thin doc_id column reach the driver.
 
-    Returns (doc_id, cluster_id, keep) for EVERY doc, sorted by
-    doc_id. The per-doc assignment runs INSIDE map_batches against the
+    Returns a DATASET of (doc_id, cluster_id, keep) covering every
+    doc. The per-doc assignment runs INSIDE map_batches against the
     broadcast sparse label map (``ray.put`` once, read per task) — doc
     ids never ride to the driver, so the keep-list streams at corpus
-    scale and can feed ``write_parquet`` directly."""
+    scale and can feed ``write_parquet`` / a downstream join directly;
+    only the sparse cluster frame is driver-resident."""
     clusters = dup_clusters(ds, n=n, threshold=threshold,
                             tokenizer=tokenizer, max_group=max_group)
     label_ref = ray.put(dict(zip(
@@ -1921,5 +1922,4 @@ def neardup_survivors(
             "keep": pa.array((ids == cl).astype(np.int64), pa.int64()),
         })
 
-    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+    return ds.map_batches(assign, batch_format="pyarrow")

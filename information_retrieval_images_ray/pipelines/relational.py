@@ -559,8 +559,11 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
 
 
 # Frozen value-tier bands for the broadcast range join: [lo, hi) in
-# integer cents, contiguous and covering [0, +inf). Shared verbatim
-# with the SQL VALUES list.
+# integer cents, contiguous over [0, 2**62). Shared verbatim with the
+# SQL VALUES list; rows outside every band (negative, or >= the last
+# hi) match no tier on EITHER side — the engine enforces the hi bound
+# explicitly so the boundary semantics stay bit-identical to the
+# oracle's `cents < hi` predicate.
 VALUE_TIERS = (
     ("t0_micro", 0, 1_000),          # < $10
     ("t1_small", 1_000, 5_000),      # $10-$50
@@ -584,6 +587,7 @@ def value_tier_counts(sf_dir: str) -> pd.DataFrame:
 
     Returns (event_type, tier, n) sorted by (event_type, tier)."""
     edges = np.array([t[1] for t in VALUE_TIERS], np.int64)
+    his = np.array([t[2] for t in VALUE_TIERS], np.int64)
     names = [t[0] for t in VALUE_TIERS]
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -593,9 +597,9 @@ def value_tier_counts(sf_dir: str) -> pd.DataFrame:
         tier_ix = np.searchsorted(edges, cents, side="right") - 1
         et = batch["event_type"].to_pylist()
         counts: dict[tuple[str, int], int] = {}
-        for e, t in zip(et, tier_ix):
-            if t < 0:
-                continue  # below the first band (negative values)
+        for e, t, c in zip(et, tier_ix, cents):
+            if t < 0 or c >= his[t]:
+                continue  # outside every band (negative / >= last hi)
             k = (e, int(t))
             counts[k] = counts.get(k, 0) + 1
         keys = sorted(counts)

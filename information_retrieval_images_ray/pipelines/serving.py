@@ -760,38 +760,37 @@ class ShardedQueryService:
         rows.sort(key=lambda r: (r["doc_id"], r["term"]))
         return rows
 
-    def topk_phrase(self, queries: list[dict], k: int = 10,
-                    doc_filter=None) -> list[dict]:
-        """Exact-phrase top-k through the sharded pool. queries:
-        [{"qid", "phrase"}]. Protocol: df exchange for global idf →
-        per-actor conjunctive candidates (a doc lives wholly in one
-        shard, so local all-terms checks compose exactly) → ONE
-        positional-sidecar adjacency verify over the merged candidate
-        set (pushdown-pruned to the union of phrase terms and
-        candidate ids — O(candidate postings), never a corpus read) →
-        rank the verified by (BM25 desc, doc_id asc). Requires the
-        index's positions sidecar (``build_positions_sidecar``)."""
-        from .positions import positions_dir, verify_phrase_positions
+    def _verify_rank_positional(self, queries: list[dict], term_lists,
+                                verify_fns, k: int,
+                                doc_filter=None) -> list[dict]:
+        """Shared tail of the positional modes (phrase / proximity /
+        span-near): sidecar presence check, per-actor conjunctive
+        candidates over each query's DISTINCT terms (a doc lives wholly
+        in one shard, so local all-terms checks compose exactly), ONE
+        pushdown-pruned sidecar verify per query over the merged
+        candidates, then (BM25 desc, doc_id asc) rank truncated to k.
+        ``term_lists[i]`` is query i's tokenized term sequence;
+        ``verify_fns[i](ids)`` returns the verified doc-id array."""
         import os
+
+        import numpy as np
+
+        from .positions import positions_dir
 
         if not os.path.isdir(positions_dir(self.index_dir)):
             raise FileNotFoundError(
                 f"no positions sidecar under {self.index_dir} — "
                 "run build_positions_sidecar first"
             )
-        phrases = [self._tok(q["phrase"]) for q in queries]
-        cands = self._conjunctive(queries, [sorted(set(p)) for p in phrases],
-                                  doc_filter)
+        cands = self._conjunctive(
+            queries, [sorted(set(ts)) for ts in term_lists], doc_filter)
         out = []
-        for q, phrase in zip(queries, phrases):
+        for q, terms, verify in zip(queries, term_lists, verify_fns):
             hits = cands.get(q["qid"], [])
-            if not phrase or not hits:
+            if not terms or not hits:
                 continue
-            import numpy as np
-
             ids = np.array([d for _, d in hits], np.int64)
-            ok = set(verify_phrase_positions(
-                self.index_dir, phrase, ids).tolist())
+            ok = set(verify(ids).tolist())
             kept = sorted(
                 ((s, d) for s, d in hits if d in ok),
                 key=lambda e: (-e[0], e[1]),
@@ -801,6 +800,24 @@ class ShardedQueryService:
                     {"qid": q["qid"], "rank": rank, "doc_id": doc, "score": score}
                 )
         return out
+
+    def topk_phrase(self, queries: list[dict], k: int = 10,
+                    doc_filter=None) -> list[dict]:
+        """Exact-phrase top-k through the sharded pool. queries:
+        [{"qid", "phrase"}]. Protocol: df exchange for global idf →
+        per-actor conjunctive candidates → ONE positional-sidecar
+        adjacency verify over the merged candidate set
+        (pushdown-pruned — O(candidate postings), never a corpus
+        read) → rank the verified by (BM25 desc, doc_id asc).
+        Requires the positions sidecar (``build_positions_sidecar``)."""
+        from .positions import verify_phrase_positions
+
+        phrases = [self._tok(q["phrase"]) for q in queries]
+        return self._verify_rank_positional(
+            queries, phrases,
+            [(lambda ids, p=p: verify_phrase_positions(
+                self.index_dir, p, ids)) for p in phrases],
+            k, doc_filter=doc_filter)
 
     def topk_proximity(self, queries: list[dict], k: int = 10,
                        doc_filter=None) -> list[dict]:
@@ -808,75 +825,32 @@ class ShardedQueryService:
         ``window``-token span). queries: [{"qid", "terms", "window"}].
         Same candidate protocol as ``topk_phrase``; verification is
         the minimal-cover sweep over the sidecar position lists."""
-        from .positions import positions_dir, verify_proximity_positions
-        import os
+        from .positions import verify_proximity_positions
 
-        if not os.path.isdir(positions_dir(self.index_dir)):
-            raise FileNotFoundError(
-                f"no positions sidecar under {self.index_dir} — "
-                "run build_positions_sidecar first"
-            )
         term_lists = [sorted(set(self._tok(q["terms"]))) for q in queries]
-        cands = self._conjunctive(queries, term_lists, doc_filter)
-        out = []
-        for q, terms in zip(queries, term_lists):
-            hits = cands.get(q["qid"], [])
-            if not terms or not hits:
-                continue
-            import numpy as np
-
-            ids = np.array([d for _, d in hits], np.int64)
-            ok = set(verify_proximity_positions(
-                self.index_dir, terms, int(q["window"]), ids).tolist())
-            kept = sorted(
-                ((s, d) for s, d in hits if d in ok),
-                key=lambda e: (-e[0], e[1]),
-            )[:k]
-            for rank, (score, doc) in enumerate(kept, start=1):
-                out.append(
-                    {"qid": q["qid"], "rank": rank, "doc_id": doc, "score": score}
-                )
-        return out
+        return self._verify_rank_positional(
+            queries, term_lists,
+            [(lambda ids, t=t, w=int(q["window"]):
+              verify_proximity_positions(self.index_dir, t, w, ids))
+             for q, t in zip(queries, term_lists)],
+            k, doc_filter=doc_filter)
 
     def topk_spannear(self, queries: list[dict], k: int = 10,
                       doc_filter=None) -> list[dict]:
         """Ordered within-window top-k (terms IN QUERY ORDER inside a
         ``window``-token span — Lucene span_near in_order=true).
-        queries: [{"qid", "terms", "window"}]. Candidates are the
-        conjunctive docs over the DISTINCT terms (order-free);
-        verification is the greedy ordered-chain sweep, which consumes
-        the tokenized terms in their original order."""
-        import os
+        queries: [{"qid", "terms", "window"}]. Candidates come from
+        the DISTINCT terms (order-free); verification is the greedy
+        ordered-chain sweep over the terms in their original order."""
+        from .positions import verify_spannear_positions
 
-        from .positions import positions_dir, verify_spannear_positions
-
-        if not os.path.isdir(positions_dir(self.index_dir)):
-            raise FileNotFoundError(
-                f"no positions sidecar under {self.index_dir} — "
-                "run build_positions_sidecar first"
-            )
         ordered_lists = [self._tok(q["terms"]) for q in queries]
-        term_lists = [sorted(set(o)) for o in ordered_lists]
-        cands = self._conjunctive(queries, term_lists, doc_filter)
-        out = []
-        for q, ordered, terms in zip(queries, ordered_lists, term_lists):
-            hits = cands.get(q["qid"], [])
-            if not terms or not hits:
-                continue
-            import numpy as np
-
-            ids = np.array([d for _, d in hits], np.int64)
-            ok = set(verify_spannear_positions(
-                self.index_dir, ordered, int(q["window"]), ids).tolist())
-            kept = sorted(
-                ((s, d) for s, d in hits if d in ok),
-                key=lambda e: (-e[0], e[1]),
-            )[:k]
-            for rank, (score, doc) in enumerate(kept, start=1):
-                out.append(
-                    {"qid": q["qid"], "rank": rank, "doc_id": doc, "score": score}
-                )
-        return out
+        return self._verify_rank_positional(
+            queries, ordered_lists,
+            [(lambda ids, o=o, w=int(q["window"]):
+              verify_spannear_positions(self.index_dir, o, w, ids))
+             for q, o in zip(queries, ordered_lists)],
+            k, doc_filter=doc_filter)
 
     def facets(self, queries: list[dict], facet_cols: list[str],
                doc_filter=None) -> list[dict[str, dict[str, int]]]:
@@ -945,6 +919,28 @@ class ShardedQueryService:
             for qid, doc, score in rows:
                 by_qid[qid].append((score, doc))
         return by_qid
+
+    def topk_terms(self, queries: list[dict], k: int = 10,
+                   doc_filter=None) -> list[dict]:
+        """OR-score EXPLICIT pre-expanded term lists — the shared
+        scoring tail of the expansion modes, callable directly so a
+        caller that already holds the expansion set (e.g. snippet
+        highlighting, which needs the terms anyway) pays ONE
+        dictionary-expansion round instead of two. queries:
+        [{"qid", "terms": [str, ...]}]. Bitwise identical to the
+        corresponding topk_prefix/fuzzy/wildcard/regex call whose
+        expansion produced ``terms``."""
+        expansions = [list(q.get("terms") or []) for q in queries]
+        scored = [
+            {"qid": q["qid"], "terms": ts}
+            for q, ts in zip(queries, expansions)
+        ]
+        weights = self._weights_for(expansions)
+        parts = ray.get([
+            a.search_or_terms.remote(scored, k, weights, doc_filter)
+            for a in self.actors
+        ])
+        return self._merge(queries, parts, k)
 
     def expansion_terms(self, mode: str, value: str,
                         max_expansions: int = 64, max_edits: int = 1,

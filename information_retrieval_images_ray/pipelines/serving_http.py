@@ -370,7 +370,22 @@ class IndexHTTPServer:
             self._sync_tombstones()
             svc = self.service
         doc_filter = ("lang", lang) if lang else None
-        if mode == "bm25":
+        _exp_terms = None
+        if mode in ("prefix", "fuzzy", "wildcard", "regex") \
+                and params.get("snippet"):
+            # snippet highlighting needs the expansion set anyway —
+            # expand ONCE and OR-score the explicit terms (bitwise
+            # equal to the mode's own call, which would re-run the
+            # same per-actor dictionary expansion a second time)
+            _exp_terms = svc.expansion_terms(
+                mode, query,
+                max_expansions=int(params.get("max_expansions", 64)),
+                max_edits=int(params.get("max_edits", 1)),
+                prefix_len=int(params.get("prefix_len", 1)),
+            )
+            hits = svc.topk_terms([{"qid": 0, "terms": _exp_terms}], k=k,
+                                  doc_filter=doc_filter)
+        elif mode == "bm25":
             after = params.get("search_after")
             if after:
                 # cursor paging: [score, doc_id] of the last hit seen
@@ -490,6 +505,7 @@ class IndexHTTPServer:
             self._attach_snippets(
                 rows, mode, query, params,
                 window=int(params.get("snippet_window", 8)),
+                qterms=set(_exp_terms) if _exp_terms is not None else None,
             )
         return rows
 
@@ -627,7 +643,8 @@ class IndexHTTPServer:
         return set()
 
     def _attach_snippets(self, rows: list[dict], mode: str, query: str,
-                         params: dict, window: int = 8) -> None:
+                         params: dict, window: int = 8,
+                         qterms: set | None = None) -> None:
         """Add {snippet, snip_start, n_match} to each hit in place —
         q_snippets semantics (best distinct-term window, leftmost tie),
         query terms wrapped in <em></em>. One doc_id-pruned read of the
@@ -636,7 +653,8 @@ class IndexHTTPServer:
         if not self.corpus_path:
             raise ValueError(
                 "snippet requested but the server has no corpus_path")
-        qterms = self._snippet_terms(mode, query, params)
+        if qterms is None:
+            qterms = self._snippet_terms(mode, query, params)
         if not qterms:
             return
         import pyarrow.dataset as pads

@@ -653,7 +653,7 @@ def test_neardup_survivors_keep_list():
         {"doc_id": 4, "text": "seven eight nine ten eleven twelve"},
     ]
     ds = ray.data.from_items(rows)
-    out = neardup_survivors(ds, n=5).set_index("doc_id")
+    out = neardup_survivors(ds, n=5).to_pandas().sort_values("doc_id").set_index("doc_id")
     assert len(out) == 5
     cl = dup_clusters(ds, n=5)
     assert set(cl["doc_id"]) == {0, 1, 2}

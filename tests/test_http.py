@@ -847,6 +847,13 @@ def test_search_snippet_expansion_modes_and_no_corpus(server, tmp_path):
             assert m.startswith("alp")
             marked_any = True
     assert marked_any
+    # the expand-once path (snippet=true goes through topk_terms) is
+    # bitwise rank-identical to the mode's own expansion call
+    _, plain = _req(srv.port, "/search", {
+        "query": "alp", "mode": "prefix", "limit": 3,
+    })
+    assert [(h["doc_id"], h["score"]) for h in hits] == \
+        [(h["doc_id"], h["score"]) for h in plain]
     # more_like_this stays snippet-less (terms come from docterms reads)
     status, hits = _req(srv.port, "/search", {
         "query": "alpha beta", "mode": "more_like_this", "limit": 3,
