@@ -450,6 +450,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the dedup ACTION list: every doc's component label + keep=1
         # iff it is the component's min-id canonical representative
         "q_neardup_survivors": lambda sf: dedup.neardup_survivors(docs(sf), n=5),
+        # component-size distribution (pairs vs template families —
+        # the dedup report's headline statistic)
+        "q_cluster_size_hist": lambda sf: dedup.dup_cluster_size_hist(docs(sf), n=5),
         # the same components computed DISTRIBUTED: alternating
         # large-star/small-star groupby rounds over the edge set
         # (Kiveris et al. 2014) — no driver union-find
@@ -2604,6 +2607,27 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(CASE WHEN coalesce(cl.cluster_id, d.doc_id) = d.doc_id
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+""",
+        # component-size histogram; size 1 aggregates every doc
+        # outside the pair graph
+        "q_cluster_size_hist": f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTE},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM common
+          UNION SELECT doc_b, doc_a FROM common),
+reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+cl AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+sz AS (SELECT cluster_id, count(*) AS size FROM cl GROUP BY 1),
+hist AS (SELECT size AS cluster_size, count(*) AS n_clusters,
+                size * count(*) AS n_docs FROM sz GROUP BY 1),
+singles AS (SELECT 1 AS cluster_size,
+                   (SELECT count(*) FROM documents) - (SELECT count(*) FROM cl) AS n_clusters,
+                   (SELECT count(*) FROM documents) - (SELECT count(*) FROM cl) AS n_docs)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM (SELECT * FROM singles WHERE n_clusters > 0 UNION ALL SELECT * FROM hist)
 """,
         # the distributed large-star/small-star form computes the SAME
         # components — one oracle, two execution strategies

@@ -1923,3 +1923,35 @@ def neardup_survivors(
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def dup_cluster_size_hist(
+    ds: ray.data.Dataset,
+    n: int = 5,
+    threshold: float = 0.0,
+    tokenizer: str = "simple",
+    max_group: int | None = DEFAULT_MAX_GROUP,
+) -> pd.DataFrame:
+    """Distribution of near-dup component sizes — the headline
+    statistic of every dedup report (how much of the corpus sits in
+    2-doc pairs vs 1000-doc template families decides whether trimming
+    or dropping is the right action). Sizes come from the sparse
+    cluster frame; docs in no pair count as singletons, inferred from
+    one ``ds.count()`` (never a doc scan beyond the pair stage).
+
+    Returns (cluster_size, n_clusters, n_docs) sorted by size, where
+    size 1 aggregates all singletons."""
+    clusters = dup_clusters(ds, n=n, threshold=threshold,
+                            tokenizer=tokenizer, max_group=max_group)
+    total = int(ds.count())
+    sizes = clusters.groupby("cluster_id").size()
+    hist = sizes.value_counts().sort_index()
+    n_singletons = total - len(clusters)
+    rows = []
+    if n_singletons > 0:
+        rows.append((1, n_singletons, n_singletons))
+    for size, n_cl in hist.items():
+        rows.append((int(size), int(n_cl), int(size) * int(n_cl)))
+    return pd.DataFrame(
+        rows, columns=["cluster_size", "n_clusters", "n_docs"]
+    ).astype("int64")

@@ -663,3 +663,27 @@ def test_neardup_survivors_keep_list():
         assert out.loc[d, "cluster_id"] == d and out.loc[d, "keep"] == 1
     # the kept set is exactly one doc per component + all singletons
     assert int(out["keep"].sum()) == 3
+
+
+def test_dup_cluster_size_hist():
+    """One 3-doc family + two singletons -> rows (1, 2, 2), (3, 1, 3);
+    n_docs column sums to the corpus size."""
+    import ray
+
+    from information_retrieval_images_ray.pipelines.dedup import (
+        dup_cluster_size_hist,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        {"doc_id": 0, "text": text},
+        {"doc_id": 1, "text": text},
+        {"doc_id": 2, "text": text + " iota"},
+        {"doc_id": 3, "text": "one two three four five six"},
+        {"doc_id": 4, "text": "seven eight nine ten eleven twelve"},
+    ]
+    out = dup_cluster_size_hist(ray.data.from_items(rows), n=5)
+    got = {int(r.cluster_size): (int(r.n_clusters), int(r.n_docs))
+           for r in out.itertuples()}
+    assert got == {1: (2, 2), 3: (1, 3)}
+    assert int(out["n_docs"].sum()) == 5
