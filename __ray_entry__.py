@@ -359,6 +359,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # registers (integer-exact oracle) + estimate vs exact
         "q_hll_registers": lambda sf: analysis.hll_registers(docs(sf)),
         "q_hll_distinct": lambda sf: analysis.hll_distinct(docs(sf)),
+        # all-pairs TF-IDF cosine similarity (Bayardo WWW'07 shape):
+        # shared-term candidate generation with df pruning, integer e6
+        # dot/norm contributions, capped per-term pair groups
+        "q_tfidf_pairs": lambda sf: analysis.tfidf_cosine_pairs(docs(sf)),
         # per-doc Shannon entropy of the token distribution (the
         # repetitiveness/diversity quality signal) — one shuffle-free
         # pass, integer e12 contributions so the sum is order-free
@@ -2462,6 +2466,33 @@ FROM dl GROUP BY 1
         "q_hll_registers": _HLL_REG_SQL,
         "q_hll_by_lang": _HLL_BY_LANG_SQL,
         "q_doc_entropy": _DOC_ENTROPY_SQL,
+        "q_tfidf_pairs": f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tft AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+dfv AS (SELECT term, count(*) AS df FROM tft GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+w AS (SELECT tft.doc_id, tft.term, tft.tf * ln(nn.n / dfv.df) AS w
+      FROM tft JOIN dfv USING (term) CROSS JOIN nn
+      WHERE dfv.df BETWEEN 2 AND 50),
+nrm AS (SELECT doc_id,
+               sum(CAST(FLOOR(w * w * 1000000 + 0.5) AS BIGINT)) AS n2
+        FROM w GROUP BY 1),
+dotv AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                sum(CAST(FLOOR(a.w * b.w * 1000000 + 0.5) AS BIGINT)) AS dot_e6,
+                count(*) AS common
+         FROM w a JOIN w b ON b.term = a.term AND b.doc_id > a.doc_id
+         GROUP BY 1, 2),
+cosv AS (SELECT da, db, common,
+                CAST(FLOOR(dot_e6 / sqrt(CAST(na.n2 AS DOUBLE)
+                                         * CAST(nb.n2 AS DOUBLE))
+                           * 1000000 + 0.5) AS BIGINT) AS cos_e6
+         FROM dotv JOIN nrm na ON na.doc_id = da
+         JOIN nrm nb ON nb.doc_id = db)
+SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+       CAST(common AS BIGINT) AS common, cos_e6
+FROM cosv WHERE cos_e6 >= 100000
+""",
         "q_source_kl": _SOURCE_KL_SQL,
         "q_cms_registers": _cms_reg_sql(),
         "q_cms_heavy_hitters": _cms_hh_sql(),

@@ -1797,3 +1797,132 @@ def source_kl_divergence(
         .sort_values(key)
         .reset_index(drop=True)
     )
+
+
+def tfidf_cosine_pairs(
+    ds: ray.data.Dataset,
+    max_df: int = 50,
+    min_df: int = 2,
+    threshold: float = 0.1,
+    tokenizer: str = "simple",
+    max_group: int | None = 1024,
+) -> pd.DataFrame:
+    """ALL-PAIRS document similarity over sparse TF-IDF vectors — the
+    inverted-index-native form (Bayardo et al., "Scaling Up All Pairs
+    Similarity Search", WWW 2007): candidate pairs are generated only
+    through SHARED terms, and the classic df-pruning makes that
+    tractable — terms with df > ``max_df`` (stopword-ish: they pair
+    everything with everything) and df < ``min_df`` (can't pair) are
+    excluded from the similarity space, so the per-term pair groups
+    stay small by construction. The metric is cosine over the pruned
+    term space with w = tf * ln(N/df).
+
+    Bit-portability: per-term dot contributions and per-doc squared
+    norms round to INTEGER e6 before summing (order-free integer
+    sums, the ``bigram_lm_scores`` discipline); the final division
+    runs on the same two float64 numbers in both engines.
+
+    Scale shape: one broadcast idf dict (the ``tfidf_top_terms``
+    vocab-broadcast seam), w-rows exchanged by term, per-term pair
+    emission capped at ``max_group`` docs with a logged sentinel
+    (the ``ngram_jaccard_pairs`` hot-key pattern), one per-pair
+    groupby; only thresholded pairs reach the driver.
+
+    Returns (doc_a, doc_b, common, cos_e6) for cos >= threshold,
+    sorted by (doc_a, doc_b)."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    tok = _tok_fn(tokenizer)
+    n_docs = float(ds.count())
+    stats = term_stats(ds, tokenizer).to_pandas()
+    keep = (stats["df"] >= min_df) & (stats["df"] <= max_df)
+    idf = dict(zip(
+        stats.loc[keep, "term"],
+        np.log(n_docs / stats.loc[keep, "df"].to_numpy(np.float64)),
+    ))
+    idf_ref = ray.put(idf)
+    thr_e6 = int(np.floor(threshold * 1e6 + 0.5))
+
+    def w_rows(batch: pa.Table) -> pa.Table:
+        idf_d = ray.get(idf_ref)
+        terms_o, docs_o, w_o, n2_o = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            cnt: dict[str, int] = {}
+            for t in tok(text or ""):
+                if t in idf_d:
+                    cnt[t] = cnt.get(t, 0) + 1
+            if not cnt:
+                continue
+            ws = {t: c * idf_d[t] for t, c in cnt.items()}
+            n2 = int(sum(
+                int(np.floor(w * w * 1e6 + 0.5)) for w in ws.values()
+            ))
+            for t, w in ws.items():
+                terms_o.append(t)
+                docs_o.append(doc_id)
+                w_o.append(w)
+                n2_o.append(n2)
+        return pa.table({
+            "term": pa.array(terms_o, pa.string()),
+            "doc_id": pa.array(docs_o, pa.int64()),
+            "w": pa.array(w_o, pa.float64()),
+            "n2": pa.array(n2_o, pa.int64()),
+        })
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["doc_id"].to_numpy(np.int64))
+        ids = g["doc_id"].to_numpy(np.int64)[order]
+        ws = g["w"].to_numpy(np.float64)[order]
+        n2s = g["n2"].to_numpy(np.int64)[order]
+        if max_group is not None and len(ids) > max_group:
+            return pd.DataFrame({
+                "doc_a": [-1], "doc_b": [-1], "c_e6": [0],
+                "na2": [0], "nb2": [0],
+            }).astype("int64")
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({
+            "doc_a": ids[a], "doc_b": ids[b],
+            "c_e6": np.floor(ws[a] * ws[b] * 1e6 + 0.5).astype(np.int64),
+            "na2": n2s[a], "nb2": n2s[b],
+        })
+
+    pairs = (
+        ds.map_batches(w_rows, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(
+            Sum("c_e6", alias_name="dot_e6"),
+            Count(alias_name="common"),
+            Min("na2", alias_name="na2"),
+            Min("nb2", alias_name="nb2"),
+        )
+        .to_pandas()
+    )
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ["doc_a", "doc_b", "common", "cos_e6"]})
+    if pairs.empty:
+        return empty
+    sentinel = pairs["doc_a"].to_numpy() < 0
+    n_hot = int(pairs.loc[sentinel, "common"].sum())
+    if n_hot:
+        print(f"[tfidf_cosine_pairs] {n_hot} hot terms over "
+              f"max_group={max_group} dropped from pair emission")
+    t = pairs[~sentinel]
+    if t.empty:
+        return empty
+    denom = np.sqrt(t["na2"].to_numpy(np.float64)
+                    * t["nb2"].to_numpy(np.float64))
+    cos_e6 = np.floor(
+        t["dot_e6"].to_numpy(np.int64) / denom * 1e6 + 0.5
+    ).astype(np.int64)
+    keep_m = cos_e6 >= thr_e6
+    out = pd.DataFrame({
+        "doc_a": t["doc_a"].to_numpy(np.int64)[keep_m],
+        "doc_b": t["doc_b"].to_numpy(np.int64)[keep_m],
+        "common": t["common"].to_numpy(np.int64)[keep_m],
+        "cos_e6": cos_e6[keep_m],
+    })
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype("int64")

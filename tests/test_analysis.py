@@ -758,3 +758,59 @@ def test_source_kl_divergence_hand_computed():
     assert abs(int(out.loc["s2", "kl_e6"]) - want) <= 1
     assert int(out.loc["s1", "n_tokens"]) == 4
     assert int(out.loc["s1", "n_terms"]) == 1
+
+
+def test_tfidf_cosine_pairs_vs_dense():
+    """The sparse shared-term pipeline equals a dense numpy TF-IDF
+    cosine over the pruned term space; df-pruning excludes df=1 and
+    df>max_df terms from BOTH the metric and candidate generation."""
+    import math
+
+    import ray
+
+    from information_retrieval_images_ray.pipelines.analysis import (
+        tfidf_cosine_pairs,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "apple banana cherry apple"},
+        {"doc_id": 1, "text": "apple banana date"},
+        {"doc_id": 2, "text": "cherry date egg egg"},
+        {"doc_id": 3, "text": "fig grape"},            # all df=1 -> no pairs
+    ]
+    out = tfidf_cosine_pairs(
+        ray.data.from_items(rows), max_df=3, min_df=2, threshold=0.0
+    )
+    # dense reference over pruned vocab (df in [2, 3])
+    toks = {r["doc_id"]: r["text"].split() for r in rows}
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    vocab = sorted(t for t, d in df.items() if 2 <= d <= 3)
+    import numpy as np
+
+    def vec(ts):
+        return np.array([
+            ts.count(t) * math.log(4.0 / df[t]) for t in vocab
+        ])
+
+    got = {(r.doc_a, r.doc_b): r.cos_e6 / 1e6 for r in out.itertuples()}
+    for a in range(4):
+        for b in range(a + 1, 4):
+            va, vb = vec(toks[a]), vec(toks[b])
+            dot = float(va @ vb)
+            if dot <= 0:
+                assert (a, b) not in got, (a, b)
+                continue
+            want = dot / (np.linalg.norm(va) * np.linalg.norm(vb))
+            assert abs(got[(a, b)] - want) < 1e-4, (a, b, got.get((a, b)), want)
+    assert all(r.doc_a != 3 and r.doc_b != 3 for r in out.itertuples())
+
+    # hot-term cap: max_group=1 drops every shared term -> no pairs,
+    # sentinel logged (not raised)
+    capped = tfidf_cosine_pairs(
+        ray.data.from_items(rows), max_df=3, min_df=2, threshold=0.0,
+        max_group=1,
+    )
+    assert capped.empty
