@@ -375,6 +375,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f"{sf}/documents.parquet", columns=["source", "text"]
             )
         ),
+        # mergeable moments sketch: distributed Pearson correlation
+        # between doc length and token entropy (one (n, Σx, Σy, Σxy,
+        # Σx², Σy²) partial per batch, add-merged — the shape every
+        # distributed variance/covariance/regression reduces to)
+        "q_len_entropy_corr": lambda sf: analysis.length_entropy_correlation(docs(sf)),
         # grouped cardinality (the ES cardinality sub-aggregation):
         # one 64-register HLL per lang, merged by a
         # groupby((lang, bucket)).max exchange of thin register rows
@@ -2466,6 +2471,25 @@ FROM dl GROUP BY 1
         "q_hll_registers": _HLL_REG_SQL,
         "q_hll_by_lang": _HLL_BY_LANG_SQL,
         "q_doc_entropy": _DOC_ENTROPY_SQL,
+        "q_len_entropy_corr": f"""
+WITH ent AS ({_DOC_ENTROPY_SQL}),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(n_tokens) AS HUGEINT) AS sx,
+             CAST(sum(entropy_e6) AS HUGEINT) AS sy,
+             sum(CAST(n_tokens AS HUGEINT) * entropy_e6) AS sxy,
+             sum(CAST(n_tokens AS HUGEINT) * n_tokens) AS sx2,
+             sum(CAST(entropy_e6 AS HUGEINT) * entropy_e6) AS sy2
+      FROM ent)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(FLOOR(
+         CASE WHEN sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                        * CAST(n * sy2 - sy * sy AS DOUBLE)) = 0 THEN 0.0
+              ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                          * CAST(n * sy2 - sy * sy AS DOUBLE)) END
+         * 1000000 + 0.5) AS BIGINT) AS r_e6
+FROM m
+""",
         "q_tfidf_pairs": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
 tft AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

@@ -1926,3 +1926,51 @@ def tfidf_cosine_pairs(
         "cos_e6": cos_e6[keep_m],
     })
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype("int64")
+
+
+def length_entropy_correlation(
+    ds: ray.data.Dataset, tokenizer: str = "simple"
+) -> pd.DataFrame:
+    """Pearson correlation between doc length (tokens) and token
+    entropy — the diagnostic behind 'does the low-entropy tail just
+    mean short docs?' when tuning repetition filters. The point of the
+    op is its SHAPE: the mergeable moments sketch — every batch emits
+    one (n, Σx, Σy, Σxy, Σx², Σy²) partial row and partials merge by
+    plain addition (the same ADD-mergeability as the CMS), so the
+    stream never leaves the map tasks and ANY distributed variance /
+    covariance / regression reduces to this one pattern. Moments
+    accumulate as exact Python ints (x = token count, y = entropy_e6
+    — both integers), so the final float evaluation runs on identical
+    numbers in both engines.
+
+    Returns one row: (n_docs, r_e6)."""
+    ent = doc_token_entropy(ds, tokenizer)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(object)
+        y = batch["entropy_e6"].to_numpy(zero_copy_only=False).astype(object)
+        # object dtype -> Python-int arithmetic, no int64 overflow at
+        # web scale (sy2 is ~5e13 per doc)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(sum(x))], pa.int64()),
+            "sy": pa.array([int(sum(y))], pa.int64()),
+            "sxy": pa.array([int(sum(a * b for a, b in zip(x, y)))], pa.int64()),
+            "sx2": pa.array([int(sum(a * a for a in x))], pa.int64()),
+            "sy2": pa.array([int(sum(b * b for b in y))], pa.int64()),
+        })
+
+    parts = ent.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    if n == 0:
+        return pd.DataFrame([{"n_docs": 0, "r_e6": 0}]).astype("int64")
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxy = int(parts["sxy"].sum())
+    sx2, sy2 = int(parts["sx2"].sum()), int(parts["sy2"].sum())
+    num = float(n * sxy - sx * sy)
+    den = np.sqrt(float(n * sx2 - sx * sx) * float(n * sy2 - sy * sy))
+    r = 0.0 if den == 0 else num / den
+    return pd.DataFrame([{
+        "n_docs": n,
+        "r_e6": int(np.floor(r * 1e6 + 0.5)),
+    }]).astype("int64")

@@ -814,3 +814,31 @@ def test_tfidf_cosine_pairs_vs_dense():
         max_group=1,
     )
     assert capped.empty
+
+
+def test_length_entropy_correlation_moments():
+    """The moments-sketch correlation equals numpy's corrcoef on the
+    same (n_tokens, entropy_e6) columns; partition count must not
+    change the result (add-mergeable partials)."""
+    import numpy as np
+    import ray
+
+    from information_retrieval_images_ray.pipelines.analysis import (
+        doc_token_entropy, length_entropy_correlation,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "a b c d e f"},
+        {"doc_id": 1, "text": "a a a a"},
+        {"doc_id": 2, "text": "x y x y x y x y"},
+        {"doc_id": 3, "text": "p q r s p q r s t u v w"},
+        {"doc_id": 4, "text": "m"},
+    ]
+    ds = ray.data.from_items(rows)
+    ent = doc_token_entropy(ds).to_pandas().sort_values("doc_id")
+    want = np.corrcoef(ent["n_tokens"], ent["entropy_e6"])[0, 1]
+    out1 = length_entropy_correlation(ds)
+    out5 = length_entropy_correlation(ray.data.from_items(rows).repartition(5))
+    assert int(out1["n_docs"].iloc[0]) == 5
+    assert abs(int(out1["r_e6"].iloc[0]) - round(want * 1e6)) <= 1
+    assert out1.equals(out5)  # partition-count invariance
