@@ -363,6 +363,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shared-term candidate generation with df pruning, integer e6
         # dot/norm contributions, capped per-term pair groups
         "q_tfidf_pairs": lambda sf: analysis.tfidf_cosine_pairs(docs(sf)),
+        # 'related documents': per doc the top-3 neighbors from the
+        # symmetrized TF-IDF pair graph (cos desc, neighbor asc)
+        "q_related_docs": lambda sf: analysis.tfidf_related_docs(docs(sf)),
         # per-doc Shannon entropy of the token distribution (the
         # repetitiveness/diversity quality signal) — one shuffle-free
         # pass, integer e12 contributions so the sum is order-free
@@ -1274,6 +1277,35 @@ SELECT ns.source, CAST(ns.n_terms AS BIGINT) AS n_terms,
        CAST(ns.ns AS BIGINT) AS n_tokens,
        CAST(FLOOR(kl.e12 / 1000000.0 + 0.5) AS BIGINT) AS kl_e6
 FROM ns JOIN kl USING (source)
+"""
+
+
+_TFIDF_PAIRS_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tft AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+dfv AS (SELECT term, count(*) AS df FROM tft GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+w AS (SELECT tft.doc_id, tft.term, tft.tf * ln(nn.n / dfv.df) AS w
+      FROM tft JOIN dfv USING (term) CROSS JOIN nn
+      WHERE dfv.df BETWEEN 2 AND 50),
+nrm AS (SELECT doc_id,
+               sum(CAST(FLOOR(w * w * 1000000 + 0.5) AS BIGINT)) AS n2
+        FROM w GROUP BY 1),
+dotv AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                sum(CAST(FLOOR(a.w * b.w * 1000000 + 0.5) AS BIGINT)) AS dot_e6,
+                count(*) AS common
+         FROM w a JOIN w b ON b.term = a.term AND b.doc_id > a.doc_id
+         GROUP BY 1, 2),
+cosv AS (SELECT da, db, common,
+                CAST(FLOOR(dot_e6 / sqrt(CAST(na.n2 AS DOUBLE)
+                                         * CAST(nb.n2 AS DOUBLE))
+                           * 1000000 + 0.5) AS BIGINT) AS cos_e6
+         FROM dotv JOIN nrm na ON na.doc_id = da
+         JOIN nrm nb ON nb.doc_id = db)
+SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+       CAST(common AS BIGINT) AS common, cos_e6
+FROM cosv WHERE cos_e6 >= 100000
 """
 
 
@@ -2490,32 +2522,16 @@ SELECT CAST(n AS BIGINT) AS n_docs,
          * 1000000 + 0.5) AS BIGINT) AS r_e6
 FROM m
 """,
-        "q_tfidf_pairs": f"""
-WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
-tft AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        FROM tok GROUP BY 1, 2),
-dfv AS (SELECT term, count(*) AS df FROM tft GROUP BY 1),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-w AS (SELECT tft.doc_id, tft.term, tft.tf * ln(nn.n / dfv.df) AS w
-      FROM tft JOIN dfv USING (term) CROSS JOIN nn
-      WHERE dfv.df BETWEEN 2 AND 50),
-nrm AS (SELECT doc_id,
-               sum(CAST(FLOOR(w * w * 1000000 + 0.5) AS BIGINT)) AS n2
-        FROM w GROUP BY 1),
-dotv AS (SELECT a.doc_id AS da, b.doc_id AS db,
-                sum(CAST(FLOOR(a.w * b.w * 1000000 + 0.5) AS BIGINT)) AS dot_e6,
-                count(*) AS common
-         FROM w a JOIN w b ON b.term = a.term AND b.doc_id > a.doc_id
-         GROUP BY 1, 2),
-cosv AS (SELECT da, db, common,
-                CAST(FLOOR(dot_e6 / sqrt(CAST(na.n2 AS DOUBLE)
-                                         * CAST(nb.n2 AS DOUBLE))
-                           * 1000000 + 0.5) AS BIGINT) AS cos_e6
-         FROM dotv JOIN nrm na ON na.doc_id = da
-         JOIN nrm nb ON nb.doc_id = db)
-SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
-       CAST(common AS BIGINT) AS common, cos_e6
-FROM cosv WHERE cos_e6 >= 100000
+        "q_tfidf_pairs": _TFIDF_PAIRS_SQL,
+        "q_related_docs": f"""
+WITH pairs AS ({_TFIDF_PAIRS_SQL}),
+sym AS (SELECT doc_a AS doc_id, doc_b AS neighbor_id, cos_e6 FROM pairs
+        UNION ALL SELECT doc_b, doc_a, cos_e6 FROM pairs),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY cos_e6 DESC, neighbor_id) AS rnk FROM sym)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS BIGINT) AS "rank",
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, cos_e6
+FROM r WHERE rnk <= 3
 """,
         "q_source_kl": _SOURCE_KL_SQL,
         "q_cms_registers": _cms_reg_sql(),

@@ -1974,3 +1974,37 @@ def length_entropy_correlation(
         "n_docs": n,
         "r_e6": int(np.floor(r * 1e6 + 0.5)),
     }]).astype("int64")
+
+
+def tfidf_related_docs(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    max_df: int = 50,
+    min_df: int = 2,
+    threshold: float = 0.1,
+    tokenizer: str = "simple",
+) -> pd.DataFrame:
+    """'Related documents' — per doc the top-``k`` most similar other
+    docs by TF-IDF cosine (the related-articles panel every search
+    engine ships), derived from the sparse all-pairs graph: symmetrize
+    the ``tfidf_cosine_pairs`` output (each undirected pair serves
+    both endpoints) and rank per source doc by (cos desc, neighbor
+    asc). Docs with no pair above threshold emit no rows.
+
+    Returns (doc_id, rank, neighbor_id, cos_e6) sorted by
+    (doc_id, rank)."""
+    pairs = tfidf_cosine_pairs(ds, max_df=max_df, min_df=min_df,
+                               threshold=threshold, tokenizer=tokenizer)
+    if pairs.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ["doc_id", "rank", "neighbor_id", "cos_e6"]})
+    sym = pd.concat([
+        pairs.rename(columns={"doc_a": "doc_id", "doc_b": "neighbor_id"}),
+        pairs.rename(columns={"doc_b": "doc_id", "doc_a": "neighbor_id"}),
+    ], ignore_index=True)[["doc_id", "neighbor_id", "cos_e6"]]
+    sym = sym.sort_values(["doc_id", "cos_e6", "neighbor_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    sym["rank"] = sym.groupby("doc_id").cumcount() + 1
+    out = sym[sym["rank"] <= k]
+    return (out[["doc_id", "rank", "neighbor_id", "cos_e6"]]
+            .reset_index(drop=True).astype("int64"))

@@ -842,3 +842,32 @@ def test_length_entropy_correlation_moments():
     assert int(out1["n_docs"].iloc[0]) == 5
     assert abs(int(out1["r_e6"].iloc[0]) - round(want * 1e6)) <= 1
     assert out1.equals(out5)  # partition-count invariance
+
+
+def test_tfidf_related_docs_ranks():
+    """Symmetrized neighbors: each member of a similar pair lists the
+    other; ranks are dense per doc with (cos desc, neighbor asc) ties;
+    k truncates."""
+    import ray
+
+    from information_retrieval_images_ray.pipelines.analysis import (
+        tfidf_related_docs,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "apple banana cherry apple"},
+        {"doc_id": 1, "text": "apple banana date"},
+        {"doc_id": 2, "text": "cherry date egg egg"},
+    ]
+    out = tfidf_related_docs(
+        ray.data.from_items(rows), k=2, max_df=3, min_df=2, threshold=0.0
+    )
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    # symmetry: 0 lists 1 and 1 lists 0
+    assert 1 in set(by_doc[0]["neighbor_id"])
+    assert 0 in set(by_doc[1]["neighbor_id"])
+    for d, g in by_doc.items():
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        cos = list(g["cos_e6"])
+        assert cos == sorted(cos, reverse=True)
+        assert len(g) <= 2
